@@ -3,4 +3,6 @@ every operator in hive_to_es_spark.registry.REGISTRY."""
 
 from hive_to_es_spark.operators import (  # noqa: F401
     aggregates,
+    filters,
+    joins,
 )

@@ -1,0 +1,308 @@
+"""Join operators (SURVEY.md §2.B "Joins", j1-j11).
+
+Physical strategy is Catalyst's: equi joins pick broadcast-hash /
+shuffled-hash / sort-merge by size (+ AQE runtime conversion and skew
+splitting). The engine's job is declaring semantics and hinting
+broadcast for bounded dims (region=5, nation=25 rows at EVERY scale —
+always broadcast). The as-of join (j9) is deliberately the windowed
+union form, not a pairwise self-join: at 100 TB the self-join is
+O(clicks x purchases) per user while the window is one shuffle +
+linear scan per user partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hive_to_es_spark.io import load_tables
+from hive_to_es_spark.registry import register
+
+_J1_ORACLE = """
+SELECT c_custkey, c_name, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+@register("j1_inner_equi", _J1_ORACLE)
+def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi join (fact -> dim)."""
+    t = load_tables(spark, sf_dir)
+    return t.customer.join(
+        t.nation, t.customer.c_nationkey == t.nation.n_nationkey, "inner"
+    ).select("c_custkey", "c_name", "n_name")
+
+
+# Big-order threshold leaves most customers unmatched -> real NULL rows.
+_J2_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, 'left' AS side
+FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+  ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, 'right' AS side
+FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o RIGHT JOIN customer c
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("j2_left_right_outer", _J2_ORACLE)
+def j2_left_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT and RIGHT outer joins (same result set, both code paths)."""
+    t = load_tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 400000)
+    left = (
+        t.customer.join(big, t.customer.c_custkey == big.o_custkey, "left")
+        .select("c_custkey", "o_orderkey", "o_totalprice", F.lit("left").alias("side"))
+    )
+    right = (
+        big.join(t.customer, t.customer.c_custkey == big.o_custkey, "right")
+        .select("c_custkey", "o_orderkey", "o_totalprice", F.lit("right").alias("side"))
+    )
+    return left.unionByName(right)
+
+
+_J3_ORACLE = """
+SELECT
+  coalesce(c.c_nationkey, s.s_nationkey) AS nkey, c.c_custkey, s.s_suppkey
+FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+FULL OUTER JOIN (SELECT * FROM supplier WHERE s_acctbal > 9000) s
+  ON c.c_nationkey = s.s_nationkey
+"""
+
+
+@register("j3_full_outer", _J3_ORACLE)
+def j3_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with unmatched rows surviving on both sides."""
+    t = load_tables(spark, sf_dir)
+    c = t.customer.filter(F.col("c_acctbal") > 9000)
+    s = t.supplier.filter(F.col("s_acctbal") > 9000)
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nkey"), "c_custkey", "s_suppkey"
+    )
+
+
+_J4_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+@register("j4_semi", _J4_ORACLE)
+def j4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    t = load_tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 300000)
+    return t.customer.join(
+        big, t.customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_J5_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+@register("j5_anti", _J5_ORACLE)
+def j5_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    t = load_tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 300000)
+    return t.customer.join(
+        big, t.customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_J6_ORACLE = """
+SELECT r_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register("j6_broadcast", _J6_ORACLE)
+def j6_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of bounded dims — no shuffle of the fact side.
+
+    region (5 rows) and nation (25 rows) are size-bounded at every
+    scale factor: broadcasting them keeps the only shuffle in this
+    plan the final groupBy, which AQE coalesces.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_J7_ORACLE = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+
+@register("j7_cross", _J7_ORACLE)
+def j7_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (bounded sides only — 5 x 25)."""
+    t = load_tables(spark, sf_dir)
+    return t.region.crossJoin(t.nation).select("r_name", "n_name")
+
+
+_J8_ORACLE = """
+SELECT b.bucket AS bucket, count(*) AS n, round(sum(l.l_extendedprice), 2) AS revenue
+FROM lineitem l
+JOIN (VALUES ('q00_10', 0.0, 10.0), ('q10_25', 10.0, 25.0),
+             ('q25_40', 25.0, 40.0), ('q40_51', 40.0, 51.0)) AS b(bucket, lo, hi)
+  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.bucket
+"""
+
+
+@register("j8_theta_range", _J8_ORACLE)
+def j8_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range-band) join — broadcast nested loop over a tiny
+    band table; at scale the band table is always the broadcast side."""
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("q00_10", 0.0, 10.0), ("q10_25", 10.0, 25.0), ("q25_40", 25.0, 40.0), ("q40_51", 40.0, 51.0)],
+        "bucket string, lo double, hi double",
+    )
+    li = t.lineitem
+    return (
+        li.join(F.broadcast(bands), (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+_J9_ORACLE = """
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       max(c.ts) AS last_click_ts, count(c.event_id) AS n_clicks_before
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
+@register("j9_asof", _J9_ORACLE)
+def j9_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at ts <= purchase ts.
+
+    Spark has no native ASOF JOIN; the scalable form is NOT a pairwise
+    self-join (O(clicks x purchases) per user) but a tagged union +
+    one window pass: last(click_ts) IGNORE NULLS over rows preceding.
+    One shuffle on user_id, linear per partition — survives 100x.
+    """
+    ev = load_tables(spark, sf_dir).events
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    # clicks sort before purchases at equal ts so <= semantics hold
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .withColumn("n_clicks_before", F.sum("is_click").over(w).cast("bigint"))
+        .filter(F.col("is_purchase"))
+        .select("event_id", "user_id", "last_click_ts", "n_clicks_before")
+    )
+
+
+_J10_ORACLE = """
+SELECT a.o_custkey AS o_custkey, count(*) AS n_overlap_pairs
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+GROUP BY a.o_custkey
+"""
+
+
+@register("j10_interval_overlap", _J10_ORACLE)
+def j10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: [d, d+30d) windows of the same customer.
+
+    Equi key (custkey) carries the shuffle; the range predicate is
+    evaluated post-match, so this stays a hash/sort-merge join, not a
+    nested loop — the 100 TB-safe shape for interval joins with a
+    blocking key.
+    """
+    o = load_tables(spark, sf_dir).orders.select("o_custkey", "o_orderkey", "o_orderdate")
+    a, b = o.alias("a"), o.alias("b")
+    day30 = F.expr("INTERVAL 30 DAYS")
+    cond = (
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("a.o_orderdate") < F.col("b.o_orderdate") + day30)
+        & (F.col("b.o_orderdate") < F.col("a.o_orderdate") + day30)
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.o_custkey").alias("o_custkey"))
+        .agg(F.count("*").alias("n_overlap_pairs"))
+    )
+
+
+_J11_ORACLE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@register("j11_multiway", _J11_ORACLE)
+def j11_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-table star join (TPC-H Q5 shape) — flagship, benchmarked.
+
+    Join order: facts first (orders filtered by date prunes lineitem
+    via the join), dims broadcast last. AQE re-plans smaller sides to
+    broadcast at runtime; region/nation hinted explicitly.
+    """
+    t = load_tables(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        t.lineitem.join(orders, t.lineitem.l_orderkey == orders.o_orderkey)
+        .join(t.customer, orders.o_custkey == t.customer.c_custkey)
+        .join(
+            t.supplier,
+            (t.lineitem.l_suppkey == t.supplier.s_suppkey)
+            & (t.customer.c_nationkey == t.supplier.s_nationkey),
+        )
+        .join(F.broadcast(t.nation), t.supplier.s_nationkey == t.nation.n_nationkey)
+        .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
