@@ -5,4 +5,5 @@ from hive_to_es_spark.operators import (  # noqa: F401
     aggregates,
     filters,
     joins,
+    sort_set,
 )

@@ -56,3 +56,184 @@ def a1_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+_A2_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("a2_distinct_agg", _A2_ORACLE)
+def a2_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT)/sum(DISTINCT) — expand+two-phase agg in Spark."""
+    li = load_tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+    )
+
+
+_A3_ORACLE = """
+SELECT count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       round(sum(o_totalprice), 2) AS total, round(avg(o_totalprice), 6) AS avg_price
+FROM orders
+"""
+
+
+@register("a3_global_agg", _A3_ORACLE)
+def a3_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped (global) aggregate — single-row result, partial agg
+    on every partition then one tiny final reduce."""
+    o = load_tables(spark, sf_dir).orders
+    return o.agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+_A4_ORACLE = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("a4_grouping_sets", _A4_ORACLE)
+def a4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS multi-level aggregate (one shuffle, expand node)."""
+    t = load_tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+_A5_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("a5_rollup", _A5_ORACLE)
+def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregate."""
+    o = load_tables(spark, sf_dir).orders
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+_A6_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("a6_cube", _A6_ORACLE)
+def a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (all grouping combinations)."""
+    o = load_tables(spark, sf_dir).orders
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+_A7_ORACLE = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_custkey
+HAVING round(sum(o_totalprice), 2) > 1500000
+"""
+
+
+@register("a7_having", _A7_ORACLE)
+def a7_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .filter(F.col("total") > 1500000)
+    )
+
+
+@register("a8_approx_distinct", None)  # HLL sketches differ per engine -> rows-only
+def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB substitute
+    for exact distinct counts; sketch values are engine-specific."""
+    li = load_tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supp"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_part"),
+    )
+
+
+# Stats over l_quantity (small magnitudes -> cross-engine float noise
+# far below the 6dp rounding); corr/median in [0,1]/price domain.
+_A9_ORACLE = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("a9_stats_agg", _A9_ORACLE)
+def a9_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/exact percentile."""
+    li = load_tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+    )
+
+
+_A10_ORACLE = """
+SELECT o_orderstatus,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("a10_collect", _A10_ORACLE)
+def a10_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + deterministic ordering (sort_array) — emitted as a
+    joined string for hash-stable cross-engine comparison."""
+    o = load_tables(spark, sf_dir).orders
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities")
+    )
+
+
+# Unique ordering key: cents * 1e6 + orderkey (exact in double < 2^53)
+# because o_totalprice alone is not guaranteed duplicate-free.
+_A11_ORACLE = """
+SELECT o_orderstatus,
+       arg_max(o_orderkey, round(o_totalprice * 100) * 1000000 + o_orderkey) AS best_order,
+       arg_min(o_orderkey, round(o_totalprice * 100) * 1000000 + o_orderkey) AS worst_order,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("a11_min_max_by", _A11_ORACLE)
+def a11_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin (max_by/min_by) with an explicit unique tiebreak."""
+    o = load_tables(spark, sf_dir).orders
+    key = F.round(F.col("o_totalprice") * 100, 0) * 1000000 + F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("max_by(o_orderkey, round(o_totalprice * 100) * 1000000 + o_orderkey)").alias("best_order"),
+        F.expr("min_by(o_orderkey, round(o_totalprice * 100) * 1000000 + o_orderkey)").alias("worst_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )

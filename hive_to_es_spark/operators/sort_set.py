@@ -1,0 +1,139 @@
+"""Sort / limit / top-k / sampling + set operations
+(SURVEY.md §2.B, keys o1-o3 and u1-u5).
+
+orderBy+limit compiles to TakeOrderedAndProject — a per-partition
+top-k then a single driver-side k-merge, O(k) memory regardless of
+input size: the only global "sort" shape that is 100 TB-safe. Full
+global sorts (o2 without limit) use range partitioning (sampled
+boundaries); here o2 also carries a LIMIT with a unique tiebreaker per
+the determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_to_es_spark.io import load_tables
+from hive_to_es_spark.registry import register
+
+_O1_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+@register("o1_order_limit", _O1_ORACLE)
+def o1_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject), unique tiebreak on key."""
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+# NULLs manufactured via nullif so nulls-last ordering is real.
+_O2_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_returnflag, nullif(l_discount, 0.0) AS disc
+FROM lineitem
+ORDER BY l_returnflag ASC, disc DESC NULLS LAST, l_orderkey ASC, l_linenumber ASC
+LIMIT 100
+"""
+
+
+@register("o2_multi_key_sort", _O2_ORACLE)
+def o2_multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key mixed asc/desc sort with NULLS LAST placement."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc(),
+            F.col("disc").desc_nulls_last(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register("o3_sample", None)  # PRNG streams differ per engine -> rows-only
+def o3_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample with fixed seed (deterministic per engine,
+    not across engines)."""
+    li = load_tables(spark, sf_dir).lineitem
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+_BIG = "SELECT o_orderkey FROM orders WHERE o_totalprice > 400000"
+_URG = "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+
+_U1_ORACLE = f"{_BIG} UNION ALL {_URG}"
+
+
+@register("u1_union_all", _U1_ORACLE)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — bag union, no shuffle (narrow concat of partitions)."""
+    o = load_tables(spark, sf_dir).orders
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return big.unionByName(urgent)
+
+
+_U2_ORACLE = f"{_BIG} UNION {_URG}"
+
+
+@register("u2_union_distinct", _U2_ORACLE)
+def u2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — concat + hash-distinct shuffle."""
+    o = load_tables(spark, sf_dir).orders
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return big.unionByName(urgent).distinct()
+
+
+_U3_ORACLE = f"{_BIG} INTERSECT {_URG}"
+
+
+@register("u3_intersect", _U3_ORACLE)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    o = load_tables(spark, sf_dir).orders
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return big.intersect(urgent)
+
+
+_U4_ORACLE = f"{_BIG} EXCEPT {_URG}"
+
+
+@register("u4_except", _U4_ORACLE)
+def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics)."""
+    o = load_tables(spark, sf_dir).orders
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return big.exceptAll(urgent).distinct()
+
+
+_U5_ORACLE = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+
+@register("u5_distinct", _U5_ORACLE)
+def u5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT on a projected key subset (deterministic because only
+    the key columns are emitted; dropDuplicates on wider rows would
+    pick arbitrary survivors)."""
+    o = load_tables(spark, sf_dir).orders
+    return o.select("o_orderstatus", "o_orderpriority").dropDuplicates()
