@@ -106,16 +106,17 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 
 @register("a4_grouping_sets", _A4_ORACLE)
 def a4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS multi-level aggregate (one shuffle, expand node)."""
-    t = load_tables(spark, sf_dir)
-    t.lineitem.createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        """
-    )
+    """GROUPING SETS multi-level aggregate (one shuffle, expand node).
+
+    Uses DataFrame.groupingSets (Spark 4) — no temp view, so the
+    operator stays side-effect-free on a caller-provided session.
+    """
+    li = load_tables(spark, sf_dir).lineitem
+    return li.groupingSets(
+        [[F.col("l_returnflag"), F.col("l_linestatus")], [F.col("l_returnflag")], []],
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
 
 
 _A5_ORACLE = """
@@ -216,12 +217,13 @@ def a10_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Unique ordering key: cents * 1e6 + orderkey (exact in double < 2^53)
-# because o_totalprice alone is not guaranteed duplicate-free.
+# Unique ordering key: cents * 1e8 + orderkey, exact in double < 2^53
+# (cents <= ~6e7, so cents*1e8 <= 6e15 < 9.0e15) and unique as long as
+# o_orderkey < 1e8 — which holds through TPC-H sf10 (orderkey 6e7).
 _A11_ORACLE = """
 SELECT o_orderstatus,
-       arg_max(o_orderkey, round(o_totalprice * 100) * 1000000 + o_orderkey) AS best_order,
-       arg_min(o_orderkey, round(o_totalprice * 100) * 1000000 + o_orderkey) AS worst_order,
+       arg_max(o_orderkey, round(o_totalprice * 100) * 100000000 + o_orderkey) AS best_order,
+       arg_min(o_orderkey, round(o_totalprice * 100) * 100000000 + o_orderkey) AS worst_order,
        max(o_totalprice) AS max_price
 FROM orders GROUP BY o_orderstatus
 """
@@ -231,9 +233,9 @@ FROM orders GROUP BY o_orderstatus
 def a11_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """argmax/argmin (max_by/min_by) with an explicit unique tiebreak."""
     o = load_tables(spark, sf_dir).orders
-    key = F.round(F.col("o_totalprice") * 100, 0) * 1000000 + F.col("o_orderkey")
+    key = F.round(F.col("o_totalprice") * 100, 0) * 100000000 + F.col("o_orderkey")
     return o.groupBy("o_orderstatus").agg(
-        F.expr("max_by(o_orderkey, round(o_totalprice * 100) * 1000000 + o_orderkey)").alias("best_order"),
-        F.expr("min_by(o_orderkey, round(o_totalprice * 100) * 1000000 + o_orderkey)").alias("worst_order"),
+        F.max_by(F.col("o_orderkey"), key).alias("best_order"),
+        F.min_by(F.col("o_orderkey"), key).alias("worst_order"),
         F.max("o_totalprice").alias("max_price"),
     )

@@ -297,8 +297,10 @@ def j11_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (t.customer.c_nationkey == t.supplier.s_nationkey),
         )
         .join(F.broadcast(t.nation), t.supplier.s_nationkey == t.nation.n_nationkey)
-        .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
-        .filter(F.col("r_name") == "ASIA")
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            t.nation.n_regionkey == F.col("r_regionkey"),
+        )
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

@@ -118,11 +118,13 @@ _U4_ORACLE = f"{_BIG} EXCEPT {_URG}"
 
 @register("u4_except", _U4_ORACLE)
 def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct semantics)."""
+    """EXCEPT (distinct semantics). subtract() IS Spark's EXCEPT
+    DISTINCT: a left row with multiplicity >1 that appears once on the
+    right is dropped entirely (exceptAll().distinct() would keep it)."""
     o = load_tables(spark, sf_dir).orders
     big = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
-    return big.exceptAll(urgent).distinct()
+    return big.subtract(urgent)
 
 
 _U5_ORACLE = """

@@ -52,8 +52,6 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if hasattr(v, "isoformat"):  # datetime/date/pd.Timestamp
             return pd.Timestamp(v).isoformat()
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return f"{v:.6f}"
             return f"{v:.6f}"
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return "[" + ",".join(cell(x) for x in v) + "]"
@@ -107,7 +105,6 @@ def main() -> int:
             n_fail += 1
             continue
         if k not in os_:
-            ok = len(sdf) >= 0
             print(f"[ROWS] {k}: {len(sdf)} rows ({time.time()-t0:.2f}s) — rows-only check")
             n_rows_only += 1
             continue
