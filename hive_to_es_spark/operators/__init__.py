@@ -6,4 +6,5 @@ from hive_to_es_spark.operators import (  # noqa: F401
     filters,
     joins,
     sort_set,
+    windows,
 )
