@@ -5,6 +5,7 @@ from hive_to_es_spark.operators import (  # noqa: F401
     aggregates,
     filters,
     joins,
+    scalars,
     sort_set,
     windows,
 )

@@ -1,0 +1,310 @@
+"""Scalar-function family operators (SURVEY.md §2.B "Scalar functions",
+x1-x8). One representative composite query per family; each exercises
+5-10 built-in functions and hash-matches DuckDB.
+
+Everything here is a JVM Column expression — whole-stage-codegen'd,
+zero Python in the data path. That is the point of this family: at
+100 TB these run inside the scan/project pipeline for free; the same
+logic as Python UDFs would pay an Arrow (or worse, pickle) round trip
+per batch. Cross-engine alignment notes are inline where Spark and
+DuckDB semantics diverge (cast rounding, dayofweek origin, floor
+types).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_to_es_spark.io import load_tables
+from hive_to_es_spark.registry import register
+
+_X1_ORACLE = """
+SELECT p_partkey,
+       concat_ws('|', lower(p_brand), upper(p_type))        AS tag,
+       trim(substring(p_name, 1, 10))                       AS name10,
+       length(p_name)                                       AS name_len,
+       len(string_split(p_name, ' '))                       AS n_words,
+       regexp_extract(p_type, '^([A-Z]+)', 1)               AS type_head,
+       regexp_replace(p_name, '[aeiou]', '_', 'g')          AS devoweled,
+       lpad(CAST(p_size AS VARCHAR), 4, '0')                AS size4,
+       instr(p_name, 'red')                                 AS red_at,
+       reverse(p_brand)                                     AS brand_rev
+FROM part
+WHERE p_partkey <= 500
+"""
+
+
+@register("x1_string", _X1_ORACLE)
+def x1_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: concat_ws/lower/upper/trim/substring/length/
+    split/regexp_extract/regexp_replace/lpad/instr/reverse."""
+    p = load_tables(spark, sf_dir).part.filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.concat_ws("|", F.lower("p_brand"), F.upper("p_type")).alias("tag"),
+        F.trim(F.substring("p_name", 1, 10)).alias("name10"),
+        F.length("p_name").alias("name_len"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.instr("p_name", "red").alias("red_at"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+# DuckDB dayofweek is 0-based (Sun=0), Spark 1-based (Sun=1) -> +1 in
+# the oracle. Spark date_add returns DATE, so the oracle adds to DATE.
+_X2_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate)                                          AS y,
+       quarter(o_orderdate)                                       AS q,
+       month(o_orderdate)                                         AS m,
+       dayofweek(o_orderdate) + 1                                 AS dow,
+       date_trunc('month', o_orderdate)                           AS month_start,
+       CAST(o_orderdate AS DATE) + 30                             AS plus30,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-09-02') AS days_to_cut,
+       last_day(CAST(o_orderdate AS DATE))                        AS month_end,
+       CAST(epoch(o_orderdate) AS BIGINT)                         AS epoch_s
+FROM orders
+WHERE o_orderkey <= 2000
+"""
+
+
+@register("x2_date", _X2_ORACLE)
+def x2_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: year/quarter/month/dayofweek/date_trunc/
+    date_add/datediff/last_day/unix_timestamp (UTC session)."""
+    o = load_tables(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+        F.datediff(F.lit("2001-09-02").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_cut"
+        ),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+# floor/ceil return BIGINT in Spark but DECIMAL in DuckDB -> CAST;
+# DuckDB has no pmod -> ((a % b) + b) % b; sqrt/ln/log10 kept on
+# strictly positive inputs (DuckDB raises on sqrt(-1), Spark yields NaN).
+_X3_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1)                             AS r1,
+       CAST(floor(l_extendedprice) AS BIGINT)                AS fl,
+       CAST(ceil(l_extendedprice) AS BIGINT)                 AS ce,
+       abs(l_discount - 0.05)                                AS ad,
+       round(sqrt(l_quantity), 6)                            AS sq,
+       round(pow(l_discount, 2), 6)                          AS p2,
+       round(exp(l_discount), 6)                             AS ex,
+       round(ln(l_extendedprice), 6)                         AS lnp,
+       round(log10(l_extendedprice), 6)                      AS lgp,
+       CAST(((CAST(l_quantity AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS pm7,
+       CAST(sign(l_discount - 0.05) AS DOUBLE)               AS sg,
+       greatest(l_quantity, l_discount * 100)                AS gr,
+       least(l_quantity, l_discount * 100)                   AS le
+FROM lineitem
+WHERE l_orderkey <= 1000
+"""
+
+
+@register("x3_math", _X3_ORACLE)
+def x3_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/floor/ceil/abs/sqrt/pow/exp/ln/log10/pmod/
+    sign/greatest/least."""
+    li = load_tables(spark, sf_dir).lineitem.filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.floor("l_extendedprice").alias("fl"),
+        F.ceil("l_extendedprice").alias("ce"),
+        F.abs(F.col("l_discount") - 0.05).alias("ad"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("p2"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+        F.round(F.log("l_extendedprice"), 6).alias("lnp"),
+        F.round(F.log10("l_extendedprice"), 6).alias("lgp"),
+        F.pmod(F.col("l_quantity").cast("bigint"), F.lit(7)).cast("bigint").alias("pm7"),
+        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("gr"),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("le"),
+    )
+
+
+# Higher-order functions over the 64-dim float32 embeddings. All
+# arithmetic is forced to DOUBLE on both engines (float32 values are
+# exactly representable in double, so double accumulation is
+# bit-identical) and rounded 6dp.
+_X4_ORACLE = """
+SELECT vec_id,
+       len(embedding)                                                     AS dim,
+       len(list_filter(embedding, x -> x > 0))                            AS n_pos,
+       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS sum_all,
+       round(CAST(list_max(embedding) AS DOUBLE), 6)                      AS max_el,
+       round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS dot_self,
+       len(list_distinct(embedding))                                      AS n_distinct,
+       round(CAST(list_sort(embedding)[1] AS DOUBLE), 6)                  AS min_el,
+       round(list_aggregate(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum'), 6) AS sum_first8
+FROM embeddings
+"""
+
+
+@register("x4_array", _X4_ORACLE)
+def x4_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size/filter/aggregate/transform/zip_with/
+    array_max/array_distinct/sort_array/slice — all higher-order JVM
+    expressions (the 100 TB-safe way to touch embeddings)."""
+    e = load_tables(spark, sf_dir).embeddings
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dbl, dbl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 6).alias("sum_all"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_el"),
+        F.round(dot, 6).alias("dot_self"),
+        F.size(F.array_distinct("embedding")).alias("n_distinct"),
+        F.round(F.element_at(F.sort_array("embedding"), 1).cast("double"), 6).alias("min_el"),
+        F.round(
+            F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("sum_first8"),
+    )
+
+
+# Map built per order status: priority -> order count. Entries sorted
+# before map construction so key order (and the joined key string) is
+# deterministic on both engines.
+_X5_ORACLE = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+maps AS (
+  SELECT o_orderstatus,
+         map_from_entries(list_sort(list(struct_pack(k := o_orderpriority, v := n)))) AS m
+  FROM counts GROUP BY o_orderstatus
+)
+SELECT o_orderstatus,
+       array_to_string(map_keys(m), ',')                   AS prio_keys,
+       CAST(list_aggregate(map_values(m), 'sum') AS BIGINT) AS total_orders,
+       m['1-URGENT'][1]                                    AS n_urgent,
+       cardinality(m)                                      AS n_prios
+FROM maps
+"""
+
+
+@register("x5_map", _X5_ORACLE)
+def x5_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: map_from_entries/map_keys/map_values/element_at/
+    size over an aggregated priority->count map."""
+    o = load_tables(spark, sf_dir).orders
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    maps = counts.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("o_orderpriority").alias("k"), F.col("n").alias("v"))))
+        ).alias("m")
+    )
+    return maps.select(
+        "o_orderstatus",
+        F.array_join(F.map_keys("m"), ",").alias("prio_keys"),
+        F.aggregate(F.map_values("m"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "total_orders"
+        ),
+        F.element_at(F.col("m"), "1-URGENT").alias("n_urgent"),
+        F.size("m").alias("n_prios"),
+    )
+
+
+# events.props is JSON-in-string by fixture design ({"k": <int>}).
+_X6_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER)  AS k_path,
+       CAST(json_extract(props, '$.k') AS INTEGER)  AS k_typed,
+       CAST(json_extract(props, '$.missing') IS NULL AS BOOLEAN) AS missing_is_null
+FROM events
+WHERE event_id < 2000
+"""
+
+
+@register("x6_json", _X6_ORACLE)
+def x6_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over events.props: get_json_object (path) and
+    from_json (typed struct) must agree; missing paths yield NULL."""
+    ev = load_tables(spark, sf_dir).events.filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        F.from_json("props", "k INT").getField("k").alias("k_typed"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )
+
+
+# Spark CAST(double AS INT) truncates toward zero; DuckDB CAST rounds
+# half-up -> align through trunc() in the oracle.
+_X7_ORACLE = """
+SELECT l_returnflag,
+       count(*)                                                          AS n,
+       CAST(sum(CAST(trunc(l_quantity) AS INTEGER)) AS BIGINT)           AS sum_int_qty,
+       CAST(sum(CASE WHEN coalesce(nullif(l_discount, 0.0), 0.01) = 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted,
+       CAST(sum(CASE WHEN isnan(CAST('NaN' AS DOUBLE) * l_tax) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       round(sum(CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)), 2)        AS roundtrip_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("x7_cast_coalesce", _X7_ORACLE)
+def x7_cast_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts + null handling: cast/coalesce/nullif/isnan and a
+    string round-trip of a numeric column."""
+    li = load_tables(spark, sf_dir).lineitem
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("int")).alias("sum_int_qty"),
+        one_if(
+            F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(0.01)) == 0.01
+        ).alias("n_defaulted"),
+        one_if(F.isnan(F.lit(float("nan")) * F.col("l_tax"))).alias("n_nan"),
+        F.round(F.sum(F.col("l_quantity").cast("string").cast("double")), 2).alias(
+            "roundtrip_qty"
+        ),
+    )
+
+
+# md5 + sha256 are cross-engine stable; xxhash64/crc32 are exercised in
+# tests (Spark-only outputs, no ANSI oracle).
+_X8_ORACLE = """
+SELECT doc_id,
+       md5(lower(text))            AS text_md5,
+       sha256(text)                AS text_sha256,
+       substring(md5(text), 1, 8)  AS shard_key
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+@register("x8_hash", _X8_ORACLE)
+def x8_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family (the dedup substrate): md5 / sha2-256 and a derived
+    shard key prefix."""
+    d = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.substring(F.md5("text"), 1, 8).alias("shard_key"),
+    )
