@@ -3,9 +3,12 @@ every operator in hive_to_es_spark.registry.REGISTRY."""
 
 from hive_to_es_spark.operators import (  # noqa: F401
     aggregates,
+    dedup,
     filters,
     joins,
     scalars,
+    similarity,
     sort_set,
+    text,
     windows,
 )

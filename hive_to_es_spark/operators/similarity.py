@@ -1,0 +1,152 @@
+"""Similarity-search operators (SURVEY.md §2.D, s1-s3) over the
+64-dim float32 `embeddings` table.
+
+All vector math is JVM higher-order expressions (zip_with/aggregate)
+forced to DOUBLE — float32 inputs are exactly representable in double,
+so Spark and DuckDB produce bit-identical sums and the 6dp rounding is
+pure safety margin.
+
+Scale notes:
+- s1 (one query vector) is a linear scan + TakeOrderedAndProject:
+  O(n) work, O(k) memory, embarrassingly parallel. The right answer
+  at any scale when there is ONE query.
+- s2 (all-pairs) is blocked by `label` BEFORE pairing — the join key
+  bounds the pair expansion to sum(|block|^2), never O(n^2). At 100 TB
+  the block key would be an LSH bucket (see dedup.d2) instead of a
+  ground-truth label; the plan shape is identical.
+- s3 (centroids) uses posexplode -> groupBy(label, pos): one shuffle
+  of (n x 64) scalar rows, partial aggregation map-side; no vector
+  ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_to_es_spark.io import load_tables
+from hive_to_es_spark.registry import register
+
+
+def _dbl(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two double-array columns."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# Flagship (BASELINE.md row 6). Query vector = embedding of vec_id 0;
+# ordering on the ROUNDED value + vec_id so the LIMIT boundary is the
+# same row set on both engines.
+_S1_ORACLE = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_cosine_similarity(
+         list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register("s1_knn_cosine", _S1_ORACLE)
+def s1_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k cosine vs one query vector — flagship.
+
+    The single query row is broadcast (1-row cross join); the scan
+    stays fully parallel and the top-k is TakeOrderedAndProject.
+    """
+    e = load_tables(spark, sf_dir).embeddings
+    q = e.filter(F.col("vec_id") == 0).select(_dbl("embedding").alias("qv"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(_dbl("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# Pair expansion is blocked by label (sum of per-label |block|^2, not
+# n^2); top-3 per left vector by rounded cosine, right id tiebreak.
+_S2_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+         round(list_cosine_similarity(
+           list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT id_a, id_b, label, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+                               ORDER BY cos_sim DESC, id_b ASC) AS rn
+  FROM pairs
+)
+WHERE rn <= 3
+"""
+
+
+@register("s2_pairwise_topk", _S2_ORACLE)
+def s2_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar neighbors per vector, blocked by label.
+
+    The equi-join on label is the blocker: Catalyst plans a hash join
+    on label, and only within-block pairs are materialized. Replace
+    label with an LSH bucket id for unlabeled corpora (same plan).
+    """
+    e = load_tables(spark, sf_dir).embeddings
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), _dbl("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), _dbl("embedding").alias("eb")
+    )
+    pairs = (
+        a.join(b, (a.label == b.label_b) & (a.id_a != b.id_b))
+        .select("id_a", "id_b", "label", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
+    return (
+        pairs.select("id_a", "id_b", "label", "cos_sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+_S3_ORACLE = """
+SELECT label, j AS pos,
+       round(avg(CAST(embedding[j] AS DOUBLE)), 6) AS centroid_val
+FROM embeddings
+CROSS JOIN generate_series(1, 64) t(j)
+GROUP BY label, j
+"""
+
+
+@register("s3_centroids", _S3_ORACLE)
+def s3_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components via posexplode + grouped avg.
+
+    (n x 64) scalar rows shuffle once on (label, pos) with map-side
+    partial averages; the centroid never materializes on the driver.
+    """
+    e = load_tables(spark, sf_dir).embeddings
+    return (
+        e.select("label", F.posexplode(_dbl("embedding")).alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), "v")
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_val"))
+    )

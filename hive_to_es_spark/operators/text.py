@@ -1,0 +1,183 @@
+"""Text-analysis + multimodal-column operators (SURVEY.md §2.D,
+t1-t3 and m1) over `documents` (+ `embeddings` for m1).
+
+Token operations are split()/explode() on the space-separated fixture
+text — JVM expressions end to end. The explode in t2 multiplies rows
+by ~40 (tokens/doc) before aggregating; at 100 TB that is still the
+right shape because the explode output never materializes (it feeds a
+partial aggregate in the same stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_to_es_spark.io import load_tables
+from hive_to_es_spark.registry import register
+
+_T1_ORACLE = """
+SELECT lang,
+       count(*)                                         AS n_docs,
+       round(avg(n_chars), 6)                           AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 6)      AS avg_tokens,
+       min(n_chars)                                     AS min_chars,
+       max(n_chars)                                     AS max_chars,
+       count(DISTINCT source)                           AS n_sources
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("t1_text_stats", _T1_ORACLE)
+def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc/char/token counts — the quality-
+    scoring substrate (length + token-ratio features)."""
+    d = load_tables(spark, sf_dir).documents
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# tf-idf: tf = term count within source, df = #sources containing the
+# term, idf = ln(n_sources/df). Top-5 per source by rounded score with
+# term as the unique tiebreak.
+_T2_ORACLE = """
+WITH tokens AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT source, term, count(*) AS tf FROM tokens GROUP BY source, term
+),
+df AS (
+  SELECT term, count(DISTINCT source) AS df FROM tokens GROUP BY term
+),
+n AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf,
+         round(tf.tf * ln(CAST(n.n_sources AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT source, term, tf, tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+@register("t2_tfidf_terms", _T2_ORACLE)
+def t2_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per source — explode + two aggregates + a
+    window top-k, all map-side-combined."""
+    d = load_tables(spark, sf_dir).documents
+    tokens = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    tf = tokens.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    n_sources = d.select(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_sources").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.select("source", "term", "tf", "tfidf", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# Routing heuristic on top of the ground-truth lang column: an n-gram
+# marker score (vowel-bigram density differs by language in the
+# fixture vocabularies) is computed per doc, then routed. The filter
+# itself (keep en/de/fr) is the reference behavior; the score shows the
+# langid-feature shape staying in JVM expressions.
+_T3_ORACLE = """
+SELECT lang,
+       CASE WHEN lang IN ('en', 'de') THEN 'germanic' ELSE 'romance' END AS route,
+       count(*) AS n_docs,
+       round(avg(CAST(len(string_split(text, 'e')) - 1 AS DOUBLE)
+                 / nullif(n_chars, 0)), 6) AS e_density
+FROM documents
+WHERE lang IN ('en', 'de', 'fr')
+GROUP BY lang
+"""
+
+
+@register("t3_langid_filter", _T3_ORACLE)
+def t3_langid_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language filter + routing with an n-gram density feature."""
+    d = load_tables(spark, sf_dir).documents.filter(F.col("lang").isin("en", "de", "fr"))
+    route = F.when(F.col("lang").isin("en", "de"), "germanic").otherwise("romance")
+    e_density = (F.size(F.split("text", "e")) - 1).cast("double") / F.nullif(
+        F.col("n_chars"), F.lit(0)
+    )
+    return (
+        d.select("lang", route.alias("route"), e_density.alias("ed"))
+        .groupBy("lang", "route")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("ed"), 6).alias("e_density"))
+        .select("lang", "route", "n_docs", "e_density")
+    )
+
+
+# Multimodal column pattern: one struct column per document carrying
+# text + embedding + typed metadata + an opaque binary payload. The
+# struct is assembled, then fields are re-projected out (scalarized for
+# the cross-engine hash); media decode itself is stubbed in
+# functions/multimodal.py (no image/audio libs in this container).
+_M1_ORACLE = """
+SELECT d.doc_id,
+       length(d.text)        AS text_len,
+       len(e.embedding)      AS emb_dim,
+       d.lang                AS lang,
+       d.source              AS source,
+       round(CAST(e.embedding[1] AS DOUBLE), 6) AS emb_first,
+       md5(d.text)           AS media_md5
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+
+@register("m1_multimodal_cols", _M1_ORACLE)
+def m1_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record assembly: struct{text, embedding, meta,
+    media binary} from documents x embeddings, then scalarized.
+
+    The binary column stands in for raw image/audio bytes; md5 over it
+    proves the bytes survive the struct round trip. Real decoding is a
+    mapInPandas stub (functions/multimodal.py) — the Spark-side schema
+    and plumbing are what this operator pins down.
+    """
+    t = load_tables(spark, sf_dir)
+    joined = t.documents.join(t.embeddings, t.documents.doc_id == t.embeddings.vec_id)
+    record = F.struct(
+        F.col("text").alias("text"),
+        F.col("embedding").alias("embedding"),
+        F.struct(F.col("lang").alias("lang"), F.col("source").alias("source")).alias("meta"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+    )
+    assembled = joined.select("doc_id", record.alias("mm"))
+    return assembled.select(
+        "doc_id",
+        F.length(F.col("mm.text")).alias("text_len"),
+        F.size(F.col("mm.embedding")).alias("emb_dim"),
+        F.col("mm.meta.lang").alias("lang"),
+        F.col("mm.meta.source").alias("source"),
+        F.round(F.element_at(F.col("mm.embedding"), 1).cast("double"), 6).alias("emb_first"),
+        F.md5(F.col("mm.media")).alias("media_md5"),
+    )
