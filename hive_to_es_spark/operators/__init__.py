@@ -6,6 +6,7 @@ from hive_to_es_spark.operators import (  # noqa: F401
     dedup,
     filters,
     joins,
+    pipeline_ops,
     scalars,
     similarity,
     sort_set,

@@ -308,3 +308,53 @@ def j11_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# TPC-H Q3 shape adapted to the fixture columns (no o_shippriority in
+# the fixtures — grouped on (l_orderkey, o_orderdate) instead).
+_Q3_ORACLE = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority flagship (BASELINE.md row 2): 3-table join +
+    agg + top-10.
+
+    Both date filters sit on the fact tables before the joins (scan
+    pruning); customer-segment filter prunes the build side. The final
+    top-10 is TakeOrderedAndProject over the aggregate.
+    """
+    t = load_tables(spark, sf_dir)
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t.orders.filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t.lineitem.filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )

@@ -1,0 +1,259 @@
+"""Pipeline-layer operators (SURVEY.md §2.A p1-p8, §2.B b1) — the
+reference tool's own processing stages, registered as checkable
+queries. The composable job machinery lives in
+hive_to_es_spark.pipeline; these wrappers pin each stage's semantics
+to an oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_to_es_spark.io import load_tables
+from hive_to_es_spark.pipeline import TMP_ROOT, Job, run_job, run_jobs
+from hive_to_es_spark.registry import register
+
+_P1_ORACLE = "SELECT * FROM supplier"
+
+
+@register("p1_full_scan", _P1_ORACLE)
+def p1_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-import source stage: SELECT * of a named table (the
+    reference's full mode re-reads everything)."""
+    from hive_to_es_spark.pipeline import build_source
+
+    return build_source(spark, sf_dir, Job(name="p1", source_table="supplier"))
+
+
+_P2_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+"""
+
+
+@register("p2_incremental_filter", _P2_ORACLE)
+def p2_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-import source stage: the config-supplied date
+    predicate lands in the scan (partition pruning in production)."""
+    from hive_to_es_spark.pipeline import apply_transforms, build_source
+
+    job = Job(
+        name="p2",
+        source_table="orders",
+        incremental_filter="o_orderdate >= TIMESTAMP '2001-06-01'",
+        columns={
+            "o_orderkey": "o_orderkey",
+            "o_custkey": "o_custkey",
+            "o_totalprice": "o_totalprice",
+            "o_orderdate": "o_orderdate",
+        },
+    )
+    return apply_transforms(build_source(spark, sf_dir, job), job)
+
+
+_P3_ORACLE = """
+SELECT o_orderkey AS order_id,
+       o_totalprice AS amount,
+       upper(o_orderstatus) AS status
+FROM orders
+"""
+
+
+@register("p3_project_rename", _P3_ORACLE)
+def p3_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection/rename stage: config column mapping -> ES doc fields."""
+    from hive_to_es_spark.pipeline import apply_transforms, build_source
+
+    job = Job(
+        name="p3",
+        source_table="orders",
+        columns={
+            "order_id": "o_orderkey",
+            "amount": "o_totalprice",
+            "status": "upper(o_orderstatus)",
+        },
+    )
+    return apply_transforms(build_source(spark, sf_dir, job), job)
+
+
+_P4_ORACLE = """
+SELECT CAST(o_orderkey AS VARCHAR) AS _id,
+       o_orderkey AS order_id,
+       o_totalprice AS amount
+FROM orders
+"""
+
+
+@register("p4_doc_id", _P4_ORACLE)
+def p4_doc_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-id stage: the designated key column becomes the string
+    `_id` (idempotent upserts via es.mapping.id in production)."""
+    from hive_to_es_spark.pipeline import apply_transforms, build_source
+
+    job = Job(
+        name="p4",
+        source_table="orders",
+        columns={"order_id": "o_orderkey", "amount": "o_totalprice"},
+        id_column="order_id",
+    )
+    return apply_transforms(build_source(spark, sf_dir, job), job)
+
+
+# Int + string fields only: cross-engine JSON number formatting of
+# doubles/timestamps is not byte-stable, int/string serialization is.
+_P5_ORACLE = """
+SELECT o_orderkey,
+       to_json(struct_pack(order_id := o_orderkey,
+                           status := o_orderstatus,
+                           priority := o_orderpriority)) AS doc
+FROM orders
+WHERE o_orderkey <= 5000
+"""
+
+
+@register("p5_type_to_json", _P5_ORACLE)
+def p5_type_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row -> JSON document stage: to_json(struct(...)) is the
+    distributed form of the reference's per-row dict -> json.dumps."""
+    o = load_tables(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 5000)
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    return o.select("o_orderkey", doc.alias("doc"))
+
+
+# Batching semantics mirrored as explicit page assignment. NOTE the
+# global row_number here is the ORACLE-CHECKABLE mirror of paging; the
+# production path does NOT do this (partitions are the batches — a
+# global window would single-thread at 100 TB). See pipeline.write_sink.
+_P6_ORACLE = """
+SELECT batch_id, count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM (
+  SELECT o_orderkey,
+         CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 1000) AS BIGINT) AS batch_id
+  FROM orders
+)
+GROUP BY batch_id
+"""
+
+
+@register("p6_batching", _P6_ORACLE)
+def p6_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch/page assignment (fetchmany-style 1000-row pages) with
+    per-batch bounds — bounded sink memory made visible."""
+    o = load_tables(spark, sf_dir).orders
+    w = Window.orderBy("o_orderkey")
+    batch = F.floor((F.row_number().over(w) - 1) / 1000).cast("bigint")
+    return (
+        o.select("o_orderkey", batch.alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+_P7_ORACLE = """
+SELECT count(*) AS n, round(sum(amount), 2) AS total
+FROM (SELECT o_totalprice AS amount FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+@register("p7_sink_es", _P7_ORACLE)
+def p7_sink_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink stage roundtrip: run a full job (source -> transform ->
+    parquet sink standing in for the ES bulk writer), then read the
+    sink back and checksum it against the source."""
+    job = Job(
+        name="p7_sink",
+        source_table="orders",
+        incremental_filter="o_orderstatus = 'F'",
+        columns={"amount": "o_totalprice"},
+        sink_path=os.path.join(TMP_ROOT, "p7_sink"),
+        mode="overwrite",
+    )
+    run_job(spark, sf_dir, job)
+    back = spark.read.parquet(job.sink_path)
+    return back.agg(F.count("*").alias("n"), F.round(F.sum("amount"), 2).alias("total"))
+
+
+_P8_ORACLE = """
+SELECT 'orders_full' AS job_name, count(*) AS n_rows FROM orders
+UNION ALL
+SELECT 'orders_recent' AS job_name, count(*) AS n_rows
+FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+"""
+
+
+@register("p8_job_config", _P8_ORACLE)
+def p8_job_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-job config runner: two jobs (full + incremental) from one
+    config, summary of rows synced per job — the reference's top-level
+    loop."""
+    jobs = [
+        Job(
+            name="orders_full",
+            source_table="orders",
+            columns={"order_id": "o_orderkey", "amount": "o_totalprice"},
+            id_column="order_id",
+            sink_path=os.path.join(TMP_ROOT, "orders_full"),
+        ),
+        Job(
+            name="orders_recent",
+            source_table="orders",
+            incremental_filter="o_orderdate >= TIMESTAMP '2001-06-01'",
+            columns={"order_id": "o_orderkey", "amount": "o_totalprice"},
+            id_column="order_id",
+            mode="overwrite",
+            sink_path=os.path.join(TMP_ROOT, "orders_recent"),
+        ),
+    ]
+    return run_jobs(spark, sf_dir, jobs)
+
+
+_B1_ORACLE = """
+SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       count(DISTINCT n_name) AS n_names
+FROM nation
+"""
+
+
+@register("b1_csv_json_roundtrip", _B1_ORACLE)
+def b1_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON source/sink parity: write nation to both formats,
+    read both back with explicit schemas (never inference — schema
+    drift is silent corruption at scale), join on the key, and
+    checksum. Any loss/mangling in either format breaks the join."""
+    n = load_tables(spark, sf_dir).nation
+    csv_path = os.path.join(TMP_ROOT, "b1_nation_csv")
+    json_path = os.path.join(TMP_ROOT, "b1_nation_json")
+    n.write.mode("overwrite").option("header", True).csv(csv_path)
+    n.write.mode("overwrite").json(json_path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    from_csv = spark.read.schema(schema).option("header", True).csv(csv_path)
+    from_json = spark.read.schema(schema).json(json_path).withColumnRenamed("n_name", "j_name")
+    joined = from_csv.join(
+        from_json.select("n_nationkey", "j_name"), "n_nationkey"
+    ).filter(F.col("n_name") == F.col("j_name"))
+    return joined.agg(
+        F.count("*").alias("n"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.countDistinct("n_name").alias("n_names"),
+    )
