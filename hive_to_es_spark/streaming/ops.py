@@ -1,0 +1,249 @@
+"""Streaming operators e1-e7: transformation functions shared by batch
+and stream mode, plus their registered batch-oracle queries.
+
+Each `tf_*` function takes an events DataFrame (batch OR streaming —
+the code cannot tell) and returns the transformed DataFrame. The
+registered queries apply them to the batch read; tests apply them to
+readStream with Trigger.AvailableNow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_to_es_spark.io import load_tables
+from hive_to_es_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Shared transformations (batch == stream by construction)
+# ---------------------------------------------------------------------------
+
+def tf_tumbling(events: DataFrame) -> DataFrame:
+    """1-hour tumbling window count/sum per event_type."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+def tf_sliding(events: DataFrame) -> DataFrame:
+    """1-hour window sliding every 15 minutes (each event in 4 windows)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def tf_session(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+def tf_watermark_tumbling(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling agg: events later than 1h behind the max
+    seen ts are dropped from state (stream mode); batch mode treats the
+    watermark as a no-op, which IS the correct batch semantics (no
+    late data when the input is complete)."""
+    return tf_tumbling(events.withWatermark("ts", "1 hour"))
+
+
+def tf_dedup(events: DataFrame) -> DataFrame:
+    """Stateful dedup on event_id within the watermark horizon."""
+    return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+
+def tf_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: per-batch broadcast hash join of
+    the stream side against a static dim (no state needed)."""
+    joined = events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+_STATE_SCHEMA = "user_id BIGINT, n_events BIGINT, total DOUBLE, last_ts TIMESTAMP"
+
+
+def tf_stateful_counters_stream(events: DataFrame) -> DataFrame:
+    """Custom per-user state via applyInPandasWithState (stream mode):
+    a running (count, sum, last_ts) per user, emitted on every update.
+    State lives in the state store, partitioned by user_id."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total, last = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last = mx if last is None or mx > last else last
+        state.update((n, total, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total": [round(total, 2)], "last_ts": [last]}
+        )
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, _STATE_SCHEMA, "user_id BIGINT, n BIGINT, t DOUBLE, l TIMESTAMP",
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def tf_stateful_counters_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the custom stateful counters: the same per-user
+    (count, sum, last_ts) computed with applyInPandas — one Arrow batch
+    per user group, identical output contract."""
+    def summarize(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "total": [round(float(pdf["value"].sum()), 2)],
+                "last_ts": [pdf["ts"].max()],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(summarize, _STATE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Registered batch-oracle queries
+# ---------------------------------------------------------------------------
+
+_E1_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("e1_tumbling", _E1_ORACLE)
+def e1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg — flagship (BASELINE.md row 5)."""
+    return tf_tumbling(load_tables(spark, sf_dir).events)
+
+
+# Every event belongs to exactly 4 sliding windows: starts at
+# time_bucket_15(ts) - k*15min for k in 0..3 (epoch-aligned on both
+# engines).
+_E2_ORACLE = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start,
+       event_type, count(*) AS n
+FROM events CROSS JOIN generate_series(0, 3) t(k)
+GROUP BY 1, 2
+"""
+
+
+@register("e2_sliding", _E2_ORACLE)
+def e2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window agg (1h window, 15min slide)."""
+    return tf_sliding(load_tables(spark, sf_dir).events)
+
+
+# Classic gap sessionization: a session break is a >30min gap; the
+# session id is the running count of breaks. session_end follows
+# Spark's session_window semantics: last event + gap.
+_E3_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+@register("e3_session", _E3_ORACLE)
+def e3_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user."""
+    return tf_session(load_tables(spark, sf_dir).events)
+
+
+@register("e4_watermark_late", None)  # watermark semantics are stream-mode; rows-only in batch
+def e4_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling agg. Batch output equals e1 (complete
+    input => nothing is late); the late-drop behavior is asserted in
+    stream mode by tests/test_streaming.py."""
+    return tf_watermark_tumbling(load_tables(spark, sf_dir).events)
+
+
+_E5_ORACLE = """
+SELECT event_id, user_id, event_type, round(value, 2) AS value
+FROM events
+"""
+
+
+@register("e5_stream_dedup", _E5_ORACLE)
+def e5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup on event_id: identity on the (unique-keyed) fixture —
+    the point is the stateful dropDuplicates path, exercised with
+    injected duplicates in stream mode by tests."""
+    return tf_dedup(load_tables(spark, sf_dir).events).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+_E6_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("e6_stream_static_join", _E6_ORACLE)
+def e6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events joined to the customer dim
+    (broadcast; per-micro-batch hash join in stream mode)."""
+    t = load_tables(spark, sf_dir)
+    return tf_static_join(t.events, t.customer.select("c_custkey", "c_mktsegment"))
+
+
+_E7_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+@register("e7_stateful_custom", _E7_ORACLE)
+def e7_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-user counters — applyInPandas in batch,
+    applyInPandasWithState in stream mode (same output contract)."""
+    return tf_stateful_counters_batch(load_tables(spark, sf_dir).events)
