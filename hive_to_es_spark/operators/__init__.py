@@ -11,5 +11,6 @@ from hive_to_es_spark.operators import (  # noqa: F401
     similarity,
     sort_set,
     text,
+    udfs,
     windows,
 )

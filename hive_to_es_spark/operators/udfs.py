@@ -1,0 +1,130 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.E, g1-g4).
+
+Discipline: Python enters the data path ONLY through Arrow-vectorized
+interfaces — pandas_udf (scalar + grouped-agg), applyInPandas
+(grouped-map), and the Spark 4 Python UDTF. Row-at-a-time
+`F.udf` is banned in this engine: at 100 TB it serializes every row
+through pickle; Arrow batches amortize the Python boundary ~100x.
+Each UDF here has a pure-SQL oracle twin so the vectorized
+implementation is hash-checked, not trusted.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from hive_to_es_spark.io import load_tables
+from hive_to_es_spark.registry import register
+
+_G1_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) AS norm_text,
+       len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' ')) AS n_tokens
+FROM documents
+WHERE doc_id < 300
+"""
+
+
+@register("g1_scalar_pandas_udf", _G1_ORACLE)
+def g1_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar UDF: text normalization (lowercase, strip
+    non-alphanumerics) over Arrow batches of pandas Series."""
+
+    @pandas_udf("string")
+    def normalize(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.replace(r"[^a-z0-9 ]", " ", regex=True).str.strip()
+
+    d = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 300)
+    norm = normalize(F.col("text"))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+    )
+
+
+# z-score per market segment; pandas std(ddof=1) == stddev_samp.
+_G2_ORACLE = """
+SELECT c_custkey,
+       c_mktsegment,
+       round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+             / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS bal_z
+FROM customer
+"""
+
+
+@register("g2_grouped_map", _G2_ORACLE)
+def g2_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (applyInPandas): per-segment z-score. Each group
+    arrives as one pandas DataFrame; groups process in parallel across
+    executors (the partition key is the shuffle key)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "bal_z": ((pdf["c_acctbal"] - mu) / sd).round(6),
+            }
+        )
+
+    c = load_tables(spark, sf_dir).customer
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore, "c_custkey BIGINT, c_mktsegment STRING, bal_z DOUBLE"
+    )
+
+
+_G3_ORACLE = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("g3_grouped_agg_udaf", _G3_ORACLE)
+def g3_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (custom UDAF): quantity-weighted average
+    price — two full-column pandas Series in, one scalar out."""
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 6).alias("wavg_price")
+    )
+
+
+_G4_ORACLE = """
+SELECT event_id, 'k' AS prop_key, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_value
+FROM events WHERE event_id < 1000
+"""
+
+
+@register("g4_udtf", _G4_ORACLE)
+def g4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): explode each event's JSON props object
+    into (key, value) rows — one input row, N output rows."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_id BIGINT, prop_key STRING, prop_value INT")
+    class ExplodeProps:
+        def eval(self, event_id: int, props: str):
+            for k, v in json.loads(props).items():
+                yield event_id, k, int(v)
+
+    ev = load_tables(spark, sf_dir).events.filter(F.col("event_id") < 1000)
+    spark.udtf.register("explode_props", ExplodeProps)
+    ev.select("event_id", "props").createOrReplaceTempView("_g4_events_in")
+    return spark.sql(
+        "SELECT t.event_id, t.prop_key, t.prop_value "
+        "FROM _g4_events_in, LATERAL explode_props(event_id, props) t"
+    )
