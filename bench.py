@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Flagship benchmark — the driver's per-round perf gate.
+
+Runs the 7 BASELINE.md flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+exactly ONE JSON line to stdout:
+
+  {"metric": "flagship_total_sec", "value": <sum of per-query best>,
+   "unit": "sec", "queries": {"a1_hash_agg": <best-of-3 sec>, ...},
+   "sf": 0.1}
+
+Method mirrors BASELINE.md exactly: build the DataFrame once, one
+warm-up collect() (pays analysis + codegen, cached per DataFrame
+object), then best-of-3 timed collect(). Timings exclude session
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hive_to_es_spark.registry import queries
+from hive_to_es_spark.session import get_spark
+
+FLAGSHIPS = [
+    "a1_hash_agg",
+    "q3_shipping_priority",
+    "j11_multiway",
+    "w1_order_rank",
+    "e1_tumbling",
+    "s1_knn_cosine",
+    "d1_dedup_exact",
+]
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = 3
+
+
+def main() -> int:
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    per_query: dict[str, float] = {}
+    for name in FLAGSHIPS:
+        df = qs[name](spark, SF_DIR)  # build once (BASELINE.md method)
+        df.collect()  # warm-up: analysis + codegen, cached on the object
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df.collect()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 4)
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_total_sec",
+                "value": round(sum(per_query.values()), 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
