@@ -45,6 +45,22 @@ def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def word_shingles(text_col, k: int = 3):
+    """k-word shingle array from a text column — JVM higher-order
+    expressions only. try_element_at tolerates texts shorter than k
+    (concat_ws skips the resulting NULLs, so a 1-word doc still yields
+    one non-empty shingle — MinHashLSH rejects empty vectors)."""
+    words = F.split(F.lower(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *(F.try_element_at(words, i + off) for off in range(k))
+            ),
+        )
+    )
+
+
 @register("d2_dedup_minhash", None)  # MinHash signatures are engine-specific -> rows-only
 def d2_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH over word 3-shingles.
@@ -58,18 +74,7 @@ def d2_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load_tables(spark, sf_dir).documents.select("doc_id", "text")
-    words = F.split(F.lower("text"), " ")
-    # 3-word shingles: positions 1..len-2, each joined with single spaces.
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-        ),
-    )
-    shingled = d.select("doc_id", F.array_distinct(shingles).alias("shingles"))
+    shingled = d.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 16, binary=True)
     feats = tf.transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)

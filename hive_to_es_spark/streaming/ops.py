@@ -104,7 +104,7 @@ def tf_stateful_counters_stream(events: DataFrame) -> DataFrame:
         events.withWatermark("ts", "1 hour")
         .groupBy("user_id")
         .applyInPandasWithState(
-            update, _STATE_SCHEMA, "user_id BIGINT, n BIGINT, t DOUBLE, l TIMESTAMP",
+            update, _STATE_SCHEMA, "n BIGINT, t DOUBLE, l TIMESTAMP",
             "update", GroupStateTimeout.NoTimeout,
         )
     )

@@ -1,0 +1,78 @@
+"""End-to-end pipeline-layer tests: job spec -> source -> transform ->
+sink -> read-back verification (SURVEY.md §2.A)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_to_es_spark.io import es_writer_options
+from hive_to_es_spark.pipeline import Job, apply_transforms, build_source, run_job, run_jobs
+
+
+def test_run_job_end_to_end(spark, sf_dir, tmp_path):
+    job = Job(
+        name="orders_sync",
+        source_table="orders",
+        incremental_filter="o_totalprice > 400000",
+        columns={"order_id": "o_orderkey", "amount": "o_totalprice"},
+        id_column="order_id",
+        sink_path=str(tmp_path / "orders_sync"),
+    )
+    written = run_job(spark, sf_dir, job)
+    back = spark.read.parquet(job.sink_path)
+    assert set(back.columns) == {"order_id", "amount", "_id"}
+    assert back.count() == written.count() > 0
+    # _id is the string form of the key column (idempotent upsert contract)
+    bad = back.filter(F.col("_id") != F.col("order_id").cast("string")).count()
+    assert bad == 0
+    # incremental predicate applied
+    assert back.filter(F.col("amount") <= 400000).count() == 0
+
+
+def test_custom_sql_source(spark, sf_dir):
+    job = Job(
+        name="custom",
+        source_sql="SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+    )
+    df = build_source(spark, sf_dir, job)
+    assert df.columns == ["o_orderkey", "o_totalprice"]
+    assert df.count() > 0
+
+
+def test_overwrite_vs_append_modes(spark, sf_dir, tmp_path):
+    base = Job(
+        name="m",
+        source_table="region",
+        sink_path=str(tmp_path / "m"),
+    )
+    run_job(spark, sf_dir, base)
+    n1 = spark.read.parquet(base.sink_path).count()
+    run_job(spark, sf_dir, Job(**{**base.__dict__, "mode": "append"}))
+    assert spark.read.parquet(base.sink_path).count() == 2 * n1
+    run_job(spark, sf_dir, base)  # overwrite resets
+    assert spark.read.parquet(base.sink_path).count() == n1
+
+
+def test_run_jobs_summary(spark, sf_dir, tmp_path):
+    jobs = [
+        Job(name="a", source_table="region", sink_path=str(tmp_path / "a")),
+        Job(name="b", source_table="nation", sink_path=str(tmp_path / "b")),
+    ]
+    summary = {r.job_name: r.n_rows for r in run_jobs(spark, sf_dir, jobs).collect()}
+    assert summary == {"a": 5, "b": 25}
+
+
+def test_es_writer_options_mapping():
+    opts = es_writer_options("idx", id_column="order_id", batch_entries=500)
+    assert opts["es.resource"] == "idx"
+    assert opts["es.mapping.id"] == "order_id"
+    assert opts["es.write.operation"] == "upsert"
+    assert opts["es.batch.size.entries"] == "500"
+    # keyless: no upsert settings
+    assert "es.mapping.id" not in es_writer_options("idx")
+
+
+def test_keyless_es_job_gets_auto_id(spark, sf_dir):
+    job = Job(name="auto", source_table="region", sink_format="es")
+    df = apply_transforms(build_source(spark, sf_dir, job), job)
+    assert "_id" in df.columns

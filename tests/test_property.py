@@ -1,0 +1,62 @@
+"""Property-based cross-engine spot checks (SURVEY.md §5.3): randomized
+predicates over lineitem must agree between Spark and DuckDB — corners
+the hand-written oracle fixtures may not hit."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hive_to_es_spark.io import load_tables
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    qty=st.integers(min_value=0, max_value=55),
+    disc_cents=st.integers(min_value=0, max_value=10),
+    flag=st.sampled_from(["A", "N", "R"]),
+)
+def test_filter_count_parity(spark, duck, sf_dir, qty, disc_cents, flag):
+    disc = disc_cents / 100.0
+    li = load_tables(spark, sf_dir).lineitem
+    n_spark = li.filter(
+        (F.col("l_quantity") >= qty)
+        & (F.col("l_discount") <= disc)
+        & (F.col("l_returnflag") == flag)
+    ).count()
+    n_duck = duck.execute(
+        "SELECT count(*) FROM lineitem WHERE l_quantity >= ? AND l_discount <= ? "
+        "AND l_returnflag = ?",
+        [qty, disc, flag],
+    ).fetchone()[0]
+    assert n_spark == n_duck
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lo=st.integers(min_value=0, max_value=500000))
+def test_grouped_sum_parity(spark, duck, sf_dir, lo):
+    o = load_tables(spark, sf_dir).orders
+    got = {
+        r.o_orderstatus: r.t
+        for r in o.filter(F.col("o_totalprice") >= lo)
+        .groupBy("o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("t"))
+        .collect()
+    }
+    want = dict(
+        duck.execute(
+            "SELECT o_orderstatus, round(sum(o_totalprice), 2) FROM orders "
+            "WHERE o_totalprice >= ? GROUP BY o_orderstatus",
+            [lo],
+        ).fetchall()
+    )
+    assert got == want

@@ -1,0 +1,116 @@
+"""Stream-mode tests: the same tf_* transformations that pass the
+batch oracle are executed via readStream + Trigger.AvailableNow and
+must agree with batch (e1/e3), dedupe injected duplicates (e5), and
+maintain custom state (e7)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_to_es_spark.io import read_table
+from hive_to_es_spark.streaming.ops import (
+    tf_dedup,
+    tf_session,
+    tf_stateful_counters_stream,
+    tf_tumbling,
+    tf_watermark_tumbling,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """A streamable directory: events re-written (ns fix applied) as
+    proper timestamp parquet."""
+    out = str(tmp_path_factory.mktemp("events_stream") / "events")
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_available_now(spark, stream_df, tmp_path, mode="complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("qtest")
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("qtest").collect()
+    q.stop()
+    return out
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir, tmp_path):
+    batch_df = spark.read.parquet(events_dir)
+    expected = _canon(tf_tumbling(batch_df).collect())
+    stream_src = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    got = _canon(_run_available_now(spark, tf_tumbling(stream_src), tmp_path))
+    assert got == expected
+
+
+def test_session_stream_equals_batch(spark, events_dir, tmp_path):
+    batch_df = spark.read.parquet(events_dir)
+    expected = _canon(tf_session(batch_df).collect())
+    stream_src = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    got = _canon(_run_available_now(spark, tf_session(stream_src), tmp_path))
+    assert got == expected
+
+
+def test_watermarked_agg_runs_in_stream_mode(spark, events_dir, tmp_path):
+    """Watermark + append mode: finalized windows are emitted once all
+    data is consumed (AvailableNow drains everything, so every window
+    below the final watermark appears)."""
+    batch_df = spark.read.parquet(events_dir)
+    stream_src = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    got = _run_available_now(
+        spark, tf_watermark_tumbling(stream_src), tmp_path, mode="append"
+    )
+    assert len(got) > 0
+
+
+def test_stream_dedup_drops_injected_duplicates(spark, events_dir, tmp_path):
+    """The same events directory listed twice = every event duplicated;
+    stateful dropDuplicates must restore uniqueness."""
+    dup_dir = str(tmp_path / "dup")
+    shutil.copytree(events_dir, dup_dir)
+    for f in list(__import__("os").listdir(events_dir)):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{events_dir}/{f}", f"{dup_dir}/dup_{f}")
+    batch_df = spark.read.parquet(dup_dir)
+    n_unique = batch_df.select("event_id").distinct().count()
+    assert batch_df.count() == 2 * n_unique  # duplication really happened
+    stream_src = spark.readStream.schema(batch_df.schema).parquet(dup_dir)
+    got = _run_available_now(
+        spark, tf_dedup(stream_src).select("event_id"), tmp_path, mode="append"
+    )
+    ids = [r.event_id for r in got]
+    assert len(ids) == n_unique == len(set(ids))
+
+
+def test_stateful_counters_stream_final_state(spark, events_dir, tmp_path):
+    """applyInPandasWithState: after draining the stream, the last
+    update per user must equal the batch per-user totals."""
+    batch_df = spark.read.parquet(events_dir)
+    expected = {
+        r.user_id: (r.n_events, r.total)
+        for r in batch_df.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    stream_src = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    rows = _run_available_now(
+        spark, tf_stateful_counters_stream(stream_src), tmp_path, mode="update"
+    )
+    # keep the LAST emitted state per user (updates accumulate)
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, round(r.total, 2))
+    assert final == expected

@@ -1,0 +1,163 @@
+"""Edge-case unit tests on tiny in-line DataFrames — semantics corners
+the fixed oracle fixtures do not exercise (duplicates, ties, empties,
+nulls, boundaries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_except_distinct_drops_multiplicity(spark):
+    """EXCEPT must drop a left row entirely if it appears on the right,
+    even when the left multiplicity is > 1 (the u4 semantics bug class:
+    exceptAll().distinct() would keep it)."""
+    left = spark.createDataFrame([(1,), (1,), (2,)], "v INT")
+    right = spark.createDataFrame([(1,)], "v INT")
+    assert [r.v for r in left.subtract(right).collect()] == [2]
+    # and the wrong formulation really is wrong, which is why we don't use it:
+    assert [r.v for r in left.exceptAll(right).distinct().collect()] == [1, 2]
+
+
+def test_asof_join_ties_take_equal_timestamp(spark):
+    """As-of (latest click ts <= purchase ts): a click at EXACTLY the
+    purchase timestamp must be taken — mirrors j9's window form."""
+    from pyspark.sql import Window
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, 10, t0, "click"),
+            (2, 10, t0 + dt.timedelta(minutes=5), "purchase"),
+            (3, 10, t0 + dt.timedelta(minutes=5), "click"),  # tie with purchase
+        ],
+        "event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING",
+    )
+    tagged = ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    # click sorts before purchase at equal ts -> equal-ts click is visible
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_type").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = (
+        tagged.withColumn("last_click", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    )
+    assert got[0].last_click == t0 + dt.timedelta(minutes=5)
+
+
+def test_agg_on_empty_input(spark):
+    empty = spark.createDataFrame([], "k STRING, v DOUBLE")
+    assert empty.groupBy("k").agg(F.sum("v")).count() == 0  # grouped: no rows
+    row = empty.agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()[0]
+    assert row.n == 0 and row.s is None  # global: one row, null sum
+
+
+def test_window_rank_on_empty_and_single(spark):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("v")
+    empty = spark.createDataFrame([], "k STRING, v INT")
+    assert empty.select(F.rank().over(w).alias("r")).count() == 0
+    single = spark.createDataFrame([("a", 1)], "k STRING, v INT")
+    assert single.select(F.rank().over(w).alias("r")).collect()[0].r == 1
+
+
+def test_groupby_null_keys_form_one_group(spark):
+    df = spark.createDataFrame([(None, 1), (None, 2), ("a", 3)], "k STRING, v INT")
+    got = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert got == {None: 3, "a": 3}
+
+
+def test_max_by_deterministic_with_unique_key(spark):
+    """a11's tiebreak contract: with a unique ordering key, max_by is
+    deterministic even when the value column ties."""
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 10.0), ("g", 3, 5.0)], "g STRING, id INT, v DOUBLE"
+    )
+    key = F.col("v") * 100 + F.col("id")
+    got = df.groupBy("g").agg(F.max_by("id", key).alias("best")).collect()[0]
+    assert got.best == 2
+
+
+def test_cosine_known_values(spark):
+    from hive_to_es_spark.operators.similarity import cosine, _dbl
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([1.0, 0.0], [-1.0, 0.0])],
+        "a ARRAY<FLOAT>, b ARRAY<FLOAT>",
+    )
+    got = df.select(F.round(cosine(_dbl("a"), _dbl("b")), 6).alias("c")).collect()
+    assert [r.c for r in got] == [0.0, 1.0, -1.0]
+
+
+def test_session_window_boundary_merges_at_exact_gap(spark):
+    """An event exactly gap minutes after the previous one joins the
+    SAME session (verified Spark behavior; the e3 oracle's `>` gap
+    test encodes the same rule)."""
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(minutes=30)), (1, t0 + dt.timedelta(minutes=90))],
+        "user_id INT, ts TIMESTAMP",
+    )
+    got = sorted(
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().collect(),
+        key=lambda r: r[0].start,
+    )
+    assert [r["count"] for r in got] == [2, 1]
+
+
+def test_dedup_exact_counts_duplicates(spark):
+    from hive_to_es_spark.io import load_tables  # noqa: F401 (pattern parity)
+
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world"), (3, "other")], "doc_id INT, text STRING"
+    )
+    h = F.md5(F.lower("text"))
+    row = df.agg(
+        F.count("*").alias("n"), F.countDistinct(h).alias("d")
+    ).collect()[0]
+    assert (row.n, row.d) == (3, 2)  # case-normalized dup detected
+
+
+def test_minhash_shingles_nonempty_for_short_text(spark):
+    """d2's shingle expression must not produce an empty array for
+    texts shorter than the shingle width (MinHashLSH rejects empty
+    feature vectors)."""
+    from hive_to_es_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame([("ab",), ("a b c d",)], "text STRING")
+    out = df.select(word_shingles(F.col("text")).alias("sh")).collect()
+    assert [r.sh for r in out] == [["ab"], ["a b c", "b c d"]]
+
+
+def test_range_frame_includes_peers(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([("g", 1.0), ("g", 1.0), ("g", 2.0)], "g STRING, v DOUBLE")
+    w = Window.partitionBy("g").orderBy("v").rangeBetween(-1, Window.currentRow)
+    got = df.select("v", F.count("*").over(w).alias("n")).collect()
+    by_v = {}
+    for r in got:
+        by_v.setdefault(r.v, set()).add(r.n)
+    assert by_v[1.0] == {2}  # both peers counted for each 1.0 row
+    assert by_v[2.0] == {3}  # 2.0's frame spans [1.0, 2.0] incl. both peers
+
+
+@pytest.mark.parametrize("mode", ["overwrite", "append"])
+def test_parquet_sink_modes(spark, tmp_path, mode):
+    from hive_to_es_spark.io import write_parquet_sink
+
+    df = spark.createDataFrame([(1,), (2,)], "v INT")
+    path = str(tmp_path / "sink")
+    write_parquet_sink(df, path, mode="overwrite")
+    write_parquet_sink(df, path, mode=mode)
+    n = spark.read.parquet(path).count()
+    assert n == (4 if mode == "append" else 2)
