@@ -4,6 +4,7 @@ every operator in hive_to_es_spark.registry.REGISTRY."""
 from hive_to_es_spark.operators import (  # noqa: F401
     aggregates,
     dedup,
+    dedup_ext,
     filters,
     joins,
     pipeline_ops,
@@ -11,6 +12,7 @@ from hive_to_es_spark.operators import (  # noqa: F401
     similarity,
     sort_set,
     text,
+    text_ext,
     udfs,
     windows,
 )

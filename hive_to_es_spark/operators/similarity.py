@@ -150,3 +150,70 @@ def s3_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg(F.round(F.avg("v"), 6).alias("centroid_val"))
     )
+
+
+# Sign-bit LSH: bucket id = 8 sign bits of the first 8 components (a
+# fixed random-hyperplane sketch with axis-aligned planes — fully
+# deterministic and engine-portable).
+_S4_ORACLE = """
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         CAST(list_aggregate(
+           list_transform(range(1, 9),
+             j -> CASE WHEN embedding[j] > 0 THEN 2 ** (j - 1) ELSE 0 END),
+           'sum') AS INTEGER) AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT bucket AS qbucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM bucketed WHERE vec_id = 0
+)
+SELECT vec_id, bucket,
+       round(list_cosine_similarity(
+         list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cos_sim
+FROM bucketed, q
+WHERE bucket = q.qbucket
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+@register("s4_ann_lsh", _S4_ORACLE)
+def s4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors — the scale path
+    next to s1's exact scan.
+
+    Every vector gets an 8-bit sign-sketch bucket; the query searches
+    ONLY its own bucket (~1/256 of the corpus at uniform spread).
+    Recall is traded via bucket width; the plan is a bucket equi-join
+    + local top-k, so at 100 TB the scan narrows by the bucket
+    selectivity instead of touching every vector. (IVF is the same
+    plan with learned centroids as the bucket key — see s3.)
+    """
+    e = load_tables(spark, sf_dir).embeddings
+    powers = F.array(*[F.lit(1 << j) for j in range(8)])
+    bucket = F.aggregate(
+        F.zip_with(
+            F.slice("embedding", 1, 8),
+            powers,
+            lambda x, p: F.when(x > 0, p).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    bucketed = e.select("vec_id", _dbl("embedding").alias("ev"), bucket.alias("bucket"))
+    q = (
+        bucketed.filter(F.col("vec_id") == 0)
+        .select(F.col("bucket").alias("qbucket"), F.col("ev").alias("qv"))
+    )
+    return (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )

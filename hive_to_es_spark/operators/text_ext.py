@@ -1,0 +1,231 @@
+"""Extended text-analysis operators (training-data pipeline set):
+quality scoring (t4), BPE-ish token counting (t5), k-gram min-hash
+document fingerprinting (t6), and n-gram language-ID (t7).
+
+All pure JVM expressions over `documents`; each is the standard
+LLM-corpus preprocessing stage expressed as one declarative plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_to_es_spark.io import load_tables
+from hive_to_es_spark.operators.dedup import word_shingles
+from hive_to_es_spark.registry import register
+
+# Fixed stopword list (function words; intersects the fixture's SQL-ish
+# vocabulary where it does — the ratio is the feature, not the list).
+_STOPWORDS = ("a", "the", "of", "and", "in", "to", "is", "on", "for", "with")
+
+_T4_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token,
+         round(CAST(len(list_filter(string_split(text, ' '),
+                    w -> list_contains({list(_STOPWORDS)}, w))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS stopword_ratio,
+         round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / n_chars, 6) AS punct_ratio
+  FROM documents
+),
+scored AS (
+  SELECT *,
+         round(0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * (1.0 - punct_ratio)
+             + 0.3 * least(stopword_ratio * 5.0, 1.0), 6) AS quality
+  FROM feats
+)
+SELECT lang,
+       CASE WHEN quality >= 0.7 THEN 'high'
+            WHEN quality >= 0.5 THEN 'mid' ELSE 'low' END AS tier,
+       count(*) AS n_docs,
+       round(avg(quality), 6) AS avg_quality,
+       round(avg(chars_per_token), 6) AS avg_cpt
+FROM scored
+GROUP BY lang, tier
+"""
+
+
+@register("t4_quality_score", _T4_ORACLE)
+def t4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, punctuation and stopword
+    ratios combined into one bounded score, bucketed per language —
+    the standard keep/drop gate of corpus cleaning."""
+    d = load_tables(spark, sf_dir).documents
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stopword_ratio = F.round(
+        F.size(F.filter(tokens, lambda w: F.array_contains(stop_arr, w))).cast("double")
+        / n_tokens,
+        6,
+    )
+    punct_ratio = F.round(
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double") / F.col("n_chars"),
+        6,
+    )
+    quality = F.round(
+        0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * F.least(stopword_ratio * 5.0, F.lit(1.0)),
+        6,
+    )
+    tier = (
+        F.when(quality >= 0.7, "high").when(quality >= 0.5, "mid").otherwise("low")
+    )
+    feats = d.select(
+        "lang",
+        quality.alias("quality"),
+        tier.alias("tier"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 6).alias("chars_per_token"),
+    )
+    return feats.groupBy("lang", "tier").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.avg("chars_per_token"), 6).alias("avg_cpt"),
+    )
+
+
+# BPE-ish regex: word pieces (<=4 chars), digit runs, punctuation runs —
+# an upper-bound token estimate without a tokenizer model.
+_BPE_PATTERN = "[a-z]{1,4}|[0-9]+|[^a-z0-9 ]+"
+
+_T5_ORACLE = f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+       round(avg(CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+                 / len(string_split(text, ' '))), 6) AS bpe_per_word
+FROM documents
+GROUP BY source
+"""
+
+
+@register("t5_token_count_bpe", _T5_ORACLE)
+def t5_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    piece count (4-char word pieces + digit/punct runs) — the budget
+    estimator for training-data token accounting."""
+    d = load_tables(spark, sf_dir).documents
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0)))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws).cast("bigint").alias("ws_tokens"),
+        F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+        F.round(F.avg(bpe.cast("double") / ws), 6).alias("bpe_per_word"),
+    )
+
+
+_T6_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+      i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                          string_split(lower(text), ' ')[i+1],
+                          string_split(lower(text), ' ')[i+2])
+    ))) AS shingle
+  FROM documents
+)
+SELECT doc_id,
+       min(md5(shingle)) AS fingerprint,
+       count(*) AS n_kgrams
+FROM sh GROUP BY doc_id
+"""
+
+
+@register("t6_fingerprint", _T6_ORACLE)
+def t6_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash over rolling k-gram hashes
+    (winnowing-style). Two documents sharing their minimum k-gram hash
+    are near-dup candidates; the fingerprint is one 128-bit value per
+    document regardless of length — O(1) state to cluster on."""
+    d = load_tables(spark, sf_dir).documents
+    sh = d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.count("*").alias("n_kgrams"),
+    )
+
+
+# Character-bigram profile language-ID. NOTE (measured, FIXTURES-level
+# fact): every fixture language shares one 31-word vocabulary, so
+# content-based langid is chance-level HERE by construction — the
+# operator's value is the profile-join plan, which is the real
+# n-gram-langid shape (train profiles per lang, score docs against all
+# profiles, argmax). Deterministic via (count, bigram, lang) tiebreaks.
+_T7_ORACLE = """
+WITH bigrams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, length(text)),
+                               i -> substring(text, i, 2))) AS bg
+  FROM documents
+),
+profile AS (
+  SELECT lang, bg, count(*) AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bg ASC) AS rn
+  FROM bigrams GROUP BY lang, bg
+),
+top_profile AS (SELECT lang AS profile_lang, bg FROM profile WHERE rn <= 20),
+scores AS (
+  SELECT b.doc_id, b.lang, p.profile_lang, count(*) AS overlap
+  FROM (SELECT DISTINCT doc_id, lang, bg FROM bigrams) b
+  JOIN top_profile p USING (bg)
+  GROUP BY b.doc_id, b.lang, p.profile_lang
+),
+best AS (
+  SELECT doc_id, lang, profile_lang AS predicted,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY overlap DESC, profile_lang ASC) AS rn
+  FROM scores
+)
+SELECT lang, predicted, count(*) AS n_docs
+FROM best WHERE rn = 1
+GROUP BY lang, predicted
+"""
+
+
+@register("t7_langid_ngram", _T7_ORACLE)
+def t7_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram language-ID: per-language character-bigram profiles,
+    docs scored by profile overlap, argmax prediction -> confusion
+    counts. (Chance-level on this fixture — shared vocabulary across
+    langs by design; see oracle comment.)"""
+    d = load_tables(spark, sf_dir).documents
+    bigrams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bg").asc())
+    profile = (
+        bigrams.groupBy("lang", "bg")
+        .agg(F.count("*").alias("n"))
+        .select("lang", "bg", F.row_number().over(w_prof).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("profile_lang"), "bg")
+    )
+    doc_bigrams = bigrams.select("doc_id", "lang", "bg").distinct()
+    scores = (
+        doc_bigrams.join(F.broadcast(profile), "bg")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), F.col("profile_lang").asc()
+    )
+    best = scores.select(
+        "doc_id", "lang", F.col("profile_lang").alias("predicted"),
+        F.row_number().over(w_best).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return best.groupBy("lang", "predicted").agg(F.count("*").alias("n_docs"))

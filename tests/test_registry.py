@@ -39,12 +39,22 @@ EXPECTED_KEYS = {
     "d1_dedup_exact", "d2_dedup_minhash", "s1_knn_cosine", "s2_pairwise_topk",
     "s3_centroids", "t1_text_stats", "t2_tfidf_terms", "t3_langid_filter",
     "m1_multimodal_cols",
+    # LLM pipeline extensions (training-data set beyond SURVEY §2)
+    "d3_dedup_simhash", "d4_dedup_ngram_jaccard", "d5_dedup_embedding",
+    "s4_ann_lsh", "t4_quality_score", "t5_token_count_bpe", "t6_fingerprint",
+    "t7_langid_ngram",
     # UDF surface
     "g1_scalar_pandas_udf", "g2_grouped_map", "g3_grouped_agg_udaf", "g4_udtf",
 }
 
 # Keys intentionally without a SQL oracle (nondeterministic cross-engine).
-ROWS_ONLY = {"o3_sample", "a8_approx_distinct", "d2_dedup_minhash", "e4_watermark_late"}
+ROWS_ONLY = {
+    "o3_sample",
+    "a8_approx_distinct",
+    "d2_dedup_minhash",
+    "d3_dedup_simhash",
+    "e4_watermark_late",
+}
 
 
 def test_all_expected_keys_registered():
