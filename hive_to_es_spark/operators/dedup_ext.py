@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from hive_to_es_spark.io import load_tables
 from hive_to_es_spark.operators.dedup import word_shingles
-from hive_to_es_spark.operators.similarity import _dbl, cosine
+from hive_to_es_spark.operators.similarity import _dbl, _dot, _norm
 from hive_to_es_spark.registry import register
 
 
@@ -150,13 +150,24 @@ def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan is unchanged.
     """
     e = load_tables(spark, sf_dir).embeddings
-    a = e.select(F.col("vec_id").alias("id_a"), "label", _dbl("embedding").alias("ea"))
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), _dbl("embedding").alias("eb")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        "label",
+        _dbl("embedding").alias("ea"),
+        _norm(_dbl("embedding")).alias("na"),
     )
-    cos = cosine(F.col("ea"), F.col("eb"))
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        _dbl("embedding").alias("eb"),
+        _norm(_dbl("embedding")).alias("nb"),
+    )
+    # cosine computed ONCE per pair (projected before the filter, so
+    # the predicate references the scalar, not the array fold)
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (a.label == b.label_b) & (a.id_a < b.id_b))
-        .filter(cos >= 0.3)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .select("id_a", "id_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= 0.3)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
