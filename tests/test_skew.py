@@ -1,0 +1,58 @@
+"""Salted-join correctness: result must be row-identical to the plain
+join, with the hot key spread across salt partitions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_to_es_spark.functions.skew import SALT_COL, explode_dim, salt_fact, salted_join
+
+
+def _fixtures(spark):
+    # one hot key (0) with 5000 rows, long tail of 50 keys with 10 each
+    hot = spark.range(5000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    tail = (
+        spark.range(500)
+        .select((F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v"))
+    )
+    fact = hot.unionByName(tail)
+    dim = spark.range(51).select(F.col("id").alias("k"), (F.col("id") * 100).alias("attr"))
+    return fact, dim
+
+
+def test_salted_join_row_identical(spark):
+    fact, dim = _fixtures(spark)
+    plain = fact.join(dim, ["k"]).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("attr").alias("sa")
+    )
+    salted = salted_join(fact, dim, ["k"], n_salts=8).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("attr").alias("sa")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_hot_key_spreads_over_salts(spark):
+    fact, _ = _fixtures(spark)
+    n_buckets = (
+        salt_fact(fact, 8)
+        .filter(F.col("k") == 0)
+        .select(SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 8  # 5000 hot rows hit every salt bucket
+
+
+def test_dim_explosion_cardinality(spark):
+    _, dim = _fixtures(spark)
+    assert explode_dim(dim, 8).count() == dim.count() * 8
+
+
+def test_left_join_preserves_unmatched(spark):
+    fact, dim = _fixtures(spark)
+    fact_plus = fact.unionByName(
+        fact.sparkSession.range(1).select(F.lit(999).alias("k"), F.lit(0).cast("long").alias("v"))
+    )
+    out = salted_join(fact_plus, dim, ["k"], n_salts=4, how="left")
+    unmatched = out.filter(F.col("k") == 999).collect()
+    assert len(unmatched) == 1 and unmatched[0].attr is None
