@@ -234,3 +234,112 @@ def s4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+# IVF companion to s4's LSH: the coarse quantizer is the per-label
+# centroid codebook (10 centroids, computed in-query — production would
+# train k-means once and broadcast the codebook table). Assignment =
+# nearest centroid by Euclidean distance with a label tiebreak
+# (row_number, not arg_min: DuckDB's arg_min cannot order by tuples).
+_S5_ORACLE = """
+WITH comp AS (
+  SELECT label, j, avg(CAST(embedding[j] AS DOUBLE)) AS cv
+  FROM embeddings CROSS JOIN generate_series(1, 64) t(j)
+  GROUP BY label, j
+),
+codebook AS (
+  SELECT label AS c_label, list(cv ORDER BY j) AS cvec FROM comp GROUP BY label
+),
+dists AS (
+  SELECT e.vec_id, c.c_label,
+         list_distance(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cvec) AS d,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(
+                              list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                              c.cvec) ASC, c.c_label ASC) AS rn
+  FROM embeddings e CROSS JOIN codebook c
+),
+assigned AS (SELECT vec_id, c_label AS bucket FROM dists WHERE rn = 1),
+q AS (
+  SELECT a.bucket AS qbucket,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+  WHERE e.vec_id = 0
+)
+SELECT e.vec_id, a.bucket,
+       round(list_cosine_similarity(
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cos_sim
+FROM embeddings e
+JOIN assigned a ON e.vec_id = a.vec_id, q
+WHERE a.bucket = q.qbucket
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 5
+"""
+
+
+@register("s5_ann_ivf", _S5_ORACLE)
+def s5_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors: nearest-centroid
+    inverted lists, probe = the query's own cell.
+
+    The codebook (10 centroids) is computed via the s3 posexplode
+    shape, reassembled, and BROADCAST; assignment is a broadcast
+    nested-probe over 10 rows per vector — O(n x k) with k bounded,
+    never a shuffle of vectors. At 100 TB: train the codebook offline
+    (k-means on a sample), store as a tiny table, and this exact plan
+    (broadcast codebook -> assign -> cell-local top-k) is the serving
+    path; nprobe > 1 = relax the bucket filter to rn <= nprobe.
+    """
+    e = load_tables(spark, sf_dir).embeddings
+    ev = _dbl("embedding")
+    # codebook: label -> centroid vector (collect components sorted by pos)
+    comp = (
+        e.select("label", F.posexplode(ev).alias("pos0", "v"))
+        .groupBy("label", "pos0")
+        .agg(F.avg("v").alias("cv"))
+    )
+    codebook = (
+        comp.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda x: x.cv
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("evec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("c_label").asc())
+    assigned = (
+        e.select("vec_id", ev.alias("evec"))
+        .crossJoin(F.broadcast(codebook))
+        .select("vec_id", "evec", "c_label", dist.alias("d"))
+        .select("vec_id", "evec", "c_label", F.row_number().over(w_assign).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "evec", F.col("c_label").alias("bucket"))
+    )
+    q = (
+        assigned.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("bucket").alias("qbucket"),
+            F.col("evec").alias("qv"),
+            _norm(F.col("evec")).alias("nq"),
+        )
+    )
+    return (
+        assigned.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(
+                _dot(F.col("evec"), F.col("qv")) / (_norm(F.col("evec")) * F.col("nq")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )

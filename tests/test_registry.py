@@ -41,8 +41,8 @@ EXPECTED_KEYS = {
     "m1_multimodal_cols",
     # LLM pipeline extensions (training-data set beyond SURVEY §2)
     "d3_dedup_simhash", "d4_dedup_ngram_jaccard", "d5_dedup_embedding",
-    "s4_ann_lsh", "t4_quality_score", "t5_token_count_bpe", "t6_fingerprint",
-    "t7_langid_ngram",
+    "s4_ann_lsh", "s5_ann_ivf", "t4_quality_score", "t5_token_count_bpe",
+    "t6_fingerprint", "t7_langid_ngram",
     # UDF surface
     "g1_scalar_pandas_udf", "g2_grouped_map", "g3_grouped_agg_udaf", "g4_udtf",
 }
