@@ -114,3 +114,25 @@ def test_stateful_counters_stream_final_state(spark, events_dir, tmp_path):
     for r in rows:
         final[r.user_id] = (r.n_events, round(r.total, 2))
     assert final == expected
+
+
+def test_sliding_stream_equals_batch(spark, events_dir, tmp_path):
+    from hive_to_es_spark.streaming.ops import tf_sliding
+
+    batch_df = spark.read.parquet(events_dir)
+    expected = _canon(tf_sliding(batch_df).collect())
+    stream_src = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    got = _canon(_run_available_now(spark, tf_sliding(stream_src), tmp_path))
+    assert got == expected
+
+
+def test_stream_static_join_runs_in_stream_mode(spark, events_dir, sf_dir, tmp_path):
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.streaming.ops import tf_static_join
+
+    batch_df = spark.read.parquet(events_dir)
+    dim = load_tables(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    expected = _canon(tf_static_join(batch_df, dim).collect())
+    stream_src = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    got = _canon(_run_available_now(spark, tf_static_join(stream_src, dim), tmp_path))
+    assert got == expected
