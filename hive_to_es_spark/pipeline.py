@@ -36,14 +36,16 @@ class Job:
     """One sync job, mirroring the reference's per-job config block."""
 
     name: str
-    source_table: str | None = None  # named table ...
+    source_table: str | None = None  # named fixture table ...
     source_sql: str | None = None  # ... or a custom SELECT (HiveQL-passthrough heir)
+    catalog_table: str | None = None  # ... or a catalog table (spark.table — the Hive path)
     incremental_filter: str | None = None  # SQL predicate appended for incremental mode
     columns: dict[str, str] | None = None  # out_name -> source expression (project/rename)
     id_column: str | None = None  # document identity -> es.mapping.id / upsert
     mode: str = "overwrite"  # full = overwrite, incremental = append
     sink_format: str = "parquet"  # "parquet" here; "es" in production
     sink_path: str | None = None  # parquet sink target
+    partition_by: tuple[str, ...] = ()  # sink partition columns (date-partitioned syncs)
     es_index: str | None = None  # ES sink target
     batch_entries: int = 1000  # bulk chunk size (sink option)
     options: dict[str, str] = field(default_factory=dict)
@@ -56,10 +58,14 @@ def build_source(spark: SparkSession, sf_dir: str, job: Job) -> DataFrame:
         t = load_tables(spark, sf_dir)
         t.register_views()
         df = spark.sql(job.source_sql)
+    elif job.catalog_table is not None:
+        # Production source path: a metastore table (partition pruning
+        # comes from the catalog's partition spec + the filter below).
+        df = spark.table(job.catalog_table)
     elif job.source_table is not None:
         df = getattr(load_tables(spark, sf_dir), job.source_table)
     else:
-        raise ValueError(f"job {job.name!r}: needs source_table or source_sql")
+        raise ValueError(f"job {job.name!r}: needs source_table/source_sql/catalog_table")
     if job.incremental_filter:
         df = df.filter(F.expr(job.incremental_filter))
     return df
@@ -87,7 +93,12 @@ def write_sink(df: DataFrame, job: Job) -> None:
     production writer (connector options only — no ES to hit here)."""
     if job.sink_format == "parquet":
         path = job.sink_path or os.path.join(TMP_ROOT, job.name)
-        df.write.mode(job.mode).parquet(path)
+        writer = df.write.mode(job.mode)
+        if job.partition_by:
+            # Hive-style layout: one directory per partition value —
+            # downstream incremental reads prune on these columns.
+            writer = writer.partitionBy(*job.partition_by)
+        writer.parquet(path)
     elif job.sink_format == "es":
         opts = es_writer_options(
             job.es_index or job.name,

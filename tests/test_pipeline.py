@@ -76,3 +76,45 @@ def test_keyless_es_job_gets_auto_id(spark, sf_dir):
     job = Job(name="auto", source_table="region", sink_format="es")
     df = apply_transforms(build_source(spark, sf_dir, job), job)
     assert "_id" in df.columns
+
+
+def test_catalog_table_source(spark, sf_dir, tmp_path):
+    """Production source path: a saved catalog table read via
+    spark.table (the Hive-metastore heir)."""
+    from hive_to_es_spark.io import load_tables
+
+    load_tables(spark, sf_dir).nation.write.mode("overwrite").saveAsTable("t_nation_cat")
+    try:
+        job = Job(
+            name="cat",
+            catalog_table="t_nation_cat",
+            incremental_filter="n_regionkey = 0",
+            sink_path=str(tmp_path / "cat"),
+        )
+        written = run_job(spark, sf_dir, job)
+        assert written.count() == spark.read.parquet(job.sink_path).count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_nation_cat")
+
+
+def test_partitioned_sink_layout(spark, sf_dir, tmp_path):
+    """Date-partitioned sink: Hive-style year=YYYY directories, and
+    the partition column prunes on read-back."""
+    import os
+
+    job = Job(
+        name="part",
+        source_table="orders",
+        columns={
+            "order_id": "o_orderkey",
+            "amount": "o_totalprice",
+            "year": "year(o_orderdate)",
+        },
+        partition_by=("year",),
+        sink_path=str(tmp_path / "part"),
+    )
+    run_job(spark, sf_dir, job)
+    subdirs = {d for d in os.listdir(job.sink_path) if d.startswith("year=")}
+    assert len(subdirs) >= 2  # orders span multiple years
+    back = spark.read.parquet(job.sink_path).filter(F.col("year") == 2000)
+    assert back.count() > 0
