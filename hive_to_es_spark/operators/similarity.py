@@ -343,3 +343,70 @@ def s5_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+@register("s6_kmeans_refine", None)  # iterative; no single-statement ANSI oracle
+def s6_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means refinement (3 Lloyd iterations, k=10, seeded
+    from the per-label centroids — fully deterministic, no RNG).
+
+    The iterative pattern Spark is built for: each iteration is one
+    broadcast(codebook) -> assign -> recompute-centroids round, i.e.
+    O(n*k) map work + one (cluster, pos) shuffle; the only driver-side
+    state is the k x 64 codebook (collected each round — tiny and
+    intentional; that is the canonical Spark k-means loop). Returns
+    per-cluster sizes and within-cluster inertia so convergence is
+    assertable: inertia must be monotonically non-increasing.
+    """
+    e = load_tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", _dbl("embedding").alias("evec"))
+
+    # deterministic init: the per-label mean vectors (s3's codebook)
+    comp = (
+        e.select("label", F.posexplode(_dbl("embedding")).alias("pos0", "v"))
+        .groupBy("label", "pos0")
+        .agg(F.avg("v").alias("cv"))
+    )
+    codebook_df = comp.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda x: x.cv).alias(
+            "cvec"
+        )
+    )
+    codebook = [(int(r.label), list(r.cvec)) for r in codebook_df.collect()]
+
+    dist2 = F.aggregate(
+        F.zip_with(F.col("evec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = None
+    for _ in range(3):
+        cb = spark.createDataFrame(
+            codebook, "cluster INT, cvec ARRAY<DOUBLE>"
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cluster").asc())
+        assigned = (
+            vecs.crossJoin(F.broadcast(cb))
+            .select("vec_id", "evec", "cluster", dist2.alias("d2"))
+            .select("vec_id", "evec", "cluster", "d2", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        new_cb = (
+            assigned.select("cluster", F.posexplode("evec").alias("pos0", "v"))
+            .groupBy("cluster", "pos0")
+            .agg(F.avg("v").alias("cv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda x: x.cv
+                ).alias("cvec")
+            )
+        )
+        codebook = [(int(r.cluster), list(r.cvec)) for r in new_cb.collect()]
+
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n_members"), F.round(F.sum("d2"), 6).alias("inertia"))
+        .orderBy("cluster")
+    )

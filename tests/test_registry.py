@@ -41,7 +41,7 @@ EXPECTED_KEYS = {
     "m1_multimodal_cols",
     # LLM pipeline extensions (training-data set beyond SURVEY §2)
     "d3_dedup_simhash", "d4_dedup_ngram_jaccard", "d5_dedup_embedding",
-    "s4_ann_lsh", "s5_ann_ivf", "t4_quality_score", "t5_token_count_bpe",
+    "s4_ann_lsh", "s5_ann_ivf", "s6_kmeans_refine", "t4_quality_score", "t5_token_count_bpe",
     "t6_fingerprint", "t7_langid_ngram",
     # UDF surface
     "g1_scalar_pandas_udf", "g2_grouped_map", "g3_grouped_agg_udaf", "g4_udtf",
@@ -53,6 +53,7 @@ ROWS_ONLY = {
     "a8_approx_distinct",
     "d2_dedup_minhash",
     "d3_dedup_simhash",
+    "s6_kmeans_refine",
     "e4_watermark_late",
 }
 

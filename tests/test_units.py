@@ -211,3 +211,40 @@ def test_simhash_identical_docs_share_signature(spark):
     got = {r.doc_id: r.s for r in hashed.select("doc_id", sig.alias("s")).collect()}
     assert got[1] == got[2]  # identical text -> identical signature
     assert got[1] != got[3]  # different text -> different signature
+
+
+def test_kmeans_refinement_reduces_inertia(spark, sf_dir):
+    """s6's 3 Lloyd iterations must end with total inertia <= the
+    inertia of the initial (per-label centroid) assignment, and keep
+    every vector assigned."""
+    from pyspark.sql import Window
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.similarity import _dbl
+    from hive_to_es_spark.registry import queries
+
+    e = load_tables(spark, sf_dir).embeddings
+    n_vecs = e.count()
+    comp = (
+        e.select("label", F.posexplode(_dbl("embedding")).alias("pos0", "v"))
+        .groupBy("label", "pos0").agg(F.avg("v").alias("cv"))
+    )
+    cb = comp.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda x: x.cv).alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("evec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("label").asc())
+    init_inertia = (
+        e.select("vec_id", _dbl("embedding").alias("evec"))
+        .crossJoin(F.broadcast(cb))
+        .select("vec_id", d2.alias("d2"), "label")
+        .select("vec_id", "d2", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .agg(F.sum("d2")).collect()[0][0]
+    )
+    out = queries()["s6_kmeans_refine"](spark, sf_dir).collect()
+    assert sum(r.n_members for r in out) == n_vecs
+    final_inertia = sum(r.inertia for r in out)
+    assert final_inertia <= init_inertia + 1e-6
