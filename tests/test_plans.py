@@ -1,0 +1,71 @@
+"""Physical-plan regression tests — the 100 TB discipline encoded as
+assertions: filters reach the parquet scan, top-k plans
+TakeOrderedAndProject, bounded dims broadcast, and no operator ever
+plans an unbounded cartesian product."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from hive_to_es_spark.registry import queries
+
+# Ops allowed to contain a nested-loop/cartesian shape: j7 is the
+# intentional bounded cross join; s1's 1-row broadcast query vector and
+# the broadcast band/codebook joins plan BroadcastNestedLoopJoin, which
+# is fine (the broadcast side is O(1)).
+CARTESIAN_OK = {"j7_cross"}
+
+# Streaming tf wrappers + ml/udf ops whose plans are checked elsewhere.
+SKIP = {"d2_dedup_minhash", "s6_kmeans_refine"}
+
+
+def _plan(spark, sf_dir, key):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        queries()[key](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_push_into_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "f1_pred_basic")
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in plan
+    assert "GreaterThan(l_discount,0.05)" in plan
+
+
+def test_incremental_filter_pushes_into_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "p2_incremental_filter")
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j11_multiway")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the ASIA filter must sit in the region scan, not post-join
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    for key in ["o1_order_limit", "q3_shipping_priority", "s1_knn_cosine", "s4_ann_lsh"]:
+        assert "TakeOrderedAndProject" in _plan(spark, sf_dir, key), key
+
+
+def test_no_unbounded_cartesian_anywhere(spark, sf_dir):
+    """Sweep EVERY registered operator's physical plan: a
+    CartesianProduct outside the explicit allowlist is a 100 TB
+    scale-killer and fails this test."""
+    offenders = []
+    for key in queries():
+        if key in CARTESIAN_OK | SKIP:
+            continue
+        try:
+            plan = _plan(spark, sf_dir, key)
+        except Exception as ex:  # plan construction must never fail either
+            offenders.append((key, f"explain raised: {ex}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((key, "CartesianProduct"))
+    assert not offenders, offenders
