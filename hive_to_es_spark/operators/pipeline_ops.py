@@ -257,3 +257,26 @@ def b1_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_nationkey").cast("bigint").alias("key_sum"),
         F.countDistinct("n_name").alias("n_names"),
     )
+
+
+_B2_ORACLE = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_totalprice > 200000
+GROUP BY o_orderstatus
+"""
+
+
+@register("b2_orc_roundtrip", _B2_ORACLE)
+def b2_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink parity — Hive's native columnar format (the
+    reference's upstream tables would live in it). Write the filtered
+    orders to ORC, read back, aggregate; any type mangling in the
+    roundtrip breaks the checksum. ORC scans get the same predicate
+    pushdown / column pruning treatment as parquet."""
+    o = load_tables(spark, sf_dir).orders.filter(F.col("o_totalprice") > 200000)
+    path = os.path.join(TMP_ROOT, "b2_orders_orc")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )

@@ -139,3 +139,36 @@ def u5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick arbitrary survivors)."""
     o = load_tables(spark, sf_dir).orders
     return o.select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+# Bag semantics: duplicates are manufactured by doubling one branch
+# (branch keys are unique otherwise), then INTERSECT ALL / EXCEPT ALL
+# multiplicities are observable in the grouped counts.
+_U6_ORACLE = f"""
+WITH big2 AS ({_BIG} UNION ALL {_BIG}),
+ia AS (SELECT * FROM big2 INTERSECT ALL {_URG}),
+ea AS (SELECT * FROM big2 EXCEPT ALL {_URG})
+SELECT 'intersect_all' AS op, count(*) AS n, count(DISTINCT o_orderkey) AS n_distinct FROM ia
+UNION ALL
+SELECT 'except_all' AS op, count(*) AS n, count(DISTINCT o_orderkey) AS n_distinct FROM ea
+"""
+
+
+@register("u6_intersect_except_all", _U6_ORACLE)
+def u6_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (bag semantics): with the left side
+    doubled, intersectAll keeps min(2,1)=1 copy per matching key and
+    exceptAll keeps 2-1=1 copy — both distinguishable from the
+    distinct forms only because duplicates exist."""
+    o = load_tables(spark, sf_dir).orders
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    big2 = big.unionAll(big)
+    ia = big2.intersectAll(urgent)
+    ea = big2.exceptAll(urgent)
+    summarize = lambda df, tag: df.agg(  # noqa: E731
+        F.lit(tag).alias("op"),
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderkey").alias("n_distinct"),
+    ).select("op", "n", "n_distinct")
+    return summarize(ia, "intersect_all").unionByName(summarize(ea, "except_all"))

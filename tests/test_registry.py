@@ -11,7 +11,7 @@ EXPECTED_KEYS = {
     # pipeline
     "p1_full_scan", "p2_incremental_filter", "p3_project_rename", "p4_doc_id",
     "p5_type_to_json", "p6_batching", "p7_sink_es", "p8_job_config",
-    "b1_csv_json_roundtrip",
+    "b1_csv_json_roundtrip", "b2_orc_roundtrip",
     # filters
     "f1_pred_basic", "f2_pred_null", "f3_pred_like", "f4_pred_between_in",
     "f5_case_when",
@@ -29,6 +29,7 @@ EXPECTED_KEYS = {
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample",
     "u1_union_all", "u2_union_distinct", "u3_intersect", "u4_except", "u5_distinct",
+    "u6_intersect_except_all",
     # scalar families
     "x1_string", "x2_date", "x3_math", "x4_array", "x5_map", "x6_json",
     "x7_cast_coalesce", "x8_hash",
