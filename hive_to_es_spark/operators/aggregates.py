@@ -239,3 +239,31 @@ def a11_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by(F.col("o_orderkey"), key).alias("worst_order"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+# Oracle mirrors the pivot as conditional aggregation — same output
+# columns (one per pinned status value), engine-portable.
+_A12_ORACLE = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("a12_pivot", _A12_ORACLE)
+def a12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per status.
+
+    The status values are PINNED (pivot(col, values)) — without the
+    explicit list Spark must scan once to discover values, an extra
+    pass worth avoiding at scale (and column sets must be static for
+    the sink schema anyway)."""
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
