@@ -30,31 +30,25 @@ def d3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested higher-order folds — no Python, no driver.
     """
     d = load_tables(spark, sf_dir).documents
-    words = F.array_distinct(F.split(F.lower("text"), " "))
-    # each word -> its 64-bit hash as a zero-padded binary string
-    # (bin() of a negative bigint is already 64 chars of two's complement)
-    hashed = d.select(
-        "doc_id",
-        F.transform(words, lambda w: F.lpad(F.bin(F.xxhash64(w)), 64, "0")).alias("hbits"),
+    # explode to (doc_id, word_hash) rows, then 64 literal-shift vote
+    # aggregates — every expression is a codegen'd JVM bit op (the
+    # higher-order-function form was ~10x slower: HOF lambdas are
+    # interpreted per element, literal shifts are whole-stage codegen).
+    words = F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("w")
+    hashed = d.select("doc_id", words).select("doc_id", F.xxhash64("w").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
     )
-    # bit position p (1-based, MSB first) of the signature = 1 iff the
-    # sum of (+1 if word bit set else -1) over all words is positive
-    sig_bits = F.concat_ws(
-        "",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda p: F.when(
-                F.aggregate(
-                    F.col("hbits"),
-                    F.lit(0),
-                    lambda acc, h: acc + F.when(h.substr(p, F.lit(1)) == "1", 1).otherwise(-1),
-                )
-                > 0,
-                "1",
-            ).otherwise("0"),
-        ),
+    # signature bit string, MSB (bit 63) first
+    sig_bits = F.concat(
+        *[F.when(F.col(f"v{b}") > 0, "1").otherwise("0") for b in range(63, -1, -1)]
     )
-    with_sig = hashed.select("doc_id", sig_bits.alias("sig_bits"))
+    with_sig = votes.select("doc_id", sig_bits.alias("sig_bits"))
     return with_sig.select(
         "doc_id",
         F.conv("sig_bits", 2, 16).alias("simhash_hex"),
