@@ -445,3 +445,37 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(50)
     )
+
+
+# TPC-H Q17 shape: correlated scalar subquery (per-part average
+# quantity) — the decorrelation benchmark.
+_Q17_ORACLE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@register("q17_small_quantity", _Q17_ORACLE)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): the correlated
+    scalar subquery (per-part avg quantity) is declared as its
+    decorrelated form — aggregate once per part key, join back, filter.
+    Catalyst produces the same plan from the correlated SQL; writing
+    the decorrelation out keeps it explicit and hintable."""
+    t = load_tables(spark, sf_dir)
+    brand_parts = t.part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    li = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    return (
+        li.join(brand_parts, li.l_partkey == brand_parts.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )

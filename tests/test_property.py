@@ -60,3 +60,39 @@ def test_grouped_sum_parity(spark, duck, sf_dir, lo):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(k=st.integers(min_value=1, max_value=5), seg=st.sampled_from(
+    ["MACHINERY", "HOUSEHOLD", "BUILDING", "FURNITURE", "AUTOMOBILE"]))
+def test_window_topk_parity(spark, duck, sf_dir, k, seg):
+    """Randomized top-k-per-customer window vs DuckDB."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)
+    cust = o.customer.filter(F.col("c_mktsegment") == seg).select("c_custkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    got = (
+        o.orders.join(cust, o.orders.o_custkey == cust.c_custkey, "left_semi")
+        .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .count()
+    )
+    want = duck.execute(
+        """
+        SELECT count(*) FROM (
+          SELECT row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = ?)
+        ) WHERE rn <= ?
+        """,
+        [seg, k],
+    ).fetchone()[0]
+    assert got == want
