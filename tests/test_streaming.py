@@ -194,3 +194,35 @@ def test_checkpoint_resume_no_duplicates(spark, events_dir, tmp_path):
     run_once()
     out = spark.read.parquet(sink)
     assert out.count() == 2 * n_first  # file a NOT re-delivered
+
+
+def test_max_files_per_trigger_bounds_batches(spark, events_dir, tmp_path):
+    """Incremental batch-size control: maxFilesPerTrigger=1 over a
+    multi-file source must produce multiple micro-batches (bounded
+    memory per batch — the streaming form of p6's paging)."""
+    import os
+    import shutil
+
+    from hive_to_es_spark.streaming.sink import start_foreach_batch
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    files = [f for f in os.listdir(events_dir) if f.endswith(".parquet")]
+    for i in range(3):  # three identical files -> at least 3 batches
+        shutil.copy(os.path.join(events_dir, files[0]), os.path.join(src, f"f{i}.parquet"))
+    schema = spark.read.parquet(events_dir).schema
+    batch_ids = []
+
+    def record(batch_df, batch_id):
+        batch_ids.append((batch_id, batch_df.count()))
+
+    q = start_foreach_batch(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        record,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert len(batch_ids) >= 3
+    n_one_file = spark.read.parquet(os.path.join(src, "f0.parquet")).count()
+    assert all(n == n_one_file for _, n in batch_ids)
