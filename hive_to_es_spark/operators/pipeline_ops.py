@@ -280,3 +280,49 @@ def b2_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
     )
+
+
+# The merge result equals: latest version per key across old+new,
+# which SQL expresses as a full-outer coalesce. Fixture: "old" = all
+# orders; "new" = big orders re-priced +10%.
+_P9_ORACLE = """
+WITH old AS (SELECT o_orderkey AS k, o_totalprice AS amount FROM orders),
+new AS (SELECT o_orderkey AS k, round(o_totalprice * 1.1, 2) AS amount
+        FROM orders WHERE o_totalprice > 400000)
+SELECT count(*) AS n,
+       round(sum(coalesce(new.amount, old.amount)), 2) AS total,
+       CAST(sum(CASE WHEN new.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+FROM old LEFT JOIN new USING (k)
+"""
+
+
+@register("p9_incremental_upsert", _P9_ORACLE)
+def p9_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert-merge — the reference's incremental mode
+    against a file sink: write the full dataset, merge a re-priced
+    increment by key (updates win), checksum the merged state."""
+    from hive_to_es_spark.functions.merge import merge_into_parquet
+
+    o = load_tables(spark, sf_dir).orders
+    full = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("amount"))
+    path = os.path.join(TMP_ROOT, "p9_upsert")
+    full.write.mode("overwrite").parquet(path)
+    increment = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("amount"),
+        )
+    )
+    merge_into_parquet(spark, path, increment, "k")
+    merged = spark.read.parquet(path)
+    was_updated = F.when(F.col("amount") != F.col("orig_amount"), 1).otherwise(0)
+    orig = full.select(F.col("k"), F.col("amount").alias("orig_amount"))
+    return (
+        merged.join(orig, "k")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("amount"), 2).alias("total"),
+            F.sum(was_updated).alias("n_updated"),
+        )
+    )

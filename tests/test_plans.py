@@ -69,3 +69,38 @@ def test_no_unbounded_cartesian_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append((key, "CartesianProduct"))
     assert not offenders, offenders
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    """Co-located joins via bucketing: two tables bucketed the same
+    way on the join key sort-merge-join WITHOUT exchanging either side
+    — the pre-shuffle that pays for itself on every subsequent join at
+    100 TB."""
+    from hive_to_es_spark.io import load_tables
+
+    t = load_tables(spark, sf_dir)
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # test data is small enough to broadcast; disable that so the
+        # sort-merge path (what a TB-scale fact-fact join gets) shows
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (t.orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+         .sortBy("o_orderkey").saveAsTable("t_orders_b"))
+        (t.lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+         .sortBy("l_orderkey").saveAsTable("t_li_b"))
+        joined = spark.table("t_li_b").join(
+            spark.table("t_orders_b"),
+            spark.table("t_li_b").l_orderkey == spark.table("t_orders_b").o_orderkey,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing replaced the shuffle
+        # and the result is still correct
+        assert joined.count() == t.lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
