@@ -181,3 +181,18 @@ def m1_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(F.col("mm.embedding"), 1).cast("double"), 6).alias("emb_first"),
         F.md5(F.col("mm.media")).alias("media_md5"),
     )
+
+
+@register("m2_media_decode", None)  # stub codec digests -> rows-only
+def m2_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline over binary media columns: encode
+    each document's text as the stand-in media payload, run the
+    mapInPandas decode (stub codec — deterministic fake dimensions +
+    checksum), then resize. The registered output is the resize-stage
+    metadata: the whole decode->transform chain is exercised as one
+    distributed plan."""
+    from hive_to_es_spark.functions.multimodal import decode_media, resize_media
+
+    d = load_tables(spark, sf_dir).documents
+    media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("media"))
+    return resize_media(decode_media(media), max_px=512).orderBy("doc_id")

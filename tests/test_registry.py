@@ -40,7 +40,7 @@ EXPECTED_KEYS = {
     # LLM pipeline
     "d1_dedup_exact", "d2_dedup_minhash", "s1_knn_cosine", "s2_pairwise_topk",
     "s3_centroids", "t1_text_stats", "t2_tfidf_terms", "t3_langid_filter",
-    "m1_multimodal_cols",
+    "m1_multimodal_cols", "m2_media_decode",
     # LLM pipeline extensions (training-data set beyond SURVEY §2)
     "d3_dedup_simhash", "d4_dedup_ngram_jaccard", "d5_dedup_embedding",
     "s4_ann_lsh", "s5_ann_ivf", "s6_kmeans_refine", "t4_quality_score", "t5_token_count_bpe",
@@ -56,6 +56,7 @@ ROWS_ONLY = {
     "d2_dedup_minhash",
     "d3_dedup_simhash",
     "s6_kmeans_refine",
+    "m2_media_decode",
     "e4_watermark_late",
 }
 
@@ -82,3 +83,16 @@ def test_entrypoint_mirrors_registry():
 def test_registry_docs_present():
     for key, op in REGISTRY.items():
         assert op.doc.strip(), f"{key} has no docstring"
+
+
+def test_operator_index_is_current():
+    """docs/OPERATORS.md must list exactly the registered keys (run
+    tools/gen_operator_index.py after adding operators)."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "docs", "OPERATORS.md")
+    with open(path) as f:
+        documented = set(re.findall(r"^\| `([a-z0-9_]+)` \|", f.read(), re.M))
+    assert documented == set(queries())

@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Generate docs/OPERATORS.md from the live registry — one row per
+registered operator with its oracle kind and docstring summary.
+Run after adding operators; the test suite asserts it is current."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hive_to_es_spark.registry import REGISTRY, queries  # noqa: E402
+
+HEADER = """# Operator index (generated — do not edit)
+
+Regenerate with `python tools/gen_operator_index.py`. One row per
+operator registered in `hive_to_es_spark.registry`; "sql" means the
+driver hash-compares the result against the DuckDB oracle, "rows"
+means a rows-only check (semantics nondeterministic across engines or
+iterative). Keys map to SURVEY.md §2 (+ the §2.D-ext additions).
+
+| Key | Oracle | Summary |
+|---|---|---|
+"""
+
+
+def main() -> int:
+    queries()  # force registration
+    lines = [HEADER]
+    for key in sorted(REGISTRY):
+        op = REGISTRY[key]
+        summary = " ".join((op.doc.strip().splitlines() or [""])[0].split())
+        kind = "sql" if op.oracle else "rows"
+        lines.append(f"| `{key}` | {kind} | {summary} |\n")
+    n_sql = sum(1 for op in REGISTRY.values() if op.oracle)
+    lines.append(
+        f"\n**{len(REGISTRY)} operators: {n_sql} sql-oracle, "
+        f"{len(REGISTRY) - n_sql} rows-only.**\n"
+    )
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "docs", "OPERATORS.md")
+    with open(out, "w") as f:
+        f.writelines(lines)
+    print(f"wrote {out}: {len(REGISTRY)} operators")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
