@@ -545,3 +545,44 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(t.part, li.l_partkey == t.part.p_partkey)
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue_pct"))
     )
+
+
+# TPC-H Q2 shape: pick the minimum-cost row per group via a grouped
+# scalar subquery joined back (here: cheapest part per brand).
+_Q2_ORACLE = """
+SELECT p.p_brand, p.p_partkey, p.p_name, p.p_retailprice
+FROM part p
+JOIN (
+  SELECT p_brand, min(p_retailprice) AS min_price
+  FROM part GROUP BY p_brand
+) m ON p.p_brand = m.p_brand AND p.p_retailprice = m.min_price
+QUALIFY row_number() OVER (PARTITION BY p.p_brand ORDER BY p.p_partkey) = 1
+"""
+
+
+@register("q2_min_cost", _Q2_ORACLE)
+def q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost selection (TPC-H Q2 shape): grouped-min scalar
+    subquery joined back to recover the full row, key-deduped when the
+    minimum ties. (DuckDB's QUALIFY in the oracle = Spark's subquery
+    filter — the no-QUALIFY gotcha in reverse.)"""
+    t = load_tables(spark, sf_dir)
+    p = t.part
+    # derived from the same relation -> rename the group key to keep
+    # the self-join unambiguous
+    mins = (
+        p.groupBy("p_brand")
+        .agg(F.min("p_retailprice").alias("min_price"))
+        .withColumnRenamed("p_brand", "m_brand")
+    )
+    w = Window.partitionBy("p_brand").orderBy("p_partkey")
+    return (
+        p.join(
+            mins,
+            (p.p_brand == mins.m_brand) & (p.p_retailprice == mins.min_price),
+        )
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+        .select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
