@@ -308,3 +308,48 @@ def x8_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("text_sha256"),
         F.substring(F.md5("text"), 1, 8).alias("shard_key"),
     )
+
+
+# Recursive CTE (Spark 4 WITH RECURSIVE): a monthly ladder spanning the
+# order-date domain, LEFT-joined so empty months surface as zeros — the
+# reporting shape a bare GROUP BY month cannot produce.
+_X9_ORACLE = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01'
+  UNION ALL
+  SELECT m + INTERVAL '1' MONTH FROM months WHERE m < TIMESTAMP '2001-07-01'
+)
+SELECT m AS month_start,
+       count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total
+FROM months
+LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+"""
+
+
+@register("x9_recursive_cte", _X9_ORACLE)
+def x9_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE: generated month ladder LEFT-joined to orders.
+
+    The recursion is bounded (80 iterations) and the generated side is
+    tiny — at scale the ladder broadcasts and the fact side aggregates
+    once; recursion never touches the big table.
+    """
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("_x9_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months WHERE m < TIMESTAMP '2001-07-01'
+        )
+        SELECT m AS month_start,
+               count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS total
+        FROM months
+        LEFT JOIN _x9_orders ON date_trunc('month', o_orderdate) = m
+        GROUP BY m
+        """
+    )

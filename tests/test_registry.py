@@ -33,7 +33,7 @@ EXPECTED_KEYS = {
     "u6_intersect_except_all",
     # scalar families
     "x1_string", "x2_date", "x3_math", "x4_array", "x5_map", "x6_json",
-    "x7_cast_coalesce", "x8_hash",
+    "x7_cast_coalesce", "x8_hash", "x9_recursive_cte",
     # streaming
     "e1_tumbling", "e2_sliding", "e3_session", "e4_watermark_late",
     "e5_stream_dedup", "e6_stream_static_join", "e7_stateful_custom",
