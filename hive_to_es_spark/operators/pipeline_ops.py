@@ -131,10 +131,17 @@ def p5_type_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", doc.alias("doc"))
 
 
-# Batching semantics mirrored as explicit page assignment. NOTE the
-# global row_number here is the ORACLE-CHECKABLE mirror of paging; the
-# production path does NOT do this (partitions are the batches — a
-# global window would single-thread at 100 TB). See pipeline.write_sink.
+# Batching semantics as explicit page assignment. The oracle states
+# the semantics with a global row_number; the Spark plan must NOT run
+# one (an unpartitioned window moves the whole table through a single
+# task — a hard 100 TB scale-killer). Instead: two-pass
+# partition-offset assignment. Pass 1 range-partitions by key and
+# collects per-partition row counts (one row per partition — same
+# O(n_partitions) driver state as a shuffle's map-status); pass 2
+# assigns row_number WITHIN each range partition and adds the
+# partition's broadcast cumulative offset. Output is identical to the
+# global window because range partition i holds exactly the keys
+# ranked between offset[i] and offset[i]+count[i].
 _P6_ORACLE = """
 SELECT batch_id, count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
 FROM (
@@ -149,12 +156,38 @@ GROUP BY batch_id
 @register("p6_batching", _P6_ORACLE)
 def p6_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch/page assignment (fetchmany-style 1000-row pages) with
-    per-batch bounds — bounded sink memory made visible."""
+    per-batch bounds — bounded sink memory made visible.
+
+    Scale shape: no global window. repartitionByRange gives ordered,
+    balanced partitions (RangePartitioner's sample seed is fixed per
+    partition index, so recompute after cache eviction re-derives the
+    SAME boundaries); the only action is a per-partition count
+    (n_partitions rows). The within-partition window shuffles by _pid
+    only — every group is ~n/n_partitions rows.
+    """
     o = load_tables(spark, sf_dir).orders
-    w = Window.orderBy("o_orderkey")
-    batch = F.floor((F.row_number().over(w) - 1) / 1000).cast("bigint")
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = (
+        o.select("o_orderkey")
+        .repartitionByRange(n_parts, "o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_pid"], r["_n"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    )
+    offset_entries: list = []
+    acc = 0
+    for pid, n in counts:
+        offset_entries += [F.lit(pid), F.lit(acc)]
+        acc += n
+    offset = F.element_at(F.create_map(*offset_entries), F.col("_pid"))
+    w = Window.partitionBy("_pid").orderBy("o_orderkey")
+    global_rn = F.row_number().over(w) + offset - 1  # 0-based global rank
+    batch = F.floor(global_rn / 1000).cast("bigint")
     return (
-        o.select("o_orderkey", batch.alias("batch_id"))
+        ranged.select("o_orderkey", batch.alias("batch_id"))
         .groupBy("batch_id")
         .agg(
             F.count("*").alias("n_rows"),

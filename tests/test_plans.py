@@ -71,6 +71,47 @@ def test_no_unbounded_cartesian_anywhere(spark, sf_dir):
     assert not offenders, offenders
 
 
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    """Formatted-plan Window nodes print `Arguments: [exprs],
+    [partitionSpec], [orderSpec]`; an unpartitioned window omits the
+    partition list (only two bracketed lists). Those move the entire
+    input through ONE task — a hard single-partition bottleneck."""
+    return [
+        line.strip()[:160]
+        for line in plan.splitlines()
+        if line.strip().startswith("Arguments:")
+        and "windowspecdefinition" in line
+        and line.count("], [") < 2
+    ]
+
+
+def test_batching_has_no_global_window(spark, sf_dir):
+    """p6's page assignment must use the two-pass partition-offset
+    plan, never a global row_number window (VERDICT r2 #1)."""
+    plan = _plan(spark, sf_dir, "p6_batching")
+    assert "windowspecdefinition" in plan  # the within-partition window exists
+    assert not _unpartitioned_window_lines(plan)
+
+
+def test_no_unpartitioned_window_anywhere(spark, sf_dir):
+    """Sweep EVERY registered operator's physical plan for a window
+    with an empty partition spec — the 'Moving all data to a single
+    partition' plan is banned repo-wide."""
+    offenders = []
+    for key in queries():
+        if key in SKIP:
+            continue
+        try:
+            plan = _plan(spark, sf_dir, key)
+        except Exception as ex:
+            offenders.append((key, f"explain raised: {ex}"))
+            continue
+        bad = _unpartitioned_window_lines(plan)
+        if bad:
+            offenders.append((key, bad[0]))
+    assert not offenders, offenders
+
+
 def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
     """Co-located joins via bucketing: two tables bucketed the same
     way on the join key sort-merge-join WITHOUT exchanging either side
