@@ -9,7 +9,7 @@ label/LSH bucket) — the all-pairs product never appears in any plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_to_es_spark.io import load_tables
@@ -18,52 +18,99 @@ from hive_to_es_spark.operators.similarity import _dbl, _dot, _norm
 from hive_to_es_spark.registry import register
 
 
-@register("d3_dedup_simhash", None)  # xxhash64 is Spark-specific -> rows-only
-def d3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document, plus 4x16-bit band keys.
+# 60-bit SimHash with a cross-engine word hash: the first 15 hex chars
+# of md5(word) parsed as a BIGINT — Spark `conv(substr(md5,1,15),16,10)`
+# and DuckDB `CAST(concat('0x', substr(md5,1,15)) AS BIGINT)` agree
+# exactly (verified; DuckDB's md5_number_upper is little-endian and
+# does NOT). 15 hex chars = 60 bits keeps the value < 2^63 so both
+# engines stay in signed-64 territory. The vote sums / signature /
+# band SQL is generated to mirror the Spark expressions term-for-term.
+_D3_BITS = 60
+_D3_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM words
+),
+votes AS (
+  SELECT doc_id,
+    {', '.join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(_D3_BITS))}
+  FROM hashed GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+    CAST({' + '.join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_D3_BITS))} AS BIGINT) AS simhash
+  FROM votes
+)
+SELECT doc_id, simhash,
+  {', '.join(f"CAST((simhash >> {15 * i}) & 32767 AS BIGINT) AS band{i}" for i in range(4))}
+FROM sig
+"""
 
-    Classic SimHash: each word hashes to 64 bits; bit b of the
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per (doc_id, text) row, plus 4x15-bit band keys.
+
+    Classic SimHash: each word hashes to 60 bits; bit b of the
     signature is the sign of sum(+-1 over words, + if word's bit b is
     set). Near-dups differ in few bits, so any of the 4 band keys
     colliding is the candidate condition (banding = the blocking key).
-    Everything is JVM expressions: collect word hashes per doc, then
-    nested higher-order folds — no Python, no driver.
+    Everything is JVM expressions: explode to (doc, word-hash) rows,
+    then 60 literal-shift vote aggregates — every expression is a
+    codegen'd bit op (the higher-order-function form measured ~10x
+    slower: HOF lambdas are interpreted per element).
     """
-    d = load_tables(spark, sf_dir).documents
-    # explode to (doc_id, word_hash) rows, then 64 literal-shift vote
-    # aggregates — every expression is a codegen'd JVM bit op (the
-    # higher-order-function form was ~10x slower: HOF lambdas are
-    # interpreted per element, literal shifts are whole-stage codegen).
     words = F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("w")
-    hashed = d.select("doc_id", words).select("doc_id", F.xxhash64("w").alias("h"))
+    word_hash = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint")
+    hashed = docs.select("doc_id", words).select("doc_id", word_hash.alias("h"))
     votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(64)
+            for b in range(_D3_BITS)
         ]
     )
-    # signature bit string, MSB (bit 63) first
-    sig_bits = F.concat(
-        *[F.when(F.col(f"v{b}") > 0, "1").otherwise("0") for b in range(63, -1, -1)]
-    )
-    with_sig = votes.select("doc_id", sig_bits.alias("sig_bits"))
-    return with_sig.select(
+    sig = votes.select(
         "doc_id",
-        F.conv("sig_bits", 2, 16).alias("simhash_hex"),
+        sum(
+            (
+                F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(_D3_BITS)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("simhash"),
+    )
+    return sig.select(
+        "doc_id",
+        "simhash",
         *[
-            F.conv(F.col("sig_bits").substr(1 + 16 * i, 16), 2, 16).alias(f"band{i}")
+            F.shiftright("simhash", 15 * i).bitwiseAND(F.lit(32767)).alias(f"band{i}")
             for i in range(4)
         ],
-    ).orderBy("doc_id")
+    )
+
+
+@register("d3_dedup_simhash", _D3_ORACLE)
+def d3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + band blocking keys over documents — see
+    simhash_signatures. Hash-verified vs DuckDB via the portable
+    md5-prefix word hash (xxhash64 was Spark-only → was rows-only)."""
+    d = load_tables(spark, sf_dir).documents
+    return simhash_signatures(d).orderBy("doc_id")
 
 
 # Shingle construction mirrored in DuckDB: list_transform over a range,
 # out-of-range indexing -> NULL, concat_ws skips NULLs (same as the
-# Spark word_shingles helper).
+# Spark word_shingles helper). The document-frequency cap (QUALIFY
+# window) mirrors the Spark-side hot-shingle filter exactly.
 _D4_ORACLE = """
-WITH sh AS (
+WITH sh0 AS (
   SELECT doc_id, unnest(list_distinct(
     list_transform(
       range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
@@ -72,6 +119,10 @@ WITH sh AS (
                           string_split(lower(text), ' ')[i+2])
     ))) AS shingle
   FROM documents
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (
@@ -88,17 +139,27 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
 """
 
 
-@register("d4_dedup_ngram_jaccard", _D4_ORACLE)
-def d4_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs, blocked by shared shingle.
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.2, df_cap: int = 1000
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs from a (doc_id, text)
+    DataFrame, blocked by shared shingle with a document-frequency cap.
 
-    Only documents sharing at least one 3-word shingle ever meet (the
-    shingle equi-join IS the blocking key); Jaccard is then exact:
-    |A∩B| / (|A|+|B|-|A∩B|). The d2 MinHash op approximates exactly
-    this quantity — d4 is its ground truth at test scale.
+    Real corpora have power-law shingles ("of the and"-class); one hot
+    shingle key would form a near-quadratic block and a badly skewed
+    shuffle. Shingles appearing in more than `df_cap` documents carry
+    no discriminating power and are dropped from the whole computation
+    (blocking AND set sizes), bounding every block at df_cap docs →
+    pair count ≤ n_shingles · df_cap², never n². The DF count itself
+    is a window over shingle — one shuffle, millions of small groups.
     """
-    d = load_tables(spark, sf_dir).documents
-    sh = d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    sh0 = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    w_df = Window.partitionBy("shingle")
+    sh = (
+        sh0.withColumn("_df", F.count("*").over(w_df))
+        .filter(F.col("_df") <= df_cap)
+        .drop("_df")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -114,9 +175,23 @@ def d4_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.2)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register("d4_dedup_ngram_jaccard", _D4_ORACLE)
+def d4_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by shared shingle
+    (document-frequency-capped — see ngram_jaccard_pairs).
+
+    Only documents sharing at least one sub-cap 3-word shingle ever
+    meet (the shingle equi-join IS the blocking key); Jaccard is then
+    exact: |A∩B| / (|A|+|B|-|A∩B|). The d2 MinHash op approximates
+    exactly this quantity — d4 is its ground truth at test scale.
+    """
+    d = load_tables(spark, sf_dir).documents
+    return ngram_jaccard_pairs(d, threshold=0.2, df_cap=1000)
 
 
 # Demo threshold 0.3: the fixture embeddings are diffuse (within-label

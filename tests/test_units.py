@@ -183,34 +183,28 @@ def test_minhash_approximates_exact_jaccard(spark, sf_dir):
 
 
 def test_simhash_identical_docs_share_signature(spark):
-    from hive_to_es_spark.operators.dedup import word_shingles  # noqa: F401
-    from pyspark.sql import functions as F_
+    """Identical text -> identical signature and band keys; unrelated
+    text -> different signature. A one-word change flips few bits, so
+    at least one of the 4 band keys still collides (the d6 blocking
+    premise)."""
+    from hive_to_es_spark.operators.dedup_ext import simhash_signatures
 
     df = spark.createDataFrame(
-        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zeta eta theta")],
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta epsilon zeta eta CHANGED"),
+            (4, "totally different words everywhere here now ok yes"),
+        ],
         "doc_id LONG, text STRING",
     )
-    df.createOrReplaceTempView("_simhash_in")
-    # reuse the registered op's expression path via a local copy of the logic
-    words = F_.array_distinct(F_.split(F_.lower("text"), " "))
-    hashed = df.select(
-        "doc_id", F_.transform(words, lambda w: F_.lpad(F_.bin(F_.xxhash64(w)), 64, "0")).alias("hbits")
-    )
-    sig = F_.concat_ws(
-        "",
-        F_.transform(
-            F_.sequence(F_.lit(1), F_.lit(64)),
-            lambda p: F_.when(
-                F_.aggregate(
-                    F_.col("hbits"), F_.lit(0),
-                    lambda acc, h: acc + F_.when(h.substr(p, F_.lit(1)) == "1", 1).otherwise(-1),
-                ) > 0, "1",
-            ).otherwise("0"),
-        ),
-    )
-    got = {r.doc_id: r.s for r in hashed.select("doc_id", sig.alias("s")).collect()}
-    assert got[1] == got[2]  # identical text -> identical signature
-    assert got[1] != got[3]  # different text -> different signature
+    rows = {r.doc_id: r for r in simhash_signatures(df).collect()}
+    assert rows[1].simhash == rows[2].simhash
+    assert [rows[1][f"band{i}"] for i in range(4)] == [rows[2][f"band{i}"] for i in range(4)]
+    assert rows[1].simhash != rows[4].simhash
+    # near-dup: some band survives the single-word edit
+    shared = [i for i in range(4) if rows[1][f"band{i}"] == rows[3][f"band{i}"]]
+    assert shared, "near-identical docs must collide on >=1 band"
 
 
 def test_kmeans_refinement_reduces_inertia(spark, sf_dir):
@@ -248,3 +242,19 @@ def test_kmeans_refinement_reduces_inertia(spark, sf_dir):
     assert sum(r.n_members for r in out) == n_vecs
     final_inertia = sum(r.inertia for r in out)
     assert final_inertia <= init_inertia + 1e-6
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_pairs(spark):
+    """One shingle shared by every document must not create a
+    quadratic block: with the document-frequency cap the hot shingle
+    is dropped and otherwise-unique docs produce ZERO pairs; without
+    it the same corpus explodes to n*(n-1)/2 pairs."""
+    from hive_to_es_spark.operators.dedup_ext import ngram_jaccard_pairs
+
+    n = 40
+    rows = [(i, f"common shared phrase unique{i} word{i} token{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, df_cap=10)
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0, df_cap=10**9)
+    assert capped.count() == 0
+    assert uncapped.count() == n * (n - 1) // 2
