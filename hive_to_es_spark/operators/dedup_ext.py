@@ -240,3 +240,74 @@ def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.3)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+# The composed 100 TB dedup path: s4's deterministic sign-bit LSH
+# bucket as the blocking key + s2's blocked-pair plan + d5's cosine
+# threshold. Unlike d5 (whose fixture block key is the ground-truth
+# label), the bucket here needs NO labels — this is the plan an
+# unlabeled corpus actually runs. Sign buckets are engine-portable, so
+# the whole path gets a full value-level oracle (d2/d3's MinHash and
+# xxhash variants could not).
+_D6_ORACLE = """
+WITH bucketed AS (
+  SELECT vec_id,
+         CAST(list_aggregate(
+           list_transform(range(1, 9),
+             j -> CASE WHEN embedding[j] > 0 THEN 2 ** (j - 1) ELSE 0 END),
+           'sum') AS INTEGER) AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+       round(list_cosine_similarity(a.ev, b.ev), 6) AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.ev, b.ev) >= 0.3
+"""
+
+
+@register("d6_dedup_lsh_blocked", _D6_ORACLE)
+def d6_dedup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise embedding near-dup over LSH sign buckets — the
+    label-free composition of s4 (bucket) + s2 (blocked pairs) + d5
+    (threshold), i.e. the dedup plan that actually runs on an
+    unlabeled 100 TB corpus.
+
+    Pair expansion is Σ|bucket|², bounded by the 2^bits bucket count
+    (raise bits to shrink blocks; 100 TB would use 16-20 bits and a
+    multi-probe union for recall). Norms are precomputed per vector;
+    cosine is computed once per candidate pair.
+
+    Demo threshold 0.3 (fixture embeddings are diffuse, max within-
+    bucket cosine ~0.43 at sf0.01); a production near-dup gate sits at
+    ~0.95 with the identical plan.
+    """
+    from hive_to_es_spark.operators.similarity import sign_bucket
+
+    e = load_tables(spark, sf_dir).embeddings
+    bucketed = e.select(
+        "vec_id",
+        sign_bucket("embedding").alias("bucket"),
+        _dbl("embedding").alias("ev"),
+        _norm(_dbl("embedding")).alias("nrm"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"),
+        "bucket",
+        F.col("ev").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("ev").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (a.bucket == b.bucket_b) & (a.id_a < b.id_b))
+        .select("id_a", "id_b", "bucket", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= 0.3)
+        .select("id_a", "id_b", "bucket", F.round("cos_raw", 6).alias("cos_sim"))
+    )

@@ -206,6 +206,25 @@ LIMIT 5
 """
 
 
+def sign_bucket(embedding: str | Column, bits: int = 8) -> Column:
+    """Deterministic sign-bit LSH bucket id: bit j is set iff component
+    j of the vector is > 0 (axis-aligned random-hyperplane sketch).
+    Engine-portable — the identical expression exists in the DuckDB
+    oracles — and the shared blocking key for s4 (query-vs-corpus ANN)
+    and d6 (all-pairs near-dup)."""
+    c = F.col(embedding) if isinstance(embedding, str) else embedding
+    powers = F.array(*[F.lit(1 << j) for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            F.slice(c, 1, bits),
+            powers,
+            lambda x, p: F.when(x > 0, p).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
 @register("s4_ann_lsh", _S4_ORACLE)
 def s4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors — the scale path
@@ -219,17 +238,9 @@ def s4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan with learned centroids as the bucket key — see s3.)
     """
     e = load_tables(spark, sf_dir).embeddings
-    powers = F.array(*[F.lit(1 << j) for j in range(8)])
-    bucket = F.aggregate(
-        F.zip_with(
-            F.slice("embedding", 1, 8),
-            powers,
-            lambda x, p: F.when(x > 0, p).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    bucketed = e.select(
+        "vec_id", _dbl("embedding").alias("ev"), sign_bucket("embedding").alias("bucket")
     )
-    bucketed = e.select("vec_id", _dbl("embedding").alias("ev"), bucket.alias("bucket"))
     q = (
         bucketed.filter(F.col("vec_id") == 0)
         .select(F.col("bucket").alias("qbucket"), F.col("ev").alias("qv"))

@@ -72,17 +72,26 @@ def test_no_unbounded_cartesian_anywhere(spark, sf_dir):
 
 
 def _unpartitioned_window_lines(plan: str) -> list[str]:
-    """Formatted-plan Window nodes print `Arguments: [exprs],
-    [partitionSpec], [orderSpec]`; an unpartitioned window omits the
-    partition list (only two bracketed lists). Those move the entire
-    input through ONE task — a hard single-partition bottleneck."""
-    return [
-        line.strip()[:160]
-        for line in plan.splitlines()
-        if line.strip().startswith("Arguments:")
-        and "windowspecdefinition" in line
-        and line.count("], [") < 2
-    ]
+    """A windowspecdefinition lists partition columns first, then
+    order columns (tagged ASC/DESC), then the frame. If the FIRST
+    argument is already an order column or the frame, the window has
+    no partition spec — it moves the entire input through ONE task, a
+    hard single-partition bottleneck."""
+    bad = []
+    for line in plan.splitlines():
+        line = line.strip()
+        if not (line.startswith("Arguments:") and "windowspecdefinition(" in line):
+            continue
+        for chunk in line.split("windowspecdefinition(")[1:]:
+            first_arg = chunk.split(",")[0]
+            if (
+                " ASC" in first_arg
+                or " DESC" in first_arg
+                or first_arg.startswith("specifiedwindowframe")
+            ):
+                bad.append(line[:160])
+                break
+    return bad
 
 
 def test_batching_has_no_global_window(spark, sf_dir):

@@ -43,6 +43,7 @@ EXPECTED_KEYS = {
     "m1_multimodal_cols", "m2_media_decode",
     # LLM pipeline extensions (training-data set beyond SURVEY §2)
     "d3_dedup_simhash", "d4_dedup_ngram_jaccard", "d5_dedup_embedding",
+    "d6_dedup_lsh_blocked",
     "s4_ann_lsh", "s5_ann_ivf", "s6_kmeans_refine", "t4_quality_score", "t5_token_count_bpe",
     "t6_fingerprint", "t7_langid_ngram",
     # UDF surface
@@ -50,11 +51,12 @@ EXPECTED_KEYS = {
 }
 
 # Keys intentionally without a SQL oracle (nondeterministic cross-engine).
+# d3 is NOT here: its md5-prefix word hash is engine-portable, so it
+# carries a full value-level oracle.
 ROWS_ONLY = {
     "o3_sample",
     "a8_approx_distinct",
     "d2_dedup_minhash",
-    "d3_dedup_simhash",
     "s6_kmeans_refine",
     "m2_media_decode",
     "e4_watermark_late",
