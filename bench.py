@@ -38,8 +38,34 @@ FLAGSHIPS = [
     "d1_dedup_exact",
 ]
 
+# Heaviest non-flagship shapes (pairwise joins, wide windows, TF-IDF,
+# MinHash) — benched so regressions in the expensive plans are visible
+# in the per-round artifact, not just flagship regressions. Reported
+# under "queries" too, but EXCLUDED from the headline value, which
+# stays directly comparable to BASELINE.md's 7-flagship total.
+EXTENSION = [
+    "d4_dedup_ngram_jaccard",
+    "d6_dedup_lsh_blocked",
+    "s2_pairwise_topk",
+    "d2_dedup_minhash",
+    "t2_tfidf_terms",
+    "j10_interval_overlap",
+    "w4_range_frame",
+]
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = 3
+
+
+def _bench_one(spark, qs, name: str) -> float:
+    df = qs[name](spark, SF_DIR)  # build once (BASELINE.md method)
+    df.collect()  # warm-up: analysis + codegen, cached on the object
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        df.collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def main() -> int:
@@ -49,22 +75,19 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
     per_query: dict[str, float] = {}
-    for name in FLAGSHIPS:
-        df = qs[name](spark, SF_DIR)  # build once (BASELINE.md method)
-        df.collect()  # warm-up: analysis + codegen, cached on the object
-        best = float("inf")
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            df.collect()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 4)
+    for name in FLAGSHIPS + EXTENSION:
+        per_query[name] = _bench_one(spark, qs, name)
+    flagship_total = round(sum(per_query[n] for n in FLAGSHIPS), 4)
     print(
         json.dumps(
             {
                 "metric": "flagship_total_sec",
-                "value": round(sum(per_query.values()), 4),
+                "value": flagship_total,
                 "unit": "sec",
                 "queries": per_query,
+                "extended_total_sec": round(
+                    sum(per_query[n] for n in EXTENSION), 4
+                ),
                 "sf": sf,
             }
         )

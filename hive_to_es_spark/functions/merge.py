@@ -59,11 +59,19 @@ def merge_into_parquet(
 
     `scope` restricts which existing rows participate (e.g. the date
     partitions the increment touches); out-of-scope rows pass through
-    untouched. The rewrite is staged through a temp dir because the
-    source of a write cannot also be its target.
+    untouched.
+
+    The merged output is written ONCE, to a staging directory that is
+    a SIBLING of the sink (same filesystem — executors must be able to
+    write it on a real cluster; a driver-local tempdir would not
+    exist there), then swapped in via FileSystem.rename. Failure
+    behavior: if the staging write fails, the target is untouched; if
+    the delete/rename step fails, the staging copy SURVIVES for manual
+    recovery — at no point do both copies cease to exist. (True
+    atomicity needs a transactional table format; rename is atomic on
+    HDFS/local, best-effort on S3.)
     """
-    import shutil
-    import tempfile
+    import uuid
 
     existing = spark.read.parquet(path)
     if scope is not None:
@@ -72,10 +80,14 @@ def merge_into_parquet(
         merged = merge_upsert(in_scope, updates, key).unionByName(out_scope)
     else:
         merged = merge_upsert(existing, updates, key)
-    staging = tempfile.mkdtemp(prefix="merge_stage_")
-    try:
-        merged.write.mode("overwrite").parquet(staging)
-        back = spark.read.parquet(staging)
-        back.write.mode("overwrite").parquet(path)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    staging = path.rstrip("/") + "_staging_" + uuid.uuid4().hex
+    merged.write.mode("overwrite").parquet(staging)
+    # swap via the Hadoop FileSystem API (portable across local/HDFS)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    target_p, staging_p = jvm_path(path), jvm_path(staging)
+    fs = target_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(target_p, True)
+    if not fs.rename(staging_p, target_p):
+        raise IOError(
+            f"rename {staging} -> {path} failed; merged data is intact at {staging}"
+        )

@@ -38,6 +38,18 @@ def explode_dim(df: DataFrame, n_salts: int) -> DataFrame:
     )
 
 
+# Join types for which the salted result is row-identical to the
+# plain join. Fact-preserving types only: every fact row carries ONE
+# salt, so its match status vs the exploded dim is unchanged. Right /
+# full outer are NOT here — an unmatched dim row would be emitted once
+# per salt replica (n_salts copies), which is silently wrong.
+_SALT_SAFE_HOW = {
+    "inner", "left", "left_outer", "leftouter",
+    "semi", "left_semi", "leftsemi",
+    "anti", "left_anti", "leftanti",
+}
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -48,10 +60,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join `fact` to `dim` on `on`, salted n_salts ways.
 
-    Row-identical to fact.join(dim, on, how); the shuffle key becomes
+    Row-identical to fact.join(dim, on, how) for fact-preserving join
+    types (inner / left outer / semi / anti); the shuffle key becomes
     (on..., salt), so a key holding X% of the fact spreads over
-    n_salts partitions instead of one.
+    n_salts partitions instead of one. Right and full outer joins are
+    rejected: the exploded dim side would emit every unmatched dim row
+    n_salts times — swap the sides (salt the other table) or dedupe
+    unmatched rows explicitly instead.
     """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
+        raise ValueError(
+            f"salted_join(how={how!r}): only fact-preserving join types "
+            f"{sorted(_SALT_SAFE_HOW)} are row-identical under salting; "
+            "right/full outer would duplicate unmatched dim rows n_salts times"
+        )
     f = salt_fact(fact, n_salts, seed)
     d = explode_dim(dim, n_salts)
     return f.join(d, on + [SALT_COL], how).drop(SALT_COL)

@@ -84,11 +84,22 @@ class Tables:
 # driver's per-query harness) reuse resolved relations instead of
 # re-reading parquet footers per call — measured 17x overhead otherwise
 # on sub-second queries. Keyed by (id(session), sf_dir); the stored
-# session is identity-checked to guard against id() reuse after GC.
+# session is identity-checked to guard against id() reuse after GC,
+# and entries bound to STOPPED sessions are pruned on every lookup so
+# dead sessions' DataFrames don't stay pinned for the process lifetime.
 _TABLES_CACHE: dict[tuple[int, str], Tables] = {}
 
 
+def _session_stopped(session: SparkSession) -> bool:
+    try:
+        return session.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return True  # context gone entirely
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
+    for k in [k for k, t in _TABLES_CACHE.items() if _session_stopped(t._spark)]:
+        del _TABLES_CACHE[k]
     key = (id(spark), sf_dir)
     cached = _TABLES_CACHE.get(key)
     if cached is None or cached._spark is not spark:

@@ -330,26 +330,35 @@ GROUP BY m
 
 @register("x9_recursive_cte", _X9_ORACLE)
 def x9_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive CTE: generated month ladder LEFT-joined to orders.
+    """Recursive CTE: generated month ladder LEFT-joined to monthly
+    order totals.
 
-    The recursion is bounded (80 iterations) and the generated side is
-    tiny — at scale the ladder broadcasts and the fact side aggregates
-    once; recursion never touches the big table.
+    The recursion (bounded, 80 iterations) runs standalone — it
+    references no table, so no temp view touches the caller's session
+    (catalog-neutrality is asserted by test_registry). Scale shape:
+    orders pre-aggregate to one row per month FIRST (partial agg
+    map-side, ~80 groups), then the tiny aggregate broadcasts to the
+    ladder — recursion and join never touch big-table rows.
     """
     t = load_tables(spark, sf_dir)
-    t.orders.createOrReplaceTempView("_x9_orders")
-    return spark.sql(
+    months = spark.sql(
         """
         WITH RECURSIVE months(m) AS (
           SELECT TIMESTAMP '1995-01-01'
           UNION ALL
           SELECT m + INTERVAL '1' MONTH FROM months WHERE m < TIMESTAMP '2001-07-01'
         )
-        SELECT m AS month_start,
-               count(o_orderkey) AS n_orders,
-               round(coalesce(sum(o_totalprice), 0), 2) AS total
-        FROM months
-        LEFT JOIN _x9_orders ON date_trunc('month', o_orderdate) = m
-        GROUP BY m
+        SELECT m FROM months
         """
+    )
+    monthly = t.orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("om")
+    ).agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+    return (
+        months.join(F.broadcast(monthly), months.m == monthly.om, "left")
+        .select(
+            F.col("m").alias("month_start"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce(F.col("s"), F.lit(0)), 2).alias("total"),
+        )
     )

@@ -202,7 +202,13 @@ def t7_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.length("text") - 1),
+                # guard: sequence(1, 0) DESCENDS ([1, 0]) and would emit
+                # spurious bigrams for texts of length <= 1 (the DuckDB
+                # oracle's range(1, length) yields none there)
+                F.when(
+                    F.length("text") >= 2,
+                    F.sequence(F.lit(1), F.length("text") - 1),
+                ).otherwise(F.array()),
                 lambda i: F.col("text").substr(i, F.lit(2)),
             )
         ).alias("bg"),

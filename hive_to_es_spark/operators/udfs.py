@@ -11,6 +11,8 @@ implementation is hash-checked, not trusted.
 
 from __future__ import annotations
 
+import uuid
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -123,8 +125,15 @@ def g4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir).events.filter(F.col("event_id") < 1000)
     spark.udtf.register("explode_props", ExplodeProps)
-    ev.select("event_id", "props").createOrReplaceTempView("_g4_events_in")
-    return spark.sql(
-        "SELECT t.event_id, t.prop_key, t.prop_value "
-        "FROM _g4_events_in, LATERAL explode_props(event_id, props) t"
-    )
+    # spark.sql analyzes eagerly (the view inlines into the returned
+    # plan), so the view can be dropped before the caller ever
+    # collects — no catalog state survives this call.
+    view = f"_g4_events_in_{uuid.uuid4().hex}"
+    ev.select("event_id", "props").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            "SELECT t.event_id, t.prop_key, t.prop_value "
+            f"FROM {view}, LATERAL explode_props(event_id, props) t"
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -96,8 +96,11 @@ def tf_stateful_counters_stream(events: DataFrame) -> DataFrame:
             mx = pdf["ts"].max()
             last = mx if last is None or mx > last else last
         state.update((n, total, last))
+        # raw double out; F.round below — Python round() is
+        # banker's rounding, SQL round is half-away-from-zero, and the
+        # oracle uses the SQL rule
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total": [round(total, 2)], "last_ts": [last]}
+            {"user_id": [key[0]], "n_events": [n], "total": [total], "last_ts": [last]}
         )
 
     return (
@@ -107,6 +110,7 @@ def tf_stateful_counters_stream(events: DataFrame) -> DataFrame:
             update, _STATE_SCHEMA, "n BIGINT, t DOUBLE, l TIMESTAMP",
             "update", GroupStateTimeout.NoTimeout,
         )
+        .withColumn("total", F.round("total", 2))
     )
 
 
@@ -121,12 +125,18 @@ def tf_stateful_counters_batch(events: DataFrame) -> DataFrame:
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                "total": [round(float(pdf["value"].sum()), 2)],
+                # raw double; rounded with F.round below (SQL rule,
+                # not Python's banker's rounding) to match the oracle
+                "total": [float(pdf["value"].sum())],
                 "last_ts": [pdf["ts"].max()],
             }
         )
 
-    return events.groupBy("user_id").applyInPandas(summarize, _STATE_SCHEMA)
+    return (
+        events.groupBy("user_id")
+        .applyInPandas(summarize, _STATE_SCHEMA)
+        .withColumn("total", F.round("total", 2))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -98,3 +98,20 @@ def test_operator_index_is_current():
     with open(path) as f:
         documented = set(re.findall(r"^\| `([a-z0-9_]+)` \|", f.read(), re.M))
     assert documented == set(queries())
+
+
+def test_no_query_mutates_session_catalog(spark, sf_dir):
+    """Building every registered query twice must leave the session
+    catalog untouched (no createOrReplaceTempView side effects — the
+    a4/x9 bug class). Side effects fire at DataFrame-build time, so
+    building without collecting is sufficient and cheap."""
+    def temp_views():
+        return sorted(
+            t.name for t in spark.catalog.listTables() if t.tableType == "TEMPORARY"
+        )
+
+    before = temp_views()
+    for _ in range(2):
+        for key, fn in queries().items():
+            fn(spark, sf_dir)
+    assert temp_views() == before

@@ -56,3 +56,32 @@ def test_left_join_preserves_unmatched(spark):
     out = salted_join(fact_plus, dim, ["k"], n_salts=4, how="left")
     unmatched = out.filter(F.col("k") == 999).collect()
     assert len(unmatched) == 1 and unmatched[0].attr is None
+
+
+def test_salted_join_row_identical_hot_key_rowlevel(spark):
+    """ROW-LEVEL identity (not aggregate checksums) on a corpus where
+    one key holds 50% of all rows, for every supported join type —
+    including fact rows with no dim match under left/anti."""
+    hot = spark.range(2000).select(F.lit(7).alias("k"), F.col("id").alias("v"))
+    tail = spark.range(2000).select(
+        (F.col("id") % 100).alias("k"), (F.col("id") + 10000).alias("v")
+    )
+    fact = hot.unionByName(tail)  # key 7: ~50% of 4000 rows
+    # dim misses keys >= 90 so left/anti have real unmatched rows
+    dim = spark.range(90).select(F.col("id").alias("k"), (F.col("id") * 3).alias("attr"))
+
+    for how in ["inner", "left", "left_semi", "left_anti"]:
+        plain = fact.join(dim, ["k"], how)
+        salted = salted_join(fact, dim, ["k"], n_salts=8, how=how)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        ), how
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    import pytest
+
+    fact, dim = _fixtures(spark)
+    for how in ["right", "full", "full_outer", "cross"]:
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(fact, dim, ["k"], how=how)
