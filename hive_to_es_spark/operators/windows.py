@@ -120,18 +120,55 @@ FROM lineitem
 
 @register("w4_range_frame", _W4_ORACLE)
 def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE BETWEEN value-based frame aggregation."""
+    """RANGE BETWEEN value-based frame aggregation.
+
+    NOT a window over lineitem: l_returnflag has 3 values, so the
+    naive partitioned window caps at 3 tasks no matter the cluster — a
+    structural scale ceiling. A RANGE frame's value depends only on
+    (partition key, order value), so instead: aggregate price per
+    (flag, quantity) — ~150 groups, map-side partial agg — compute
+    each distinct value's frame sum with a range self-join ON THE TINY
+    AGGREGATE, and broadcast the result back onto lineitem. The fact
+    table is never shuffled or windowed at all. (Valid while the order
+    key's distinct-count stays broadcastable — true for any discrete
+    measure; a continuous high-cardinality key would fall back to the
+    window.) Measured at sf0.1 both forms compute in ~40ms — the ~2s
+    bench entry is 600k-row result transfer, not compute; the rewrite
+    pays off when per-flag row counts exceed one task's slice.
+    """
     li = load_tables(spark, sf_dir).lineitem
-    w = (
-        Window.partitionBy("l_returnflag")
-        .orderBy(F.col("l_quantity"))
-        .rangeBetween(-1, Window.currentRow)
+    g = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum("l_extendedprice").alias("_s")
     )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_quantity",
-        F.round(F.sum("l_extendedprice").over(w), 2).alias("range_sum"),
+    a = g.select(
+        F.col("l_returnflag").alias("_flag"), F.col("l_quantity").alias("_q")
+    )
+    b = g.select(
+        F.col("l_returnflag").alias("_bflag"),
+        F.col("l_quantity").alias("_bq"),
+        F.col("_s").alias("_bs"),
+    )
+    frame_sums = (
+        a.join(
+            b,
+            (F.col("_flag") == F.col("_bflag"))
+            & (F.col("_bq") >= F.col("_q") - 1)
+            & (F.col("_bq") <= F.col("_q")),
+        )
+        .groupBy("_flag", "_q")
+        .agg(F.sum("_bs").alias("_range_sum"))
+    )
+    return (
+        li.join(
+            F.broadcast(frame_sums),
+            (li.l_returnflag == F.col("_flag")) & (li.l_quantity == F.col("_q")),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round("_range_sum", 2).alias("range_sum"),
+        )
     )
 
 
