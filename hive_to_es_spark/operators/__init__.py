@@ -13,6 +13,7 @@ from hive_to_es_spark.operators import (  # noqa: F401
     sort_set,
     text,
     text_ext,
+    tpch_ext,
     udfs,
     windows,
 )

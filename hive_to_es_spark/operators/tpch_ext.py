@@ -1,0 +1,393 @@
+"""Additional TPC-H query shapes (Q5/Q6/Q7/Q12/Q16/Q19/Q21/Q22),
+adapted to the fixture's columns where the official schema has fields
+the fixtures lack (no l_shipmode/commitdate/receiptdate, no partsupp,
+no c_phone — each adaptation keeps the SHAPE that makes the query a
+distinct optimizer/runtime exercise).
+
+Shared plan discipline: selective filters sit on the scans, bounded
+dims broadcast, semi/anti joins express EXISTS/NOT EXISTS (never a
+correlated per-row subquery), and every aggregate keys on bounded-
+cardinality columns so partial aggregation collapses map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_to_es_spark.io import load_tables
+from hive_to_es_spark.registry import register
+
+_Q5_ORACLE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier", _Q5_ORACLE)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): 6-table join where the
+    interesting constraint is c_nationkey = s_nationkey — an extra
+    equi-edge BETWEEN the two dimension paths. Region/nation/supplier
+    broadcast; the year filter prunes the orders scan."""
+    t = load_tables(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    asia_nations = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            t.nation.n_regionkey == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    supp = t.supplier.join(
+        F.broadcast(asia_nations), t.supplier.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    li = t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(t.customer.select("c_custkey", "c_nationkey"),
+              orders.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change (TPC-H Q6 shape): pure scan + filter +
+    global agg — the canonical predicate-pushdown/codegen microbench.
+    All three predicates reach the parquet scan."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", _Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-national shipping volume (TPC-H Q7 shape): the same dim
+    table (nation) joined TWICE under different roles, with a
+    disjunctive cross-role predicate. Both nation probes broadcast;
+    the disjunction runs post-join on two tiny ints."""
+    t = load_tables(spark, sf_dir)
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(t.orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(t.customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair_ok)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+# Q12 adapted: no l_shipmode in the fixtures -> l_linestatus plays the
+# mode role; the shape (join + conditional two-way priority counts) is
+# unchanged.
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+@register("q12_shipmode_priority", _Q12_ORACLE)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-by-shipmode (TPC-H Q12 shape, l_linestatus as mode):
+    fact-fact join with the date filter on the lineitem scan, then
+    conditional counts — the CASE aggregates fold into one pass."""
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t.orders.select("o_orderkey", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# Q16 adapted: no partsupp table -> supplier relationships observed
+# from lineitem; the shape (distinct-count per part attribute triple
+# with an exclusion filter) is unchanged.
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_variety", _Q16_ORACLE)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part/supplier variety (TPC-H Q16 shape): selective dim filter
+    broadcast into the fact, then COUNT(DISTINCT) per attribute triple
+    — Spark plans the distinct as a two-phase partial aggregate."""
+    t = load_tables(spark, sf_dir)
+    parts = t.part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        t.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# Q19 adapted: brand/size/quantity bands stand in for the official
+# brand/container/quantity bands — the point is the disjunction of
+# conjunctions that must still collapse into ONE join + one scan pass.
+_Q19_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@register("q19_disjunctive_revenue", _Q19_ORACLE)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under an OR-of-ANDs predicate (TPC-H Q19
+    shape). The disjuncts all share the p_partkey = l_partkey
+    equi-edge, so Catalyst keeps ONE broadcast hash join and evaluates
+    the disjunction as a post-join filter; the common l_quantity <= 30
+    and part-side brand/size bounds are still pushable prefilters."""
+    t = load_tables(spark, sf_dir)
+    band = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    return (
+        t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(t.part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(
+            band("Brand#12", 5, 1, 11)
+            | band("Brand#23", 10, 10, 20)
+            | band("Brand#34", 15, 20, 30)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# Q21 adapted: "the supplier who single-handedly failed a
+# multi-supplier order" — l_returnflag = 'R' stands in for the
+# receipt-after-commit lateness predicate. The EXISTS/NOT EXISTS pair
+# decorrelates to a semi + anti join, which is the whole point of the
+# shape.
+_Q21_ORACLE = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+"""
+
+
+@register("q21_waiting_supplier", _Q21_ORACLE)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape): EXISTS ->
+    left-semi join, NOT EXISTS -> left-anti join, both on the order
+    key with a supplier-differs residual — no correlated subquery ever
+    executes per row."""
+    t = load_tables(spark, sf_dir)
+    l1 = t.lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k1"), F.col("l_suppkey").alias("sk1")
+    )
+    l2 = t.lineitem.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = t.lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    failed_orders = t.orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey")
+    )
+    candidate = (
+        l1.join(failed_orders, l1.k1 == F.col("o_orderkey")).select("k1", "sk1")
+        .join(l2, (F.col("k1") == l2.k2) & (F.col("sk1") != l2.sk2), "left_semi")
+        .join(l3, (F.col("k1") == l3.k3) & (F.col("sk1") != l3.sk3), "left_anti")
+    )
+    return (
+        candidate.join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            F.col("sk1") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )
+
+
+# Q22 adapted: no c_phone in the fixtures -> c_nationkey is the
+# country code. Shape preserved: scalar subquery (global average)
+# feeding a filter + NOT EXISTS anti join.
+_Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_nationkey
+"""
+
+
+@register("q22_global_sales_opportunity", _Q22_ORACLE)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant rich customers (TPC-H Q22 shape): a broadcast scalar
+    aggregate (global average balance) gates the scan, then an anti
+    join against recent orders finds customers with above-average
+    balances and no order in the final fixture year (every fixture
+    customer has SOME order, so 'never ordered' would be vacuous)."""
+    t = load_tables(spark, sf_dir)
+    avg_bal = t.customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        t.customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            t.orders.filter(
+                F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
