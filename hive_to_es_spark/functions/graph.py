@@ -1,0 +1,83 @@
+"""Distributed connected components via iterative min-label
+propagation — the transitive-closure step that turns near-duplicate
+PAIRS into duplicate GROUPS (the last stage of every corpus-dedup
+pipeline: pairs say "a~b, b~c"; the component says "{a,b,c} is one
+document, keep min-id").
+
+Algorithm: every node starts labeled with its own id; each round,
+every node takes the min of its label and its neighbors' labels.
+Converges in O(component diameter) rounds. Per round: one shuffle
+join (edges x labels, keyed on node id) + one min-aggregate — the
+same plan a GraphFrames/Pregel round runs. Driver state per round is
+ONE count (the number of labels that changed), like s6's codebook
+discipline; per-node state never leaves the cluster.
+
+100 TB posture: rounds scale with graph DIAMETER, not size — near-dup
+graphs are shallow (dup clusters are cliques-ish), so <10 rounds in
+practice. `localCheckpoint` truncates the per-round lineage (on a
+real cluster, `checkpoint` to shared storage for fault tolerance).
+The alternating large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) halves round
+count on adversarial chains; min-propagation is preferred here for
+its 1-join round and deterministic output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Label every node with the MINIMUM node id reachable from it.
+
+    `nodes`: one row per node (id_col). `edges`: undirected edge list
+    (src_col, dst_col) — symmetrized internally, so each pair needs to
+    appear only once in either direction.
+
+    Returns (id_col, "component") — component = min reachable id,
+    deterministic. Isolated nodes are their own component. Raises if
+    propagation hasn't converged after max_rounds (graph diameter >
+    max_rounds means the caller should switch to star-contraction).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).union(edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d")))
+
+    labels = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("component"))
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym._s == labels._id)
+            .groupBy("_d")
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        new = (
+            labels.join(nbr_min, labels._id == nbr_min._d, "left")
+            .select(
+                "_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("_nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("component", "_old"), "_id")
+            .filter(F.col("component") != F.col("_old"))
+            .count()
+        )  # the ONLY per-round driver state: one integer
+        labels = new
+        if changed == 0:
+            return labels.select(F.col("_id").alias(id_col), "component")
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_rounds} rounds "
+        "(diameter too large — use star-contraction)"
+    )

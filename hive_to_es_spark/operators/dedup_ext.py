@@ -267,25 +267,14 @@ WHERE list_cosine_similarity(a.ev, b.ev) >= 0.3
 """
 
 
-@register("d6_dedup_lsh_blocked", _D6_ORACLE)
-def d6_dedup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise embedding near-dup over LSH sign buckets — the
-    label-free composition of s4 (bucket) + s2 (blocked pairs) + d5
-    (threshold), i.e. the dedup plan that actually runs on an
-    unlabeled 100 TB corpus.
-
-    Pair expansion is Σ|bucket|², bounded by the 2^bits bucket count
-    (raise bits to shrink blocks; 100 TB would use 16-20 bits and a
-    multi-probe union for recall). Norms are precomputed per vector;
-    cosine is computed once per candidate pair.
-
-    Demo threshold 0.3 (fixture embeddings are diffuse, max within-
-    bucket cosine ~0.43 at sf0.01); a production near-dup gate sits at
-    ~0.95 with the identical plan.
-    """
+def lsh_near_dup_pairs(e: DataFrame, threshold: float) -> DataFrame:
+    """Candidate near-dup pairs over sign-LSH buckets: (id_a, id_b,
+    bucket, cos_raw) with cos_raw >= threshold and id_a < id_b. The
+    shared pair plan for d6 (pair report) and d7 (component closure):
+    bucket equi-join, norms precomputed per vector, cosine computed
+    once per candidate pair."""
     from hive_to_es_spark.operators.similarity import sign_bucket
 
-    e = load_tables(spark, sf_dir).embeddings
     bucketed = e.select(
         "vec_id",
         sign_bucket("embedding").alias("bucket"),
@@ -308,6 +297,92 @@ def d6_dedup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (a.bucket == b.bucket_b) & (a.id_a < b.id_b))
         .select("id_a", "id_b", "bucket", cos.alias("cos_raw"))
-        .filter(F.col("cos_raw") >= 0.3)
-        .select("id_a", "id_b", "bucket", F.round("cos_raw", 6).alias("cos_sim"))
+        .filter(F.col("cos_raw") >= threshold)
+    )
+
+
+@register("d6_dedup_lsh_blocked", _D6_ORACLE)
+def d6_dedup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise embedding near-dup over LSH sign buckets — the
+    label-free composition of s4 (bucket) + s2 (blocked pairs) + d5
+    (threshold), i.e. the dedup plan that actually runs on an
+    unlabeled 100 TB corpus.
+
+    Pair expansion is Σ|bucket|², bounded by the 2^bits bucket count
+    (raise bits to shrink blocks; 100 TB would use 16-20 bits and a
+    multi-probe union for recall).
+
+    Demo threshold 0.3 (fixture embeddings are diffuse, max within-
+    bucket cosine ~0.43 at sf0.01); a production near-dup gate sits at
+    ~0.95 with the identical plan.
+    """
+    e = load_tables(spark, sf_dir).embeddings
+    return lsh_near_dup_pairs(e, 0.3).select(
+        "id_a", "id_b", "bucket", F.round("cos_raw", 6).alias("cos_sim")
+    )
+
+
+# d7 — the dedup ENDGAME: pairs only say "a~b"; deduplication needs
+# transitive GROUPS ("a~b, b~c => {a,b,c} is one document; keep one").
+# Spark side: iterative min-label propagation (functions/graph.py).
+# Oracle side: the same closure as a recursive CTE — reachability from
+# every node, then min reachable id per node. Engine-portable because
+# the pair set under the sign-bucket plan is (proven by d6's oracle).
+# Threshold 0.2 (vs d6's 0.3) so fixture components reach size ~6 and
+# propagation genuinely runs multiple rounds.
+_D7_ORACLE = """
+WITH RECURSIVE bucketed AS (
+  SELECT vec_id,
+         CAST(list_aggregate(
+           list_transform(range(1, 9),
+             j -> CASE WHEN embedding[j] > 0 THEN 2 ** (j - 1) ELSE 0 END),
+           'sum') AS INTEGER) AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.ev, b.ev) >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT vec_id AS id, vec_id AS r FROM embeddings
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT id AS vec_id, min(r) AS component_id,
+       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+@register("d7_dedup_components", _D7_ORACLE)
+def d7_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate groups over LSH near-dup pairs — the
+    composed end-to-end dedup path: d6's blocked pair plan feeds
+    connected components (functions/graph.py min-label propagation);
+    every vector gets its component's min vec_id, `is_canonical` marks
+    the one row per group a dedup job would keep.
+
+    The oracle closes the same graph with a recursive CTE, so this
+    iterative operator is fully value-verified cross-engine (unlike
+    s6, whose float centroids drift across engines, the closure here
+    is integer-exact)."""
+    from hive_to_es_spark.functions.graph import connected_components
+
+    e = load_tables(spark, sf_dir).embeddings
+    pairs = lsh_near_dup_pairs(e, 0.2).select("id_a", "id_b")
+    comp = connected_components(
+        e.select("vec_id"), pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
+    )
+    return comp.select(
+        "vec_id",
+        F.col("component").alias("component_id"),
+        (F.col("component") == F.col("vec_id")).cast("int").alias("is_canonical"),
     )

@@ -258,3 +258,35 @@ def test_ngram_jaccard_hot_shingle_cap_bounds_pairs(spark):
     uncapped = ngram_jaccard_pairs(docs, threshold=0.0, df_cap=10**9)
     assert capped.count() == 0
     assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_connected_components_chain_star_isolated(spark):
+    """Min-label propagation must close a CHAIN transitively (the case
+    pair-level dedup misses: 1~2, 2~3 => {1,2,3} even though 1 and 3
+    never paired), keep disjoint groups apart, and leave isolated
+    nodes as their own component."""
+    from hive_to_es_spark.functions.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id LONG")
+    # chain 1-2-3-4, star 5<-6,7 ; 8 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7)], "src LONG, dst LONG"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_connected_components_diameter_guard(spark):
+    """A graph whose diameter exceeds max_rounds must raise (the
+    star-contraction escape hatch), not return half-propagated labels."""
+    from hive_to_es_spark.functions.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id LONG")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src LONG, dst LONG"
+    )
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(nodes, chain, max_rounds=2)
