@@ -74,6 +74,86 @@ def o3_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
 
 
+def hash_bucket(key, n: int = 100):
+    """Deterministic, engine-portable bucket in [0, n): first 15 hex
+    chars of md5(key-as-string) as a bigint, mod n. The substrate for
+    reproducible sampling/splits: the bucket is a pure function of the
+    KEY, so it survives re-partitioning, reruns, engine swaps, and
+    incremental appends (new rows never perturb old assignments —
+    exactly what o3's PRNG sample cannot promise). Same md5-prefix
+    trick d3 uses; 60 bits keeps both engines in signed-64 range."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint") % n
+    )
+
+
+_O4_ORACLE = """
+SELECT doc_id, bucket
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+WHERE bucket < 5
+"""
+
+
+@register("o4_hash_sample", _O4_ORACLE)
+def o4_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% sample of documents by key-hash bucket —
+    reproducible across engines/runs/partitionings (hash_bucket), so
+    it CAN be fully value-verified, unlike o3's seeded PRNG. Narrow
+    plan: scan + project + filter, no shuffle; at 100 TB the sample
+    rate is a pure scan-side predicate."""
+    d = load_tables(spark, sf_dir).documents
+    return d.select("doc_id", hash_bucket("doc_id").alias("bucket")).filter(
+        F.col("bucket") < 5
+    )
+
+
+_O5_ORACLE = """
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT n_chars,
+         CASE WHEN bucket < 90 THEN 'train'
+              WHEN bucket < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT n_chars,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 100 AS bucket
+    FROM documents
+  )
+)
+GROUP BY split
+"""
+
+
+@register("o5_train_split", _O5_ORACLE)
+def o5_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 90/5/5 train/val/test split over documents with
+    per-split size accounting — the training-data-pipeline form of o4:
+    assignment is a pure function of doc_id (stable under appends; a
+    doc never migrates between splits), the aggregate is a 3-group
+    partial-agg that collapses map-side."""
+    d = load_tables(spark, sf_dir).documents
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.select(split, "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
 _BIG = "SELECT o_orderkey FROM orders WHERE o_totalprice > 400000"
 _URG = "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'"
 

@@ -31,7 +31,8 @@ EXPECTED_KEYS = {
     "w1_order_rank", "w2_running_sum", "w3_lag_lead", "w4_range_frame",
     "w5_ntile_cume", "w6_first_last",
     # sort/limit/sample + set ops
-    "o1_order_limit", "o2_multi_key_sort", "o3_sample",
+    "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
+    "o5_train_split",
     "u1_union_all", "u2_union_distinct", "u3_intersect", "u4_except", "u5_distinct",
     "u6_intersect_except_all",
     # scalar families
