@@ -77,6 +77,36 @@ def tf_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def tf_click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join: every purchase matched to the same
+    user's clicks in the preceding hour (attribution join).
+
+    Both sides watermarked at 1 hour and the join carries an explicit
+    event-time range (click_ts in [purchase_ts - 1h, purchase_ts]), so
+    in stream mode the state store provably evicts: a buffered click
+    older than watermark - 1h can never match a future purchase and is
+    dropped. State per key is bounded by one user's 2-hour event
+    volume — the join scales with event RATE, not stream length. The
+    equi-key (user_id) drives the shuffle; the time range is a
+    residual predicate."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+
+
 _STATE_SCHEMA = "user_id BIGINT, n_events BIGINT, total DOUBLE, last_ts TIMESTAMP"
 
 
@@ -257,3 +287,25 @@ def e7_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful per-user counters — applyInPandas in batch,
     applyInPandasWithState in stream mode (same output contract)."""
     return tf_stateful_counters_batch(load_tables(spark, sf_dir).events)
+
+
+_E8_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       p.ts AS purchase_ts, c.ts AS click_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@register("e8_stream_stream_join", _E8_ORACLE)
+def e8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join (tf_click_purchase_join) on the
+    batch read; stream-mode equivalence is asserted in
+    tests/test_streaming.py with two readStream sides."""
+    ev = load_tables(spark, sf_dir).events
+    return tf_click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

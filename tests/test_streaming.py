@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from hive_to_es_spark.io import read_table
 from hive_to_es_spark.streaming.ops import (
+    tf_click_purchase_join,
     tf_dedup,
     tf_session,
     tf_stateful_counters_stream,
@@ -226,3 +227,26 @@ def test_max_files_per_trigger_bounds_batches(spark, events_dir, tmp_path):
     assert len(batch_ids) >= 3
     n_one_file = spark.read.parquet(os.path.join(src, "f0.parquet")).count()
     assert all(n == n_one_file for _, n in batch_ids)
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir, tmp_path):
+    """Stream-stream inner join (two readStream sides of the same
+    source, split by event_type) must produce exactly the batch
+    pairs. Inner-join rows emit on match; append mode is the only
+    output mode a stream-stream join supports."""
+    batch_df = spark.read.parquet(events_dir)
+    expected = _canon(
+        tf_click_purchase_join(
+            batch_df.filter(F.col("event_type") == "click"),
+            batch_df.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    )
+    assert expected  # fixture must actually produce attribution pairs
+
+    src = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    joined = tf_click_purchase_join(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "purchase"),
+    )
+    got = _canon(_run_available_now(spark, joined, tmp_path, mode="append"))
+    assert got == expected
