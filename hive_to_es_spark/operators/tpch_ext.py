@@ -391,3 +391,324 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# Q8 adapted: single-word p_type ('ECONOMY') for the official
+# three-word type. Shape preserved: 8-relation join, market share =
+# conditional volume / total volume per year.
+_Q8_ORACLE = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", _Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): the widest join in the
+    suite — part, lineitem, orders, customer, supplier, region, and
+    nation twice. Every dimension (part filter, ASIA customers,
+    supplier->nation) broadcasts; only the two facts shuffle. The
+    share is a conditional-sum / sum — one aggregation pass."""
+    t = load_tables(spark, sf_dir)
+    econ_parts = t.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    asia_cust = (
+        t.customer.join(
+            F.broadcast(
+                t.nation.join(
+                    F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+                    t.nation.n_regionkey == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            t.customer.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nat = t.supplier.join(
+        F.broadcast(
+            t.nation.select(
+                F.col("n_nationkey").alias("n2_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        t.supplier.s_nationkey == F.col("n2_key"),
+    ).select("s_suppkey", "supp_nation")
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t.lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(econ_parts), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(asia_cust, orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# Q9 adapted: no partsupp -> supply cost stands in as 50% of
+# p_retailprice; p_name LIKE '%red%' for the official '%green%'.
+_Q9_ORACLE = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.5 * p_retailprice * l_quantity AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@register("q9_product_profit", _Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape): profit = revenue minus
+    cost, grouped by supplier nation x order year. The LIKE filter
+    prunes part first (broadcast), supplier->nation broadcasts, and
+    the amount expression folds into the aggregate's input — one
+    shuffle for the fact-fact join, one for the 25x7-group agg."""
+    t = load_tables(spark, sf_dir)
+    parts = t.part.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nat = t.supplier.join(
+        F.broadcast(t.nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        t.supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        t.lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+# Q11 adapted: no partsupp -> a part's "stock value" is its observed
+# lineitem revenue. Shape preserved: grouped value per part compared
+# against a scalar-subquery fraction of the global total. Per-part
+# values are rounded to 2dp BEFORE the threshold compare so both
+# engines apply the cutoff to identical numbers.
+_Q11_ORACLE = """
+WITH pv AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM pv, (SELECT sum(part_value) AS tv FROM pv) total
+WHERE part_value > 0.0007 * tv
+"""
+
+
+@register("q11_important_stock", _Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape): per-part
+    value vs a scalar fraction of the global total. The global total
+    re-aggregates the (already small) per-part aggregate and broadcasts
+    as a 1-row cross join — the fact table is read once."""
+    li = load_tables(spark, sf_dir).lineitem
+    pv = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "part_value"
+        )
+    )
+    total = pv.agg(F.sum("part_value").alias("tv"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.0007 * F.col("tv"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# Q13 adapted: no o_comment -> "special" orders excluded by priority
+# instead of the comment regex. Shape preserved: left outer join,
+# per-customer count (zeros kept), then the count-of-counts histogram.
+_Q13_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", _Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): the
+    double aggregation — LEFT join keeps order-less customers (their
+    count(o_orderkey) is 0, counting only non-nulls), first groupBy
+    is per-customer, second collapses to the tiny histogram."""
+    t = load_tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        t.customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+# Q15: top supplier by quarterly revenue. Revenue is rounded to 2dp
+# before the max-equality compare (same rule both engines).
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", _Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): the view-then-max pattern. The
+    quarterly revenue aggregate plays the view; its max broadcasts as
+    a 1-row cross join back onto itself (ties kept, per spec); the
+    supplier dim broadcasts onto the (tiny) winner set."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# Q20 adapted: no partsupp/availqty -> a supplier "has excess stock"
+# of a part when it shipped > 40 units of that red-prefixed part in
+# 1996 (p_name LIKE 'red%' mirrors the official 'forest%' prefix).
+# Shape preserved: nested IN-subqueries decorrelating to a grouped-
+# HAVING subquery + two semi joins.
+_Q20_ORACLE = """
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 40
+)
+AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1')
+"""
+
+
+@register("q20_excess_stock", _Q20_ORACLE)
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-stock suppliers (TPC-H Q20 shape): both IN-subqueries
+    become left-semi joins — the inner one against a grouped-HAVING
+    aggregate (per supplier x part shipped quantity), the outer
+    against the 1-nation dim. Nothing correlated runs per row."""
+    t = load_tables(spark, sf_dir)
+    brand_parts = t.part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    qualifying = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    nation1 = t.nation.filter(F.col("n_name") == "NATION_1").select("n_nationkey")
+    return (
+        t.supplier.join(
+            F.broadcast(nation1),
+            t.supplier.s_nationkey == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )

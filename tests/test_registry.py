@@ -23,6 +23,8 @@ EXPECTED_KEYS = {
     "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
     "q12_shipmode_priority", "q16_supplier_variety", "q19_disjunctive_revenue",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
+    "q8_market_share", "q9_product_profit", "q11_important_stock",
+    "q13_customer_distribution", "q15_top_supplier", "q20_excess_stock",
     # aggregates
     "a1_hash_agg", "a2_distinct_agg", "a3_global_agg", "a4_grouping_sets",
     "a5_rollup", "a6_cube", "a7_having", "a8_approx_distinct", "a9_stats_agg",
