@@ -359,3 +359,89 @@ def p9_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(was_updated).alias("n_updated"),
         )
     )
+
+
+# p10 — the composed corpus-cleaning pipeline in ONE declarative plan:
+# quality gate (t4's formula) -> exact dedup keeping the min doc_id per
+# normalized-text hash -> reproducible hash split (o5) -> per-(split,
+# lang) accounting. Every stage is a SQL-expressible transformation, so
+# the WHOLE pipeline is value-verified end-to-end.
+_P10_ORACLE = """
+WITH feats AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         round(0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+             + 0.3 * (1.0 - round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                  / n_chars, 6))
+             + 0.3 * least(round(CAST(len(list_filter(string_split(text, ' '),
+                        w -> list_contains(['a','the','of','and','in','to','is','on','for','with'], w))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) * 5.0, 1.0), 6) AS quality
+  FROM documents
+),
+kept AS (SELECT * FROM feats WHERE quality >= 0.5),
+dedup AS (
+  SELECT doc_id, lang, n_tokens, quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+    FROM kept
+  ) ranked WHERE rn = 1
+),
+assigned AS (
+  SELECT lang, n_tokens, quality,
+         CASE WHEN bucket < 90 THEN 'train'
+              WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 100 AS bucket
+    FROM dedup
+  ) bucketed
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM assigned GROUP BY split, lang
+"""
+
+
+@register("p10_corpus_pipeline", _P10_ORACLE)
+def p10_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning as one Catalyst plan:
+    quality gate (quality_expr, t4's formula) -> exact dedup keeping
+    the min doc_id per md5(lower(text)) -> deterministic 90/5/5 hash
+    split (hash_bucket, o5) -> per-(split, lang) doc/token/quality
+    accounting.
+
+    Plan shape at 100 TB: the quality gate is scan-side expression
+    work; dedup is ONE hash-partitioned window (partitioned by the
+    16-byte digest — never a global sort, and only the digest + doc
+    metadata shuffle); split assignment is a pure projection; the
+    final agg has split x lang = 15 groups, collapsing map-side. The
+    fixture has no exact dups, so the window is pass-through here —
+    the keep-min-id semantics are proven with injected duplicates in
+    tests/test_pipeline.py (the e5 pattern)."""
+    from hive_to_es_spark.operators.sort_set import hash_bucket
+    from hive_to_es_spark.operators.text_ext import quality_expr
+
+    d = load_tables(spark, sf_dir).documents
+    quality, n_tokens = quality_expr()
+    feats = d.select(
+        "doc_id", "lang", "text",
+        n_tokens.alias("n_tokens"), quality.alias("quality"),
+    )
+    kept = feats.filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")
+    dedup = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "text")
+    )
+    b = hash_bucket("doc_id")
+    split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    return (
+        dedup.select(split.alias("split"), "lang", "n_tokens", "quality")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )

@@ -49,13 +49,11 @@ GROUP BY lang, tier
 """
 
 
-@register("t4_quality_score", _T4_ORACLE)
-def t4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality scoring: length, punctuation and stopword
-    ratios combined into one bounded score, bucketed per language —
-    the standard keep/drop gate of corpus cleaning."""
-    d = load_tables(spark, sf_dir).documents
-    tokens = F.split("text", " ")
+def quality_expr(text_col: str = "text", n_chars_col: str = "n_chars"):
+    """(quality, n_tokens) column pair — the t4 scoring formula,
+    shared verbatim by t4 and the p10 composed pipeline so both carry
+    the identical keep/drop gate (and the identical oracle SQL)."""
+    tokens = F.split(text_col, " ")
     n_tokens = F.size(tokens)
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     stopword_ratio = F.round(
@@ -64,7 +62,8 @@ def t4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     punct_ratio = F.round(
-        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double") / F.col("n_chars"),
+        F.length(F.regexp_replace(text_col, "[a-z0-9 ]", "")).cast("double")
+        / F.col(n_chars_col),
         6,
     )
     quality = F.round(
@@ -73,6 +72,17 @@ def t4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * F.least(stopword_ratio * 5.0, F.lit(1.0)),
         6,
     )
+    return quality, n_tokens
+
+
+@register("t4_quality_score", _T4_ORACLE)
+def t4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, punctuation and stopword
+    ratios combined into one bounded score, bucketed per language —
+    the standard keep/drop gate of corpus cleaning."""
+    d = load_tables(spark, sf_dir).documents
+    n_tokens = F.size(F.split("text", " "))
+    quality, _ = quality_expr()
     tier = (
         F.when(quality >= 0.7, "high").when(quality >= 0.5, "mid").otherwise("low")
     )

@@ -118,3 +118,26 @@ def test_partitioned_sink_layout(spark, sf_dir, tmp_path):
     assert len(subdirs) >= 2  # orders span multiple years
     back = spark.read.parquet(job.sink_path).filter(F.col("year") == 2000)
     assert back.count() > 0
+
+
+def test_p10_dedup_keeps_min_doc_id(spark, tmp_path):
+    """p10's dedup stage must keep the MIN doc_id per duplicated text
+    (the fixture has no exact dups, so this injects them — e5's
+    pattern). doc_id 9 hash-buckets to 'test' (95) and doc_id 10 to
+    'train' (57); both carry the same text, so if min-id survives the
+    doc lands in the test split, and a max-id (or nondeterministic)
+    survivor would land in train instead."""
+    from hive_to_es_spark.registry import queries
+
+    text = "the quick brown fox jumps over the lazy dog and runs on to the hill " * 4
+    text = text.strip()
+    docs = spark.createDataFrame(
+        [(9, text, "en", "web", len(text)), (10, text, "en", "web", len(text))],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    sf_dir = str(tmp_path / "mini_sf")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    rows = queries()["p10_corpus_pipeline"](spark, sf_dir).collect()
+    by_split = {r.split: r.n_docs for r in rows}
+    assert by_split == {"test": 1}  # dedup happened AND min doc_id (9) survived
