@@ -47,9 +47,14 @@ def connected_components(
     propagation hasn't converged after max_rounds (graph diameter >
     max_rounds means the caller should switch to star-contraction).
     """
-    sym = edges.select(
-        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).union(edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d")))
+    # Materialize the symmetrized edge list ONCE — it is joined every
+    # round, and without this the upstream plan (e.g. d7's LSH pair
+    # generation) would re-execute per round.
+    sym = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .union(edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d")))
+        .localCheckpoint(eager=True)
+    )
 
     labels = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("component"))
     for _ in range(max_rounds):
@@ -58,23 +63,25 @@ def connected_components(
             .groupBy("_d")
             .agg(F.min("component").alias("_nbr_min"))
         )
+        # One cluster action per round: the lazy localCheckpoint
+        # (lineage truncation) materializes under the changed-count
+        # job, and carrying _old in the checkpointed frame means the
+        # count needs no second join against the previous labels.
         new = (
             labels.join(nbr_min, labels._id == nbr_min._d, "left")
             .select(
                 "_id",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"),
                     F.coalesce("_nbr_min", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)  # truncate per-round lineage
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("component", "_old"), "_id")
-            .filter(F.col("component") != F.col("_old"))
-            .count()
-        )  # the ONLY per-round driver state: one integer
-        labels = new
+        changed = new.filter(F.col("component") != F.col("_old")).count()
+        # the ONLY per-round driver state: one integer
+        labels = new.select("_id", "component")
         if changed == 0:
             return labels.select(F.col("_id").alias(id_col), "component")
     raise RuntimeError(
