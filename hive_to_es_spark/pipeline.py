@@ -132,3 +132,22 @@ def run_jobs(spark: SparkSession, sf_dir: str, jobs: list[Job]) -> DataFrame:
         df = run_job(spark, sf_dir, job)
         rows.append((job.name, df.count()))
     return spark.createDataFrame(rows, "job_name string, n_rows long")
+
+
+def jobs_from_config(config: dict) -> list[Job]:
+    """Parse the reference-style config dict ({"jobs": [{...}, ...]})
+    into Job specs. JSON-friendly types only; unknown keys are
+    rejected loudly (a typo'd config field silently ignored is how
+    sync jobs ship wrong data)."""
+    valid = set(Job.__dataclass_fields__)
+    jobs = []
+    for j in config.get("jobs", []):
+        unknown = set(j) - valid
+        if unknown:
+            raise ValueError(f"job {j.get('name', '?')!r}: unknown config keys {sorted(unknown)}")
+        if "partition_by" in j:
+            j = {**j, "partition_by": tuple(j["partition_by"])}
+        jobs.append(Job(**j))
+    if not jobs:
+        raise ValueError("config has no jobs")
+    return jobs

@@ -141,3 +141,45 @@ def test_p10_dedup_keeps_min_doc_id(spark, tmp_path):
     rows = queries()["p10_corpus_pipeline"](spark, sf_dir).collect()
     by_split = {r.split: r.n_docs for r in rows}
     assert by_split == {"test": 1}  # dedup happened AND min doc_id (9) survived
+
+
+def test_jobs_from_config_and_cli_roundtrip(spark, sf_dir, tmp_path):
+    """The reference invocation shape: a JSON config file -> jobs ->
+    sinks. Unknown config keys must fail loudly, and the parsed jobs
+    must run end to end with the declared projection."""
+    import json
+
+    from hive_to_es_spark.pipeline import jobs_from_config, run_jobs
+
+    cfg = {
+        "jobs": [
+            {
+                "name": "orders_full",
+                "source_table": "orders",
+                "columns": {"order_id": "o_orderkey", "amount": "o_totalprice"},
+                "id_column": "order_id",
+                "sink_path": str(tmp_path / "orders_full"),
+            },
+            {
+                "name": "orders_incr",
+                "source_table": "orders",
+                "incremental_filter": "o_totalprice > 400000",
+                "columns": {"order_id": "o_orderkey"},
+                "sink_path": str(tmp_path / "orders_incr"),
+            },
+        ]
+    }
+    jobs = jobs_from_config(cfg)
+    summary = {r.job_name: r.n_rows for r in run_jobs(spark, sf_dir, jobs).collect()}
+    n_orders = spark.read.parquet(str(tmp_path / "orders_full")).count()
+    assert summary["orders_full"] == n_orders > 0
+    assert 0 < summary["orders_incr"] < n_orders
+    back = spark.read.parquet(str(tmp_path / "orders_full"))
+    assert set(back.columns) == {"order_id", "amount", "_id"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown config keys"):
+        jobs_from_config({"jobs": [{"name": "x", "source_tble": "orders"}]})
+    with _pytest.raises(ValueError, match="no jobs"):
+        jobs_from_config({})
