@@ -386,3 +386,101 @@ def d7_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("component_id"),
         (F.col("component") == F.col("vec_id")).cast("int").alias("is_canonical"),
     )
+
+
+# d8 — MinHash-LSH with an ENGINE-PORTABLE hash family, closing the
+# gap d2 must leave open: pyspark.ml's MinHashLSH signatures are
+# engine-specific (rows-only forever), but the same algorithm built
+# from salted md5-prefix hashes (d3's trick) is value-verifiable in
+# DuckDB down to every signature component. 8 hash functions, banded
+# 8x1 (threshold ~ (1/b)^(1/r): high-recall candidate generation);
+# estimated Jaccard = matching-component fraction, gated at 0.25.
+_D8_N_HASHES = 8
+_D8_SHINGLE_SQL = """
+SELECT doc_id, unnest(list_distinct(
+  list_transform(
+    range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+    i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                        string_split(lower(text), ' ')[i+1],
+                        string_split(lower(text), ' ')[i+2])
+  ))) AS w
+FROM documents
+"""
+_D8_ORACLE = f"""
+WITH shingles AS ({_D8_SHINGLE_SQL}),
+mh AS (
+  SELECT doc_id,
+    {', '.join(f"min(CAST(concat('0x', substr(md5(concat('s{i}|', w)), 1, 15)) AS BIGINT)) AS mh{i}" for i in range(_D8_N_HASHES))}
+  FROM shingles GROUP BY doc_id
+),
+bands AS ({' UNION ALL '.join(f"SELECT doc_id, {i} AS band, mh{i} AS mh FROM mh" for i in range(_D8_N_HASHES))}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.mh = y.mh AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b,
+       ({' + '.join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(_D8_N_HASHES))}) / {_D8_N_HASHES}.0 AS est_jaccard
+FROM cand JOIN mh a ON id_a = a.doc_id JOIN mh b ON id_b = b.doc_id
+WHERE ({' + '.join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(_D8_N_HASHES))}) / {_D8_N_HASHES}.0 >= 0.25
+"""
+
+
+@register("d8_dedup_minhash_portable", _D8_ORACLE)
+def d8_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates with salted md5-prefix hashes —
+    the d2 algorithm (shingle -> minhash signature -> banded bucket
+    join) rebuilt from engine-portable primitives so the WHOLE path,
+    signatures included, hash-verifies against DuckDB.
+
+    Plan shape (identical cost model to d2): one explode + 8-way min
+    aggregate per doc (map-side partial), an 8x1-banded self equi-join
+    on (band, minhash) — candidates only ever come from shared
+    buckets, never all-pairs — and a signature re-join to estimate
+    Jaccard as the matching-component fraction. At 100 TB you raise
+    the hash count / rows-per-band to move the S-curve; the plan is
+    unchanged."""
+    d = load_tables(spark, sf_dir).documents
+    shingles = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("w")
+    )
+    def h(i):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"s{i}|"), F.col("w"))), 1, 15), 16, 10
+        ).cast("bigint")
+
+    mh = shingles.groupBy("doc_id").agg(
+        *[F.min(h(i)).alias(f"mh{i}") for i in range(_D8_N_HASHES)]
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("mh"))
+                    for i in range(_D8_N_HASHES)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.mh")
+    x = bands.select(F.col("doc_id").alias("id_a"), "band", "mh")
+    y = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("band").alias("band_y"), F.col("mh").alias("mh_y")
+    )
+    cand = (
+        x.join(y, (x.band == y.band_y) & (x.mh == y.mh_y) & (x.id_a < y.id_b))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = mh.select(F.col("doc_id").alias("a_id"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_D8_N_HASHES)])
+    b = mh.select(F.col("doc_id").alias("b_id"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_D8_N_HASHES)])
+    matches = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_D8_N_HASHES)),
+        F.lit(0),
+    )
+    return (
+        cand.join(a, cand.id_a == a.a_id)
+        .join(b, cand.id_b == b.b_id)
+        .select("id_a", "id_b", (matches / float(_D8_N_HASHES)).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.25)
+    )

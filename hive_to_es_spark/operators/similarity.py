@@ -431,3 +431,65 @@ def s6_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"), F.round(F.sum("d2"), 6).alias("inertia"))
         .orderBy("cluster")
     )
+
+
+# s7 — the batch serving shape: a whole TABLE of queries against the
+# corpus in one plan (s1 is one query; s4/s5 are bucketed). Queries =
+# every 50th vector; corpus = the rest. Top-3 per query by rounded
+# cosine, id tiebreak (the s1/s2 determinism rule).
+_S7_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings WHERE vec_id % 50 <> 0
+),
+pairs AS (
+  SELECT query_id, vec_id,
+         round(list_cosine_similarity(ev, qv), 6) AS cos_sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, vec_id, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM pairs
+) ranked
+WHERE rn <= 3
+"""
+
+
+@register("s7_knn_batch", _S7_ORACLE)
+def s7_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join: top-3 cosine neighbors for EVERY query vector
+    in one pass over the corpus.
+
+    The query set broadcasts (bounded serving batch); the corpus scan
+    stays fully parallel and is read ONCE for all queries — cost is
+    O(|corpus| x |batch|) flops but |corpus| x 1 I/O. The per-query
+    top-k is a window that Spark executes as WindowGroupLimit (partial
+    top-k before the shuffle). For corpus-x-corpus (not batch) use
+    s2/s4's bucketed forms instead."""
+    e = load_tables(spark, sf_dir).embeddings
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        _dbl("embedding").alias("qv"),
+        _norm(_dbl("embedding")).alias("nq"),
+    )
+    c = e.filter(F.col("vec_id") % 50 != 0).select(
+        "vec_id", _dbl("embedding").alias("ev"), _norm(_dbl("embedding")).alias("nc")
+    )
+    cos = _dot(F.col("ev"), F.col("qv")) / (F.col("nc") * F.col("nq"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

@@ -50,8 +50,9 @@ EXPECTED_KEYS = {
     "m1_multimodal_cols", "m2_media_decode",
     # LLM pipeline extensions (training-data set beyond SURVEY §2)
     "d3_dedup_simhash", "d4_dedup_ngram_jaccard", "d5_dedup_embedding",
-    "d6_dedup_lsh_blocked", "d7_dedup_components",
-    "s4_ann_lsh", "s5_ann_ivf", "s6_kmeans_refine", "t4_quality_score", "t5_token_count_bpe",
+    "d6_dedup_lsh_blocked", "d7_dedup_components", "d8_dedup_minhash_portable",
+    "s4_ann_lsh", "s5_ann_ivf", "s6_kmeans_refine", "s7_knn_batch",
+    "t4_quality_score", "t5_token_count_bpe",
     "t6_fingerprint", "t7_langid_ngram",
     # UDF surface
     "g1_scalar_pandas_udf", "g2_grouped_map", "g3_grouped_agg_udaf", "g4_udtf",
