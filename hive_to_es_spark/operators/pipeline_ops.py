@@ -445,3 +445,68 @@ def p10_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 6).alias("avg_quality"),
         )
     )
+
+
+# p11 — incremental dedup against a PERSISTED hash index: the
+# production corpus-growth pattern (each sync batch is checked against
+# the hashes of everything already ingested; only unseen content is
+# appended, and the index grows by exactly the accepted docs).
+# Fixture split: "already ingested" = doc_id < 250; the incoming batch
+# re-delivers 200-249 (overlap — realistic at-least-once delivery)
+# plus the genuinely new 250+. The oracle expresses the same logic
+# with no file state: an anti join on content hash.
+_P11_ORACLE = """
+WITH existing AS (
+  SELECT DISTINCT md5(lower(text)) AS h FROM documents WHERE doc_id < 250
+),
+incoming AS (
+  SELECT doc_id, md5(lower(text)) AS content_hash
+  FROM documents WHERE doc_id >= 200
+),
+batch_first AS (
+  SELECT doc_id, content_hash FROM (
+    SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+    FROM incoming
+  ) r WHERE rn = 1
+)
+SELECT doc_id, content_hash
+FROM batch_first
+WHERE content_hash NOT IN (SELECT h FROM existing)
+"""
+
+
+@register("p11_incremental_dedup", _P11_ORACLE)
+def p11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup via a persisted content-hash index: write the
+    index of already-ingested docs to parquet, then accept from the
+    incoming batch only (a) the first occurrence of each content hash
+    within the batch (min doc_id window — a batch can self-duplicate)
+    and (b) hashes absent from the read-back index (left-anti join).
+
+    Scale posture: the index holds 16-byte digests, not documents —
+    at 100 TB of corpus it is ~1/1000th the data, partitioned by hash;
+    the anti join shuffles digests only, and the accepted set is
+    appended back to the same index (the p9 merge path)."""
+    d = load_tables(spark, sf_dir).documents
+    h = F.md5(F.lower("text"))
+    index_path = os.path.join(TMP_ROOT, "p11_hash_index")
+    (
+        d.filter(F.col("doc_id") < 250)
+        .select(h.alias("h"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    incoming = d.filter(F.col("doc_id") >= 200).select(
+        "doc_id", h.alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    batch_first = (
+        incoming.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    index = spark.read.parquet(index_path)
+    return batch_first.join(
+        index, batch_first.content_hash == index.h, "left_anti"
+    )

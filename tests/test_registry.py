@@ -11,7 +11,7 @@ EXPECTED_KEYS = {
     # pipeline
     "p1_full_scan", "p2_incremental_filter", "p3_project_rename", "p4_doc_id",
     "p5_type_to_json", "p6_batching", "p7_sink_es", "p8_job_config",
-    "p9_incremental_upsert", "p10_corpus_pipeline",
+    "p9_incremental_upsert", "p10_corpus_pipeline", "p11_incremental_dedup",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip",
     # filters
     "f1_pred_basic", "f2_pred_null", "f3_pred_like", "f4_pred_between_in",
