@@ -586,3 +586,39 @@ def q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# j12 — the skew-mitigation join as a registered, value-verified
+# operator: output must be ROW-IDENTICAL to the plain join, so the
+# oracle is simply the UNSALTED SQL join. What's being verified is the
+# salting transform's correctness (fact salt + dim explode cancel out
+# exactly), not a new semantics.
+_J12_ORACLE = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("j12_salted_skew_join", _J12_ORACLE)
+def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join (functions/skew.py): the structural fix
+    for single-key skew that AQE cannot split (one key's rows exceed a
+    task). Fact rows get a random salt in [0,16); the dim explodes 16x
+    so every salted key still matches; the hot key's rows spread over
+    16 tasks. The aggregate proves row-identity with the plain join —
+    same oracle as an unsalted e6-style join."""
+    from hive_to_es_spark.functions.skew import explode_dim, salt_fact, SALT_COL
+
+    t = load_tables(spark, sf_dir)
+    fact = salt_fact(
+        t.events.select(F.col("user_id").alias("c_custkey"), "value"), 16
+    )
+    dim = explode_dim(t.customer.select("c_custkey", "c_mktsegment"), 16)
+    joined = fact.join(F.broadcast(dim), ["c_custkey", SALT_COL], "inner")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )

@@ -510,3 +510,40 @@ def p11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_first.join(
         index, batch_first.content_hash == index.h, "left_anti"
     )
+
+
+# b3 — partition pruning as a first-class, value-verified op: a date-
+# partitioned sink (Hive-style year=YYYY directories) read back with a
+# partition filter must scan ONLY the matching directory. The oracle
+# computes the same aggregate from the unpartitioned source.
+_B3_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE year(o_orderdate) = 1998
+GROUP BY o_orderstatus
+"""
+
+
+@register("b3_partition_pruning", _B3_ORACLE)
+def b3_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + pruned read-back: orders written
+    partitionBy(year), re-read with year = 1998 — Spark's partition
+    discovery turns the filter into directory pruning (PartitionFilters
+    in the scan, asserted in tests/test_plans.py), so the other years'
+    files are never opened. The aggregate value-checks the roundtrip
+    against the unpartitioned source."""
+    o = load_tables(spark, sf_dir).orders
+    path = os.path.join(TMP_ROOT, "b3_orders_by_year")
+    (
+        o.withColumn("year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("year") == 1998)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

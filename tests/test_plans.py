@@ -154,3 +154,10 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_li_b")
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir):
+    """b3's year filter must become a partition filter on the read-back
+    scan (directory pruning), not a post-scan row filter."""
+    plan = _plan(spark, sf_dir, "b3_partition_pruning")
+    assert "PartitionFilters" in plan and "year" in plan

@@ -12,6 +12,7 @@ EXPECTED_KEYS = {
     "p1_full_scan", "p2_incremental_filter", "p3_project_rename", "p4_doc_id",
     "p5_type_to_json", "p6_batching", "p7_sink_es", "p8_job_config",
     "p9_incremental_upsert", "p10_corpus_pipeline", "p11_incremental_dedup",
+    "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip",
     # filters
     "f1_pred_basic", "f2_pred_null", "f3_pred_like", "f4_pred_between_in",
@@ -19,7 +20,7 @@ EXPECTED_KEYS = {
     # joins
     "j1_inner_equi", "j2_left_right_outer", "j3_full_outer", "j4_semi", "j5_anti",
     "j6_broadcast", "j7_cross", "j8_theta_range", "j9_asof", "j10_interval_overlap",
-    "j11_multiway", "q3_shipping_priority", "q2_min_cost", "q4_order_priority", "q10_returned_items", "q14_promo_revenue", "q17_small_quantity", "q18_large_orders",
+    "j11_multiway", "j12_salted_skew_join", "q3_shipping_priority", "q2_min_cost", "q4_order_priority", "q10_returned_items", "q14_promo_revenue", "q17_small_quantity", "q18_large_orders",
     "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
     "q12_shipmode_priority", "q16_supplier_variety", "q19_disjunctive_revenue",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
