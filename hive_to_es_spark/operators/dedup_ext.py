@@ -484,3 +484,71 @@ def d8_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", (matches / float(_D8_N_HASHES)).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.25)
     )
+
+
+# d9 — the TEXT-side dedup endgame (d7 is the embedding-side twin):
+# d4's exact n-gram Jaccard pairs closed into transitive duplicate
+# groups. Keep-min-id per component = the surviving corpus.
+_D9_ORACLE = f"""
+WITH RECURSIVE sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+      i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                          string_split(lower(text), ' ')[i+1],
+                          string_split(lower(text), ' ')[i+2])
+    ))) AS shingle
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT id AS doc_id, min(r) AS group_id,
+       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+@register("d9_text_dup_groups", _D9_ORACLE)
+def d9_text_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive text-duplicate groups: d4's shingle-blocked Jaccard
+    pairs (threshold 0.2, df-capped) closed into components by the
+    same min-label propagation d7 uses on embedding pairs — the
+    text-side dedup endgame. `is_canonical` marks the min-doc_id
+    survivor per group; the oracle closes the identical pair graph
+    with a recursive CTE (integer-exact)."""
+    from hive_to_es_spark.functions.graph import connected_components
+
+    d = load_tables(spark, sf_dir).documents
+    pairs = ngram_jaccard_pairs(d, threshold=0.2).select("doc_a", "doc_b")
+    comp = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return comp.select(
+        "doc_id",
+        F.col("component").alias("group_id"),
+        (F.col("component") == F.col("doc_id")).cast("int").alias("is_canonical"),
+    )
