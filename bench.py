@@ -56,6 +56,8 @@ EXTENSION = [
     "q8_market_share",
     "d7_dedup_components",
     "p10_corpus_pipeline",
+    "d8_dedup_minhash_portable",
+    "d9_text_dup_groups",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,7 +67,7 @@ N_RUNS = 3
 # propagation executes jobs before the final collect), so build-once
 # timing would count only the last read. These rebuild inside the
 # timed section — the whole iteration is what the number means.
-EAGER_BUILD = {"d7_dedup_components"}
+EAGER_BUILD = {"d7_dedup_components", "d9_text_dup_groups"}
 
 
 def _bench_one(spark, qs, name: str) -> float:
