@@ -267,3 +267,27 @@ def a12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, ["F", "O", "P"])
     )
+
+
+# a13 — the boolean-aggregate family: count_if / bool_and / bool_or
+# (ANSI EVERY/ANY). DuckDB spells count_if as a FILTER clause.
+_A13_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) FILTER (WHERE o_totalprice > 300000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("a13_bool_agg", _A13_ORACLE)
+def a13_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: count_if, bool_and (EVERY),
+    bool_or (ANY) — predicate folding into the aggregate, one pass,
+    map-side partial like any hash agg."""
+    o = load_tables(spark, sf_dir).orders
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 300000).cast("bigint").alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+    )

@@ -362,3 +362,37 @@ def x9_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.col("s"), F.lit(0)), 2).alias("total"),
         )
     )
+
+
+# x10 — bitwise surface: scalar shifts/and/or/xor plus the bit_*
+# AGGREGATES (fold a column of masks into one mask — feature-flag /
+# bitmap-index accounting). Spark names: shiftleft / bit_and agg;
+# DuckDB: << and bit_and/bit_or/bit_xor aggregates (same semantics on
+# signed 64-bit).
+_X10_ORACLE = """
+SELECT l_linenumber,
+       CAST(count(*) AS BIGINT) AS n,
+       bit_and(CAST(l_orderkey AS BIGINT)) AS mask_and,
+       bit_or(CAST(l_orderkey AS BIGINT)) AS mask_or,
+       bit_xor(CAST(l_orderkey AS BIGINT)) AS mask_xor,
+       CAST(min(l_orderkey * 8 + l_linenumber) AS BIGINT) AS min_packed
+FROM lineitem
+GROUP BY l_linenumber
+"""
+
+
+@register("x10_bitwise", _X10_ORACLE)
+def x10_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: bit_and/bit_or/bit_xor aggregates over the key
+    column plus a shiftleft-packed composite (key*8+line == key<<3 |
+    line — the bitmap/flag-mask accounting surface). All codegen'd
+    integer ops; the aggregate is a standard two-phase hash agg."""
+    li = load_tables(spark, sf_dir).lineitem
+    packed = F.shiftleft(F.col("l_orderkey"), 3).bitwiseOR(F.col("l_linenumber"))
+    return li.groupBy("l_linenumber").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.bit_and(F.col("l_orderkey").cast("bigint")).alias("mask_and"),
+        F.bit_or(F.col("l_orderkey").cast("bigint")).alias("mask_or"),
+        F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("mask_xor"),
+        F.min(packed).cast("bigint").alias("min_packed"),
+    )

@@ -29,7 +29,7 @@ EXPECTED_KEYS = {
     # aggregates
     "a1_hash_agg", "a2_distinct_agg", "a3_global_agg", "a4_grouping_sets",
     "a5_rollup", "a6_cube", "a7_having", "a8_approx_distinct", "a9_stats_agg",
-    "a10_collect", "a11_min_max_by", "a12_pivot",
+    "a10_collect", "a11_min_max_by", "a12_pivot", "a13_bool_agg",
     # windows
     "w1_order_rank", "w2_running_sum", "w3_lag_lead", "w4_range_frame",
     "w5_ntile_cume", "w6_first_last",
@@ -40,7 +40,7 @@ EXPECTED_KEYS = {
     "u6_intersect_except_all",
     # scalar families
     "x1_string", "x2_date", "x3_math", "x4_array", "x5_map", "x6_json",
-    "x7_cast_coalesce", "x8_hash", "x9_recursive_cte",
+    "x7_cast_coalesce", "x8_hash", "x9_recursive_cte", "x10_bitwise",
     # streaming
     "e1_tumbling", "e2_sliding", "e3_session", "e4_watermark_late",
     "e5_stream_dedup", "e6_stream_static_join", "e7_stateful_custom",
