@@ -552,8 +552,8 @@ WITH pv AS (
   FROM lineitem GROUP BY l_partkey
 )
 SELECT l_partkey, part_value
-FROM pv, (SELECT sum(part_value) AS tv FROM pv) total
-WHERE part_value > 0.0007 * tv
+FROM pv, (SELECT sum(part_value) AS tv, count(*) AS np FROM pv) total
+WHERE part_value > 1.4 * tv / np
 """
 
 
@@ -569,10 +569,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_value"
         )
     )
-    total = pv.agg(F.sum("part_value").alias("tv"))
+    total = pv.agg(F.sum("part_value").alias("tv"), F.count("*").alias("np"))
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > 0.0007 * F.col("tv"))
+        .filter(F.col("part_value") > 1.4 * F.col("tv") / F.col("np"))
         .select("l_partkey", "part_value")
     )
 
