@@ -291,3 +291,41 @@ def a13_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
     )
+
+
+# a14 — UNPIVOT (wide -> long reshape, the inverse of a12). Oracle:
+# the relational spelling (UNION ALL of one select per measure).
+_A14_ORACLE = """
+SELECT measure, CAST(count(*) AS BIGINT) AS n,
+       round(sum(v), 2) AS total, round(avg(v), 6) AS mean
+FROM (
+  SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem
+  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+  UNION ALL SELECT 'tax', l_tax FROM lineitem
+) long
+GROUP BY measure
+"""
+
+
+@register("a14_unpivot", _A14_ORACLE)
+def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: lineitem's four numeric measures reshaped to
+    (measure, value) long form, then profiled per measure — the
+    feature-statistics pass every dataset audit runs. Spark's unpivot
+    is a zero-shuffle narrow expansion (each row emits 4); the agg is
+    a 4-group two-phase hash agg."""
+    li = load_tables(spark, sf_dir).lineitem
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "v",
+    ).select(
+        F.expr("substring(measure, 3)").alias("measure"), "v"
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.round(F.avg("v"), 6).alias("mean"),
+    )
