@@ -67,6 +67,11 @@ def connected_components(
         # (lineage truncation) materializes under the changed-count
         # job, and carrying _old in the checkpointed frame means the
         # count needs no second join against the previous labels.
+        # (Pointer jumping — label <- label-of-label for O(log d)
+        # rounds — was measured SLOWER here: near-dup components are
+        # shallow cliques, so rounds are already ~3 and the extra
+        # self-join per round is pure overhead. Worth revisiting only
+        # for deep-chain graphs.)
         new = (
             labels.join(nbr_min, labels._id == nbr_min._d, "left")
             .select(
