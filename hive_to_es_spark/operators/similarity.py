@@ -493,3 +493,64 @@ def s7_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# s8 — int8 scalar-quantized kNN: the memory-bandwidth optimization
+# every large-scale ANN system runs (4x less data scanned per vector
+# vs float32; at 100 TB the scan is bandwidth-bound, so quantization
+# IS the speedup). Per-vector symmetric quantization q = round(x *
+# 127 / max|x|); scores are integer dots (exact in doubles), so the
+# whole path is deterministic and fully oracle-able — the recall loss
+# vs exact float cosine is bounded and asserted in tests.
+_S8_ORACLE = """
+WITH quant AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+           list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS BIGINT)) AS q
+  FROM embeddings
+),
+qd AS (
+  SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qv,
+         sqrt(list_dot_product(list_transform(q, x -> CAST(x AS DOUBLE)),
+                               list_transform(q, x -> CAST(x AS DOUBLE)))) AS nrm
+  FROM quant
+),
+target AS (SELECT qv AS tv, nrm AS tn FROM qd WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(qv, tv) / (nrm * tn), 6) AS qcos
+FROM qd, target
+ORDER BY qcos DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register("s8_knn_quantized", _S8_ORACLE)
+def s8_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine on int8-quantized vectors (symmetric per-vector
+    scalar quantization, q = round(x*127/max|x|)). Same plan as s1 —
+    broadcast 1-row query, parallel corpus scan, TakeOrderedAndProject
+    — but every vector is 4x smaller on the wire/scan, which is the
+    actual win at 100 TB where ANN scans are bandwidth-bound. Integer
+    dots are exact in doubles -> deterministic cross-engine; recall vs
+    exact float cosine is asserted in tests/test_units.py."""
+    e = load_tables(spark, sf_dir).embeddings
+    ev = _dbl("embedding")
+    maxabs = F.array_max(F.transform(ev, lambda x: F.abs(x)))
+    quant = F.transform(ev, lambda x: F.round(x * 127.0 / maxabs, 0))
+    qd = e.select(
+        "vec_id",
+        quant.alias("qv"),
+        F.sqrt(_dot(quant, quant)).alias("nrm"),
+    )
+    target = qd.filter(F.col("vec_id") == 0).select(
+        F.col("qv").alias("tv"), F.col("nrm").alias("tn")
+    )
+    return (
+        qd.crossJoin(F.broadcast(target))
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("qv"), F.col("tv")) / (F.col("nrm") * F.col("tn")), 6).alias("qcos"),
+        )
+        .orderBy(F.col("qcos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -1,10 +1,18 @@
-"""Streaming operators e1-e7: transformation functions shared by batch
+"""Streaming operators e1-e8: transformation functions shared by batch
 and stream mode, plus their registered batch-oracle queries.
 
 Each `tf_*` function takes an events DataFrame (batch OR streaming —
 the code cannot tell) and returns the transformed DataFrame. The
 registered queries apply them to the batch read; tests apply them to
 readStream with Trigger.AvailableNow.
+
+Note on Spark 4's `transformWithStateInPandas`: the API exists in
+pyspark 4.1.2 and would be the modern spelling of e7's custom state,
+but executing it in this container fails inside the state-server
+bridge (`ImportError: cannot import name 'descriptor' from
+'google.protobuf'` — broken protobuf bindings, and installs are not
+permitted), so e7 stays on `applyInPandasWithState`, which runs
+correctly end to end (tests/test_streaming.py).
 """
 
 from __future__ import annotations

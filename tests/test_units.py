@@ -290,3 +290,16 @@ def test_connected_components_diameter_guard(spark):
     )
     with pytest.raises(RuntimeError, match="no convergence"):
         connected_components(nodes, chain, max_rounds=2)
+
+
+def test_quantized_knn_recall_vs_exact(spark, sf_dir):
+    """s8's int8-quantized top-10 must recover most of the exact
+    float-cosine top-10 (the quantization-error bound in practice):
+    require >= 7/10 overlap, and the exact #1 neighbor must survive."""
+    from hive_to_es_spark.registry import queries
+
+    qs = queries()
+    exact = [r.vec_id for r in qs["s1_knn_cosine"](spark, sf_dir).collect()]
+    quant = [r.vec_id for r in qs["s8_knn_quantized"](spark, sf_dir).collect()]
+    assert len(set(exact) & set(quant)) >= 7
+    assert exact[0] in quant  # the self-match / top neighbor survives
