@@ -329,3 +329,92 @@ def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v"), 2).alias("total"),
         F.round(F.avg("v"), 6).alias("mean"),
     )
+
+
+# a15 — Count-Min sketch (depth 4 x width 256) with salted md5-prefix
+# row hashes, so the WHOLE sketch is engine-portable and value-
+# verified (unlike a8's HLL, whose sketch bytes are engine-specific).
+# est >= exact is the CMS guarantee; the probe emits both so the
+# overestimate is visible data, not a hidden property.
+_A15_ORACLE = """
+WITH rows_h AS (
+  SELECT l_suppkey AS k, t.i,
+         CAST(concat('0x', substr(md5(concat('c', t.i, '|', CAST(l_suppkey AS VARCHAR))), 1, 15)) AS BIGINT) % 256 AS bucket
+  FROM lineitem CROSS JOIN (SELECT unnest(range(4)) AS i) t
+),
+cms AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS n FROM rows_h GROUP BY i, bucket),
+exact AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS exact_n FROM lineitem GROUP BY l_suppkey)
+SELECT e.k AS l_suppkey, e.exact_n, min(c.n) AS cms_est
+FROM exact e
+CROSS JOIN (SELECT unnest(range(4)) AS i) t
+JOIN cms c ON c.i = t.i
+  AND c.bucket = CAST(concat('0x', substr(md5(concat('c', t.i, '|', CAST(e.k AS VARCHAR))), 1, 15)) AS BIGINT) % 256
+GROUP BY e.k, e.exact_n
+"""
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+
+
+def _cms_bucket(key, i):
+    """Salted row hash -> CMS bucket (engine-portable md5 prefix)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("c"), F.lit(str(i)), F.lit("|"), key.cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % _CMS_WIDTH
+    )
+
+
+@register("a15_count_min", _A15_ORACLE)
+def a15_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over l_suppkey: build the 4x256 counter table
+    in one explode + groupBy pass (the sketch shuffles 1024 counters,
+    never rows — the point at 100 TB: frequency estimates for ANY key
+    from a fixed-size structure), then probe every supplier and emit
+    exact vs estimate side by side (est >= exact always; collisions
+    overestimate, bounded by n/width per row).
+
+    a8's HLL is the cardinality sketch (engine-specific bytes ->
+    rows-only); this is the frequency sketch, portable by
+    construction -> fully value-verified."""
+    li = load_tables(spark, sf_dir).lineitem.select(F.col("l_suppkey").alias("k"))
+    hashed = li.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("i"),
+                        _cms_bucket(F.col("k"), i).alias("bucket"),
+                    )
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    ).select("k", "h.i", "h.bucket")
+    cms = hashed.groupBy("i", "bucket").agg(F.count("*").cast("bigint").alias("n"))
+    exact = li.groupBy("k").agg(F.count("*").cast("bigint").alias("exact_n"))
+    probes = exact.select(
+        "k",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("i"),
+                        _cms_bucket(F.col("k"), i).alias("bucket"),
+                    )
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    ).select("k", "exact_n", "h.i", "h.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy(F.col("k").alias("l_suppkey"), "exact_n")
+        .agg(F.min("n").alias("cms_est"))
+    )
