@@ -161,3 +161,11 @@ def test_partition_pruning_reaches_scan(spark, sf_dir):
     scan (directory pruning), not a post-scan row filter."""
     plan = _plan(spark, sf_dir, "b3_partition_pruning")
     assert "PartitionFilters" in plan and "year" in plan
+
+
+def test_topk_windows_plan_group_limit(spark, sf_dir):
+    """rank/row_number <= k filters must compile to WindowGroupLimit
+    (partial top-k BEFORE the shuffle) — the plan property that keeps
+    per-partition window work bounded at scale."""
+    for key in ("w1_order_rank", "s7_knn_batch", "s2_pairwise_topk"):
+        assert "WindowGroupLimit" in _plan(spark, sf_dir, key), key
