@@ -554,3 +554,61 @@ def s8_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("qcos").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# s9 — pairwise top-k over LSH sign buckets: s2's per-vector top-3
+# semantics with s4/d6's label-free bucket as the block key — the
+# all-pairs serving shape an UNLABELED corpus actually runs (d6 is
+# the threshold form; this is the top-k form).
+_S9_ORACLE = """
+WITH bucketed AS (
+  SELECT vec_id,
+         CAST(list_aggregate(
+           list_transform(range(1, 9),
+             j -> CASE WHEN embedding[j] > 0 THEN 2 ** (j - 1) ELSE 0 END),
+           'sum') AS INTEGER) AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.ev, b.ev), 6) AS cos_sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT id_a, id_b, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+                               ORDER BY cos_sim DESC, id_b ASC) AS rn
+  FROM pairs
+) ranked
+WHERE rn <= 3
+"""
+
+
+@register("s9_pairwise_topk_lsh", _S9_ORACLE)
+def s9_pairwise_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector top-3 neighbors WITHIN the vector's sign-LSH bucket
+    — s2's pair/top-k plan with the label swapped for the
+    deterministic 8-bit sign bucket, so it needs no labels at all.
+    Candidates come only from shared buckets (Σ|bucket|² pairs, never
+    n²); the per-vector top-k compiles to WindowGroupLimit. Bucket-
+    boundary misses are the recall trade; multi-probe (union of
+    neighboring buckets) widens recall with the same plan."""
+    from hive_to_es_spark.operators.dedup_ext import lsh_near_dup_pairs
+
+    e = load_tables(spark, sf_dir).embeddings
+    p = lsh_near_dup_pairs(e, -1.0).select("id_a", "id_b", "cos_raw")
+    sym = p.union(
+        p.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), F.col("cos_raw")
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.round("cos_raw", 6).desc(), F.col("id_b").asc()
+    )
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
