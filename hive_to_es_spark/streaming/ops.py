@@ -253,19 +253,54 @@ def e4_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _E5_ORACLE = """
+WITH dupes AS (
+  SELECT * FROM events
+  WHERE CAST(concat('0x', substr(md5('e5|' || CAST(event_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 7 = 0
+),
+unioned AS (
+  SELECT * FROM events UNION ALL SELECT * FROM dupes
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY event_id) AS rn
+  FROM unioned
+)
 SELECT event_id, user_id, event_type, round(value, 2) AS value
-FROM events
+FROM ranked WHERE rn = 1
 """
 
 
 @register("e5_stream_dedup", _E5_ORACLE)
 def e5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup on event_id: identity on the (unique-keyed) fixture —
-    the point is the stateful dropDuplicates path, exercised with
-    injected duplicates in stream mode by tests."""
-    return tf_dedup(load_tables(spark, sf_dir).events).select(
+    """Dedup on event_id over an input that actually CONTAINS
+    duplicates: the fixture's event_ids are unique, so a deterministic
+    ~1/7 keyed sample (portable md5-prefix hash, same trick as o4) is
+    UNION ALL'd back in as exact row copies before dropDuplicates.
+    If the dedup did not fire, the row count would exceed the oracle's
+    — the green correctness entry now proves dedup, not projection.
+    Duplicates are exact copies, so which survivor dropDuplicates
+    keeps is immaterial and the result stays fully deterministic."""
+    return tf_dedup(e5_duped_input(load_tables(spark, sf_dir).events)).select(
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
     )
+
+
+def e5_duped_input(ev: DataFrame) -> DataFrame:
+    """events UNION ALL a deterministic ~1/7 keyed sample of itself —
+    the duplicate-bearing input e5 dedups (exposed for tests to assert
+    the duplication really happened)."""
+    dupes = ev.filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("e5|"), F.col("event_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 7
+        == 0
+    )
+    return ev.unionByName(dupes)
 
 
 _E6_ORACLE = """

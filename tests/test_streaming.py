@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from hive_to_es_spark.io import read_table
 from hive_to_es_spark.streaming.ops import (
+    e5_duped_input,
     tf_click_purchase_join,
     tf_dedup,
     tf_session,
@@ -94,6 +95,17 @@ def test_stream_dedup_drops_injected_duplicates(spark, events_dir, tmp_path):
     )
     ids = [r.event_id for r in got]
     assert len(ids) == n_unique == len(set(ids))
+
+
+def test_e5_batch_input_really_contains_duplicates(spark, events_dir):
+    """The registered e5 batch query's input must be non-vacuous: the
+    union carries real duplicates, so a no-op dedup would produce MORE
+    rows than the oracle and fail the hash gate."""
+    ev = spark.read.parquet(events_dir)
+    duped = e5_duped_input(ev)
+    n_in, n_unique = duped.count(), ev.count()
+    assert n_in > n_unique  # the sample really injected duplicates
+    assert tf_dedup(duped).count() == n_unique
 
 
 def test_stateful_counters_stream_final_state(spark, events_dir, tmp_path):
