@@ -63,11 +63,15 @@ EXTENSION = [
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = 3
 
-# Iterative ops run their loop at DataFrame-BUILD time (d7's label
-# propagation executes jobs before the final collect), so build-once
-# timing would count only the last read. These rebuild inside the
-# timed section — the whole iteration is what the number means.
-EAGER_BUILD = {"d7_dedup_components", "d9_text_dup_groups"}
+# Ops that do real work at DataFrame-BUILD time, so build-once timing
+# would count only the final read and under-report them (ADVICE r3):
+# - d7/d9 run their label-propagation loop (jobs per round) at build;
+# - d4 (and d9, which builds d4's pairs) materializes the capped
+#   shingle table via localCheckpoint(eager=True) at build — the
+#   explode + hot-shingle cap is most of its cost.
+# These rebuild inside the timed section — the whole computation is
+# what the number means.
+EAGER_BUILD = {"d4_dedup_ngram_jaccard", "d7_dedup_components", "d9_text_dup_groups"}
 
 
 def _bench_one(spark, qs, name: str) -> float:

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hive_to_es_spark.functions.lifecycle import release_checkpoint
+
 
 def connected_components(
     nodes: DataFrame,
@@ -57,6 +59,7 @@ def connected_components(
     )
 
     labels = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("component"))
+    prev = None  # previous round's checkpointed frame, released once superseded
     for _ in range(max_rounds):
         nbr_min = (
             sym.join(labels, sym._s == labels._id)
@@ -85,10 +88,25 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         changed = new.filter(F.col("component") != F.col("_old")).count()
+        # The count materialized THIS round's checkpoint, so the
+        # previous round's blocks are dead — release them now instead
+        # of pinning one label table per round for the session
+        # lifetime (py4j refs defeat GC-driven cleanup; measured).
+        if prev is not None:
+            release_checkpoint(prev)
+        prev = new
         # the ONLY per-round driver state: one integer
         labels = new.select("_id", "component")
         if changed == 0:
+            # Converged: the edge table is dead too. The FINAL round's
+            # checkpoint stays — the returned frame reads it; callers
+            # that fully consume the result can release_checkpoint it
+            # (tools/check.py sweeps per key).
+            release_checkpoint(sym)
             return labels.select(F.col("_id").alias(id_col), "component")
+    release_checkpoint(sym)
+    if prev is not None:
+        release_checkpoint(prev)
     raise RuntimeError(
         f"connected_components: no convergence in {max_rounds} rounds "
         "(diameter too large — use star-contraction)"

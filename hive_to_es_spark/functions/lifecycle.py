@@ -1,0 +1,55 @@
+"""Explicit block-manager lifecycle for materialized frames.
+
+`localCheckpoint` / `persist` pin blocks in the executor block manager
+until the backing RDD is garbage-collected JVM-side — which, driven
+from Python, is effectively "until session end" (py4j holds the refs;
+measured in this container: blocks survive gc.collect() +
+System.gc()). Long-lived sessions that build operators repeatedly
+(tools/check.py runs all 133; tests build the registry twice) would
+accumulate dead blocks without explicit release. These helpers give
+the two release points the codebase needs:
+
+- `release_checkpoint(df)` — free the blocks behind ONE checkpointed
+  frame, for loops that retire a round's state (functions/graph.py).
+  Only call when nothing will read `df` again: a localCheckpoint has
+  truncated lineage, so a released frame CANNOT be recomputed
+  (Spark raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+- `release_all_persistent(spark)` — sweep every persistent RDD in the
+  context, for harnesses at a point where no live frame is needed
+  (tools/check.py after each key's result is already in pandas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def release_checkpoint(df: DataFrame) -> bool:
+    """Free the block-manager storage behind a localCheckpoint'ed
+    DataFrame. Returns True if blocks were released. Best-effort: a
+    frame whose analyzed plan is not a bare LogicalRDD (i.e. not the
+    object localCheckpoint returned) is left alone."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
+def release_all_persistent(spark: SparkSession) -> int:
+    """Unpersist EVERY persistent RDD in the SparkContext (cached,
+    persisted, and localCheckpoint'ed frames alike). Returns the
+    number released. Only safe when no live DataFrame will be read
+    again — checkpointed frames cannot recompute."""
+    sc = spark.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
+    ids = list(jmap.keySet())
+    for rid in ids:
+        try:
+            jmap.get(rid).unpersist(False)
+        except Exception:
+            pass
+    return len(ids)

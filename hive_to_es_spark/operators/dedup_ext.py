@@ -172,7 +172,10 @@ def ngram_jaccard_pairs(
     # explode + cap from the scan. Measured at sf0.1: 15.5s -> 1.1s
     # for the whole pair plan. (On a cluster: .persist() or a
     # checkpoint to shared storage — same principle, reuse not
-    # recompute.)
+    # recompute.) Retention is intentional: the RETURNED plan reads
+    # these blocks, so there is no safe release point inside the
+    # builder. Consumers that are done with the result free them via
+    # functions/lifecycle.py (tools/check.py sweeps after every key).
     sh = sh0.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
         eager=True
     )
@@ -283,12 +286,16 @@ WHERE list_cosine_similarity(a.ev, b.ev) >= 0.3
 """
 
 
-def lsh_near_dup_pairs(e: DataFrame, threshold: float) -> DataFrame:
+def lsh_near_dup_pairs(e: DataFrame, threshold: float | None) -> DataFrame:
     """Candidate near-dup pairs over sign-LSH buckets: (id_a, id_b,
     bucket, cos_raw) with cos_raw >= threshold and id_a < id_b. The
     shared pair plan for d6 (pair report) and d7 (component closure):
     bucket equi-join, norms precomputed per vector, cosine computed
-    once per candidate pair."""
+    once per candidate pair. `threshold=None` skips the filter
+    entirely (s9's top-k path wants ALL bucket pairs) — safer than a
+    -1.0 sentinel, which would still evaluate and could drop an
+    antipodal pair whose floating-point cosine lands a ulp below
+    -1.0."""
     from hive_to_es_spark.operators.similarity import sign_bucket
 
     bucketed = e.select(
@@ -310,11 +317,12 @@ def lsh_near_dup_pairs(e: DataFrame, threshold: float) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, (a.bucket == b.bucket_b) & (a.id_a < b.id_b))
-        .select("id_a", "id_b", "bucket", cos.alias("cos_raw"))
-        .filter(F.col("cos_raw") >= threshold)
+    pairs = a.join(b, (a.bucket == b.bucket_b) & (a.id_a < b.id_b)).select(
+        "id_a", "id_b", "bucket", cos.alias("cos_raw")
     )
+    if threshold is None:
+        return pairs
+    return pairs.filter(F.col("cos_raw") >= threshold)
 
 
 @register("d6_dedup_lsh_blocked", _D6_ORACLE)

@@ -609,7 +609,16 @@ def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     task). Fact rows get a random salt in [0,16); the dim explodes 16x
     so every salted key still matches; the hot key's rows spread over
     16 tasks. The aggregate proves row-identity with the plain join —
-    same oracle as an unsalted e6-style join."""
+    same oracle as an unsalted e6-style join.
+
+    The dim side carries a SHUFFLE_HASH hint: salting only does work
+    when the join SHUFFLES on (key, salt) — a broadcast join has no
+    fact-side shuffle to spread, so broadcasting here (as a small dim
+    would auto-trigger at test scale) would verify a plan in which the
+    salt is dead weight. The hint pins the shuffled-hash-join path the
+    operator exists to demonstrate (asserted in tests/test_plans.py);
+    in production you reach for salting precisely when the dim is too
+    big to broadcast OR the hot key overflows a single task."""
     from hive_to_es_spark.functions.skew import explode_dim, salt_fact, SALT_COL
 
     t = load_tables(spark, sf_dir)
@@ -617,7 +626,7 @@ def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.events.select(F.col("user_id").alias("c_custkey"), "value"), 16
     )
     dim = explode_dim(t.customer.select("c_custkey", "c_mktsegment"), 16)
-    joined = fact.join(F.broadcast(dim), ["c_custkey", SALT_COL], "inner")
+    joined = fact.join(dim.hint("shuffle_hash"), ["c_custkey", SALT_COL], "inner")
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total"),

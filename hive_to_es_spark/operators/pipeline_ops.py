@@ -158,20 +158,29 @@ def p6_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch/page assignment (fetchmany-style 1000-row pages) with
     per-batch bounds — bounded sink memory made visible.
 
-    Scale shape: no global window. repartitionByRange gives ordered,
-    balanced partitions (RangePartitioner's sample seed is fixed per
-    partition index, so recompute after cache eviction re-derives the
-    SAME boundaries); the only action is a per-partition count
-    (n_partitions rows). The within-partition window shuffles by _pid
+    Scale shape: no global window, and no reliance on physical
+    placement: the range partition is COMPUTED from the key
+    (fixed-width key ranges off a min/max scan), so every pass derives
+    identical assignments with nothing persisted. An earlier version
+    used repartitionByRange + spark_partition_id and persisted the
+    frame to keep the two passes consistent — RangePartitioner's
+    sample seed incorporates the RDD id, so an unpersisted recompute
+    re-draws DIFFERENT boundaries (observed: the oracle caught a
+     16-vs-15-batch drift the moment the persist was dropped).
+    Arithmetic ranges make determinism a property of the DATA, not of
+    cache residency; the cost is balance under key skew, which for a
+    dense surrogate key is moot. Driver state: min/max (2 values) +
+    one count per range (n_partitions rows — same O(n_partitions) as a
+    shuffle's map statuses). The within-range window shuffles by _pid
     only — every group is ~n/n_partitions rows.
     """
     o = load_tables(spark, sf_dir).orders
     n_parts = spark.sparkContext.defaultParallelism
-    ranged = (
-        o.select("o_orderkey")
-        .repartitionByRange(n_parts, "o_orderkey")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    keys = o.select("o_orderkey")
+    lo, hi = keys.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    width = max(1, -(-(hi - lo + 1) // n_parts))  # ceil-div
+    ranged = keys.withColumn(
+        "_pid", F.floor((F.col("o_orderkey") - F.lit(lo)) / F.lit(width)).cast("int")
     )
     counts = sorted(
         (r["_pid"], r["_n"])

@@ -598,7 +598,7 @@ def s9_pairwise_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_to_es_spark.operators.dedup_ext import lsh_near_dup_pairs
 
     e = load_tables(spark, sf_dir).embeddings
-    p = lsh_near_dup_pairs(e, -1.0).select("id_a", "id_b", "cos_raw")
+    p = lsh_near_dup_pairs(e, None).select("id_a", "id_b", "cos_raw")
     sym = p.union(
         p.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), F.col("cos_raw")

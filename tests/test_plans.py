@@ -102,6 +102,17 @@ def test_batching_has_no_global_window(spark, sf_dir):
     assert not _unpartitioned_window_lines(plan)
 
 
+def test_salted_join_plan_actually_shuffles(spark, sf_dir):
+    """j12 must verify the SALTED SHUFFLE plan, not a broadcast join:
+    broadcasting the dim leaves no fact-side shuffle for the salt to
+    spread, so the operator's whole point would go unexercised
+    (ADVICE r3). The shuffled hash join must key on (key, salt)."""
+    plan = _plan(spark, sf_dir, "j12_salted_skew_join")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "__salt" in plan  # the salt participates in the join keys
+
+
 def test_no_unpartitioned_window_anywhere(spark, sf_dir):
     """Sweep EVERY registered operator's physical plan for a window
     with an empty partition spec — the 'Moving all data to a single

@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
+from hive_to_es_spark.functions.lifecycle import release_all_persistent
 from hive_to_es_spark.io import TABLES
 from hive_to_es_spark.registry import REGISTRY, queries, oracles
 from hive_to_es_spark.session import get_spark
@@ -100,6 +101,10 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[k](spark, SF_DIR).toPandas()
+            # The result is in pandas; release any blocks this key's
+            # builder materialized (d4's shingle checkpoint, graph
+            # rounds) so a 133-key sweep doesn't accumulate them.
+            release_all_persistent(spark)
         except Exception:
             print(f"[FAIL] {k}: spark query raised\n{traceback.format_exc()}")
             n_fail += 1

@@ -1,16 +1,19 @@
 #!/usr/bin/env python
-"""Empirical scale spot-proof: run the heaviest registered operators
-at sf0.1 and at a synthetically DOUBLED sf0.1, and check the measured
-growth against each operator's cost model.
+"""Empirical scale growth-curve proof: run the heaviest registered
+operators at sf0.1 and at synthetically scaled 2x and 4x copies, fit
+the growth exponent, and check measured growth against each
+operator's cost model — two-sided, so BOTH superlinear creep and
+"grew less than the model" (usually a sign the timed section misses
+the real work) are visible.
 
-Doubling strategy (written to .tmp/scale2x as parquet):
-- documents / embeddings: second copy with offset ids, SAME content —
-  every blocking key's block doubles in size, so blocked-pair
-  operators (d4, s2, d6) should grow ~4x (Σ|block|² with 2x blocks),
+Scaling strategy (k copies written to .tmp/scale{k}x as parquet):
+- documents / embeddings: k copies with offset ids, SAME content —
+  every blocking key's block grows k-fold, so blocked-pair operators
+  (d4, s2, d6) should grow ~k² (Σ|block|² with k-fold blocks),
   validating that runtime tracks Σ|block|², not corpus size alone.
-- orders: second copy with offset o_orderkey AND o_custkey — the
-  block COUNT doubles instead, so j10 should grow ~2x (linear).
-- lineitem / events: offset keys, linear shapes (t2, w4) ~2x.
+- orders: k copies with offset o_orderkey AND o_custkey — the block
+  COUNT grows k-fold instead, so j10 should grow ~k (linear).
+- lineitem / events: offset keys, linear shapes (t2, w4) ~k.
 
 The production story then follows: at real scale the block keys are
 SIZED (d4's df_cap, more LSH bits for d6, bounded buckets) so that
@@ -19,11 +22,17 @@ mechanism is enforced by tests (test_ngram_jaccard_hot_shingle_cap
 bounds d4's blocks); this proof shows runtime actually follows the
 pair-count model, so bounding blocks bounds runtime.
 
-Usage: python tools/scale_proof.py   (writes docs/SCALE.md, ~2 min)
+Ops that materialize at DataFrame-build time (d4's eager shingle
+checkpoint, d7/d9's propagation loop) are rebuilt inside the timed
+section (EAGER_BUILD — same rule as bench.py), so the published
+numbers include the work that actually dominates them.
+
+Usage: python tools/scale_proof.py   (writes docs/SCALE.md, ~8 min)
 """
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 import sys
@@ -33,60 +42,76 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from hive_to_es_spark.functions.lifecycle import release_all_persistent
 from hive_to_es_spark.io import TABLES, read_table
 from hive_to_es_spark.pipeline import TMP_ROOT
 from hive_to_es_spark.registry import queries
 from hive_to_es_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(TMP_ROOT, "scale2x")
 DOC_MD = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "SCALE.md"
 )
 OFFSET = 10_000_000
+SCALES = [1, 2, 4]
 
-# op -> (expected growth factor, cost model note)
+# op -> (expected per-DOUBLING growth factor, cost model note).
+# Exponent model = log2(factor): 4.0 -> t ~ k², 2.0 -> t ~ k.
 OPS = {
-    "d4_dedup_ngram_jaccard": (4.0, "blocked pairs; identical copy doubles every shingle block"),
-    "s2_pairwise_topk": (4.0, "blocked pairs; label blocks double"),
-    "d6_dedup_lsh_blocked": (4.0, "blocked pairs; sign-buckets double"),
+    "d4_dedup_ngram_jaccard": (4.0, "blocked pairs; identical copies grow every shingle block"),
+    "s2_pairwise_topk": (4.0, "blocked pairs; label blocks grow k-fold"),
+    "d6_dedup_lsh_blocked": (4.0, "blocked pairs; sign-buckets grow k-fold"),
+    "d7_dedup_components": (4.0, "edge joins scale with the pair graph; same round count"),
+    "d9_text_dup_groups": (4.0, "d4 pairs + closure; pair stage dominates growth"),
     "t2_tfidf_terms": (2.0, "explode + agg, linear scan"),
-    "j10_interval_overlap": (2.0, "self-join; offset custkeys double the block COUNT"),
+    "j10_interval_overlap": (2.0, "self-join; offset custkeys grow the block COUNT"),
     "w4_range_frame": (2.0, "group-agg + broadcast back, linear"),
-    # round 3 additions
     "q8_market_share": (2.0, "fact-fact join + broadcast dims, linear"),
-    "d7_dedup_components": (4.0, "edge joins scale with the pair graph (4x); same round count"),
     "p10_corpus_pipeline": (2.0, "scan-side scoring + digest-window + 15-group agg, linear"),
 }
 
-# d7 runs its propagation loop at build time -> rebuild inside the
-# timed section so the number includes the iterations (same rule as
-# bench.py's EAGER_BUILD).
-EAGER_BUILD = {"d7_dedup_components"}
+# Build-time workers rebuilt inside the timed section (see module doc).
+EAGER_BUILD = {"d4_dedup_ngram_jaccard", "d7_dedup_components", "d9_text_dup_groups"}
+
+# Two-sided slack per doubling step. Upper breach = superlinear creep
+# (FAIL: the scale danger). Lower breach = grew less than the model
+# (LOW: either fixed per-job overhead dominating at this size, or the
+# timed section missing real work — investigate, don't celebrate).
+SLACK = 1.6
 
 
-def build_doubled(spark) -> None:
-    if os.path.isdir(OUT_DIR):
-        shutil.rmtree(OUT_DIR)
-    os.makedirs(OUT_DIR, exist_ok=True)
+def scaled_dir(k: int) -> str:
+    return os.path.join(TMP_ROOT, f"scale{k}x")
+
+
+def build_scaled(spark, k: int) -> None:
+    """Write k offset copies of each scalable table (dims unchanged)."""
+    out = scaled_dir(k)
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+    key_cols = {
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey"],
+        "events": ["event_id"],
+    }
     for name in TABLES:
         t = read_table(spark, SF_DIR, name)
-        if name == "documents":
-            copy = t.withColumn("doc_id", F.col("doc_id") + OFFSET)
-        elif name == "embeddings":
-            copy = t.withColumn("vec_id", F.col("vec_id") + OFFSET)
-        elif name == "orders":
-            copy = t.withColumn("o_orderkey", F.col("o_orderkey") + OFFSET).withColumn(
-                "o_custkey", F.col("o_custkey") + OFFSET
-            )
-        elif name == "lineitem":
-            copy = t.withColumn("l_orderkey", F.col("l_orderkey") + OFFSET)
-        elif name == "events":
-            copy = t.withColumn("event_id", F.col("event_id") + OFFSET)
-        else:  # bounded dims: copy unchanged
-            copy = None
-        doubled = t.unionByName(copy) if copy is not None else t
-        doubled.write.mode("overwrite").parquet(os.path.join(OUT_DIR, f"{name}.parquet"))
+        if name in key_cols:
+            copies = [t]
+            for i in range(1, k):
+                c = t
+                for col in key_cols[name]:
+                    c = c.withColumn(col, F.col(col) + i * OFFSET)
+                copies.append(c)
+            scaled = copies[0]
+            for c in copies[1:]:
+                scaled = scaled.unionByName(c)
+        else:  # bounded dims: unchanged
+            scaled = t
+        scaled.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
 
 
 def bench_one(spark, fn, sf_dir: str, eager: bool = False) -> tuple[float, int]:
@@ -97,6 +122,7 @@ def bench_one(spark, fn, sf_dir: str, eager: bool = False) -> tuple[float, int]:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
+        release_all_persistent(spark)  # eager builders checkpoint per build
         return best, rows
     df = fn(spark, sf_dir)
     rows = len(df.collect())  # warm-up
@@ -105,50 +131,91 @@ def bench_one(spark, fn, sf_dir: str, eager: bool = False) -> tuple[float, int]:
         t0 = time.perf_counter()
         df.collect()
         best = min(best, time.perf_counter() - t0)
+    release_all_persistent(spark)
     return best, rows
+
+
+def fit_exponent(ks: list[int], ts: list[float]) -> float:
+    """Least-squares slope of log t vs log k — the growth exponent."""
+    xs = [math.log(k) for k in ks]
+    ys = [math.log(max(t, 1e-9)) for t in ts]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
 
 
 def main() -> int:
     spark = get_spark("scale_proof")
     spark.sparkContext.setLogLevel("ERROR")
-    build_doubled(spark)
+    dirs = {1: SF_DIR}
+    for k in SCALES[1:]:
+        build_scaled(spark, k)
+        dirs[k] = scaled_dir(k)
     qs = queries()
     lines = [
-        "# SCALE — empirical growth spot-proof",
+        "# SCALE — empirical growth curve",
         "",
-        f"Generated by tools/scale_proof.py at {SF_DIR} vs a synthetically",
-        "doubled copy (see the tool's docstring for the doubling strategy and",
-        "why each expectation holds). Times are best-of-2 collect() after a",
-        "warm-up, local[32]. `grew` is t(2x)/t(1x); PASS = grew within 1.6x of",
-        "the model (generous bound for sub-second timings).",
+        f"Generated by tools/scale_proof.py at {SF_DIR} vs synthetically",
+        "scaled 2x and 4x copies (see the tool's docstring for the scaling",
+        "strategy and why each expectation holds). Times are best-of-2",
+        "collect() after a warm-up, local[32]; eager-build ops (d4, d7, d9)",
+        "rebuild inside the timed section. `b` is the least-squares exponent",
+        f"of t vs k over k=1,2,4; model b = log2(per-doubling factor). The",
+        f"verdict is TWO-SIDED per doubling step (slack {SLACK}x):",
         "",
-        "| op | t(1x) s | rows(1x) | t(2x) s | rows(2x) | grew | model | verdict |",
-        "|---|---|---|---|---|---|---|---|",
+        "- **FAIL**: any step grew MORE than model*slack — superlinear creep.",
+        "- **LOW**: the 2x->4x step grew LESS than model/slack — fixed",
+        "  per-job overhead still dominating at this size, or the timed",
+        "  section missing real work. Flagged, not celebrated.",
+        "",
+        "| op | t(1x) s | t(2x) s | t(4x) s | rows 1x/2x/4x | b | model b | step 1x→2x | step 2x→4x | verdict |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
-    all_ok = True
-    for op, (expected, note) in OPS.items():
-        t1, r1 = bench_one(spark, qs[op], SF_DIR, eager=op in EAGER_BUILD)
-        t2, r2 = bench_one(spark, qs[op], OUT_DIR, eager=op in EAGER_BUILD)
-        grew = t2 / t1 if t1 > 0 else float("inf")
-        ok = grew <= expected * 1.6
-        all_ok &= ok
+    any_fail = False
+    for op, (factor, note) in OPS.items():
+        ts, rows = [], []
+        for k in SCALES:
+            t, r = bench_one(spark, qs[op], dirs[k], eager=op in EAGER_BUILD)
+            ts.append(t)
+            rows.append(r)
+        g21 = ts[1] / ts[0] if ts[0] > 0 else float("inf")
+        g42 = ts[2] / ts[1] if ts[1] > 0 else float("inf")
+        b = fit_exponent(SCALES, ts)
+        b_model = math.log2(factor)
+        fail = g21 > factor * SLACK or g42 > factor * SLACK
+        low = g42 < factor / SLACK
+        any_fail |= fail
+        verdict = "FAIL" if fail else ("LOW" if low else "PASS")
         lines.append(
-            f"| {op} | {t1:.3f} | {r1} | {t2:.3f} | {r2} | {grew:.2f}x "
-            f"| ~{expected:.0f}x ({note}) | {'PASS' if ok else 'FAIL'} |"
+            f"| {op} | {ts[0]:.3f} | {ts[1]:.3f} | {ts[2]:.3f} "
+            f"| {rows[0]}/{rows[1]}/{rows[2]} | {b:.2f} | {b_model:.0f} "
+            f"| {g21:.2f}x | {g42:.2f}x | {verdict} |"
         )
+        print(f"{op}: t={['%.3f' % t for t in ts]} b={b:.2f} (model {b_model:.0f}) {verdict}")
     lines += [
         "",
-        "Reading: blocked-pair ops track Σ|block|² (pairs 4x when block sizes",
-        "double, NOT corpus-n²); linear shapes track n. At production scale the",
-        "block keys are sized to keep |block| bounded (d4 df_cap, d6 LSH bits),",
-        "which makes Σ|block|² linear in n — runtime follows, as shown here.",
+        "Model notes per op:",
+        "",
+    ]
+    lines += [f"- **{op}**: {note}" for op, (_, note) in OPS.items()]
+    lines += [
+        "",
+        "Reading: blocked-pair ops track Σ|block|² (pairs k² when block sizes",
+        "grow k-fold, NOT corpus-n²); linear shapes track n. At production",
+        "scale the block keys are sized to keep |block| bounded (d4 df_cap,",
+        "d6 LSH bits), which makes Σ|block|² linear in n — runtime follows,",
+        "as shown here. LOW rows mean the op is still overhead-dominated at",
+        "this data size (per-job fixed costs ~tens of ms x rounds), so its",
+        "asymptotic exponent has not emerged yet — the pair/edge ROW counts",
+        "in the table grow exactly with the model either way.",
         "",
     ]
     os.makedirs(os.path.dirname(DOC_MD), exist_ok=True)
     with open(DOC_MD, "w") as f:
         f.write("\n".join(lines))
-    print(f"wrote {DOC_MD}; all_ok={all_ok}")
-    return 0 if all_ok else 1
+    print(f"wrote {DOC_MD}; any_fail={any_fail}")
+    return 1 if any_fail else 0
 
 
 if __name__ == "__main__":
