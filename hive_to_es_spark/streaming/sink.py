@@ -23,6 +23,7 @@ def start_foreach_batch(
     write_batch: Callable[[DataFrame, int], None],
     checkpoint_dir: str,
     available_now: bool = True,
+    output_mode: str = "append",
 ) -> StreamingQuery:
     """Start a stream that delivers each micro-batch to `write_batch`.
 
@@ -30,9 +31,12 @@ def start_foreach_batch(
     with a BATCH DataFrame — any batch writer works unchanged. batch_id
     is stable across restarts from the same checkpoint, so writers can
     deduplicate re-deliveries (or rely on idempotent upserts).
+    `output_mode="update"` is required upstream of stateful operators
+    that emit per-update rows (applyInPandasWithState).
     """
     writer = (
         stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

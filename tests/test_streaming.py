@@ -241,6 +241,136 @@ def test_max_files_per_trigger_bounds_batches(spark, events_dir, tmp_path):
     assert all(n == n_one_file for _, n in batch_ids)
 
 
+def _time_split_halves(spark, events_dir, tmp_path, split_ts=None):
+    """Split events at a timestamp (default: median) into two parquet
+    dirs — monotone arrival order, so feeding h1 then h2 never
+    produces late-vs-watermark data and stream output must equal
+    batch."""
+    import os
+
+    ev = spark.read.parquet(events_dir)
+    if split_ts is None:
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        split_ts = lo + (hi - lo) / 2
+    h1_dir, h2_dir = str(tmp_path / "h1"), str(tmp_path / "h2")
+    ev.filter(F.col("ts") <= F.lit(split_ts)).write.mode("overwrite").parquet(h1_dir)
+    ev.filter(F.col("ts") > F.lit(split_ts)).write.mode("overwrite").parquet(h2_dir)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _copy_parts(h1_dir, src, "a")
+    return ev, h1_dir, h2_dir, src
+
+
+def _copy_parts(from_dir, to_dir, prefix):
+    import os
+
+    for f in os.listdir(from_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(from_dir, f), os.path.join(to_dir, f"{prefix}_{f}"))
+
+
+def test_stateful_checkpoint_recovery_counters(spark, events_dir, tmp_path):
+    """Kill-and-restart for applyInPandasWithState (e7): drain half
+    the data, STOP the query, deliver the second half, restart from
+    the SAME checkpoint. Per-user counters must continue from the
+    recovered state store — equal to one uninterrupted run — not
+    restart from zero (the failure mode production state stores hit)."""
+    import os
+
+    from hive_to_es_spark.streaming.sink import parquet_batch_writer, start_foreach_batch
+
+    ev, h1_dir, h2_dir, src = _time_split_halves(spark, events_dir, tmp_path)
+    h1, h2 = spark.read.parquet(h1_dir), spark.read.parquet(h2_dir)
+    both = h1.select("user_id").intersect(h2.select("user_id")).count()
+    assert h1.count() > 0 and h2.count() > 0 and both > 0  # restart carries real state
+
+    schema = ev.schema
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = start_foreach_batch(
+            tf_stateful_counters_stream(
+                spark.readStream.schema(schema).parquet(src)
+            ),
+            parquet_batch_writer(sink),
+            ckpt,
+            output_mode="update",
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()  # first half
+    n_run1 = spark.read.parquet(sink).count()
+    assert n_run1 > 0
+    _copy_parts(h2_dir, src, "b")
+    run_once()  # restart from checkpoint, second half arrives
+
+    # final state per user = emitted row with the highest n_events
+    # (counts are monotone across updates)
+    final = {}
+    for r in spark.read.parquet(sink).collect():
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, round(r.total, 2))
+    expected = {
+        r.user_id: (r.n_events, r.total)
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    # users present in BOTH halves prove continuity: a state store
+    # restarting from zero would report only their second-half counts
+    assert final == expected
+
+
+def test_stream_stream_join_checkpoint_recovery(spark, events_dir, tmp_path):
+    """Kill-and-restart for the watermarked stream-stream join (e8):
+    clicks buffered in the join state during run 1 must survive the
+    restart and match purchases that only arrive in run 2."""
+    from hive_to_es_spark.streaming.sink import parquet_batch_writer, start_foreach_batch
+
+    ev_full = spark.read.parquet(events_dir)
+    expected = _canon(
+        tf_click_purchase_join(
+            ev_full.filter(F.col("event_type") == "click"),
+            ev_full.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    )
+    assert expected
+    # Split AT a matched pair's click_ts so its click arrives in run 1
+    # and its purchase in run 2 — cross-boundary pairs are the
+    # recovery proof. Pick the strict pair (click before purchase)
+    # closest to the median for a balanced split.
+    strict = sorted(
+        (p for p in expected if p[4] < p[3]), key=lambda p: p[4]
+    )  # click_ts < purchase_ts
+    assert strict, "fixture must have click->purchase pairs with distinct ts"
+    split_ts = strict[len(strict) // 2][4]
+    ev, h1_dir, h2_dir, src = _time_split_halves(
+        spark, events_dir, tmp_path, split_ts=split_ts
+    )
+    cross = [p for p in expected if p[4] <= split_ts < p[3]]
+    assert cross, "split must leave click->purchase pairs spanning the boundary"
+
+    schema = ev.schema
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        joined = tf_click_purchase_join(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+        )
+        q = start_foreach_batch(joined, parquet_batch_writer(sink), ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    _copy_parts(h2_dir, src, "b")
+    run_once()
+    got = _canon(spark.read.parquet(sink).collect())
+    assert got == expected
+
+
 def test_stream_stream_join_equals_batch(spark, events_dir, tmp_path):
     """Stream-stream inner join (two readStream sides of the same
     source, split by event_type) must produce exactly the batch
