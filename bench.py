@@ -58,6 +58,8 @@ EXTENSION = [
     "p10_corpus_pipeline",
     "d8_dedup_minhash_portable",
     "d9_text_dup_groups",
+    # round 4: the high-cardinality RANGE-frame fallback path
+    "w7_range_frame_highcard",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,7 +73,14 @@ N_RUNS = 3
 #   explode + hot-shingle cap is most of its cost.
 # These rebuild inside the timed section — the whole computation is
 # what the number means.
-EAGER_BUILD = {"d4_dedup_ngram_jaccard", "d7_dedup_components", "d9_text_dup_groups"}
+# - w4/w7 run a one-scan approx-distinct gate job at build.
+EAGER_BUILD = {
+    "d4_dedup_ngram_jaccard",
+    "d7_dedup_components",
+    "d9_text_dup_groups",
+    "w4_range_frame",
+    "w7_range_frame_highcard",
+}
 
 
 def _bench_one(spark, qs, name: str) -> float:

@@ -1,13 +1,13 @@
 """Multimodal column processing: decode / feature-extract / resize /
 frame-sample over opaque binary media columns (SURVEY.md §2.D m1).
 
-The Spark-side contract is fully real and tested: typed schemas,
-mapInPandas iterator plumbing, Arrow batch shapes, and partition
-behavior. The codec layer is STUBBED — this container ships no
-image/audio/video libraries — behind `_decode_bytes`, which produces a
-deterministic fake "decode" (shape + checksum derived from the bytes).
-Swapping in a real codec (PIL / torchaudio / pyav) changes ONE
-function and nothing in the Spark plumbing.
+The codec layer decodes REAL formats with pure header arithmetic — no
+image libraries exist in this container, and none are needed for BMP
+(fixed-offset little-endian fields) or PNM (ASCII header): the
+encoders below emit spec-conformant files and `_decode_bytes` parses
+them back byte-for-byte. Heavier codecs (JPEG/PNG/audio/video) slot
+into the same single function (PIL / torchaudio / pyav), changing
+nothing in the Spark plumbing.
 
 Why mapInPandas (not pandas_udf): media decode is batch-at-a-time
 Python regardless, and mapInPandas lets one input batch yield a
@@ -19,6 +19,7 @@ memory per task even when individual media objects are large.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,43 +34,123 @@ DECODE_SCHEMA = (
 # Output schema of sample_frames: one row per sampled frame (explodes).
 FRAMES_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_checksum STRING"
 
+# Output schema of encode_fixture_media.
+MEDIA_SCHEMA = "doc_id BIGINT, media BINARY"
+
+
+def encode_fixture_media(docs: DataFrame, id_col: str = "doc_id",
+                         chars_col: str = "n_chars") -> DataFrame:
+    """Deterministic REAL media payloads for every document: a
+    spec-conformant image whose dimensions are pure functions of the
+    row (width = 1 + n_chars % 60, height = 1 + doc_id % 40), even
+    ids as 24-bit BMP, odd ids as binary PPM. Because the dimensions
+    derive from table columns, a SQL oracle can independently predict
+    exactly what the byte-level decode must recover — which is what
+    lets m2 be value-verified rather than rows-only."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf[id_col], pdf[chars_col]):
+                w, h = 1 + int(n_chars) % 60, 1 + int(doc_id) % 40
+                payloads.append(
+                    make_bmp(w, h, int(doc_id)) if doc_id % 2 == 0
+                    else make_ppm(w, h, int(doc_id))
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "media": payloads})
+
+    return docs.select(id_col, chars_col).mapInPandas(enc, MEDIA_SCHEMA)
+
+
+def make_bmp(width: int, height: int, fill: int = 0) -> bytes:
+    """A real, minimal 24-bit uncompressed BMP: 14-byte file header +
+    40-byte BITMAPINFOHEADER + bottom-up pixel rows padded to 4-byte
+    stride. Any image viewer opens these. Size is pure arithmetic:
+    54 + height * (((3 * width) + 3) // 4 * 4)."""
+    stride = (3 * width + 3) // 4 * 4
+    pixel_bytes = stride * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    row = (bytes([fill % 256]) * (3 * width)).ljust(stride, b"\x00")
+    return header + row * height
+
+
+def make_ppm(width: int, height: int, fill: int = 0) -> bytes:
+    """A real binary PPM (P6): ASCII header then 3 bytes per pixel.
+    Size = len("P6\\n{w} {h}\\n255\\n") + 3*w*h — the header length
+    varies with the DIGIT COUNT of the dimensions, which the m2 oracle
+    reproduces in SQL (the sharpest proof the decode is byte-real)."""
+    return f"P6\n{width} {height}\n255\n".encode() + bytes([fill % 256]) * (
+        3 * width * height
+    )
+
 
 def _decode_bytes(payload: bytes) -> dict:
-    """STUB codec. Deterministic fake decode: derives a stable
-    (width, height, checksum) from the payload bytes.
+    """Real header decode for BMP and PNM (PPM/PGM) payloads.
 
-    Replace with a real decoder, e.g.::
-
-        img = PIL.Image.open(io.BytesIO(payload))   # real impl
-        return {"width": img.width, "height": img.height, ...}
-
-    Raises nothing here by design — a real implementation should raise
-    and let the caller quarantine undecodable rows.
+    BMP: magic "BM"; width/height are little-endian ints at fixed
+    BITMAPINFOHEADER offsets 18/22 (height may be negative for
+    top-down files — the dimension is its magnitude). PNM: magic
+    "P5"/"P6"; dimensions are the first two ASCII tokens after the
+    magic. Undecodable payloads raise ValueError — callers quarantine
+    (decode_media keeps the row with a NULL shape so one corrupt blob
+    can't kill a 100 TB scan; see its docstring).
     """
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        width = struct.unpack_from("<i", payload, 18)[0]
+        height = abs(struct.unpack_from("<i", payload, 22)[0])
+        kind = "bmp"
+    elif payload[:2] in (b"P5", b"P6"):
+        tokens = payload[2:64].split()
+        if len(tokens) < 2:
+            raise ValueError("truncated PNM header")
+        width, height = int(tokens[0]), int(tokens[1])
+        kind = "pgm" if payload[:2] == b"P5" else "ppm"
+    else:
+        raise ValueError(f"unknown media magic {payload[:2]!r}")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"non-positive dimensions {width}x{height}")
     digest = hashlib.sha1(payload).hexdigest()
     return {
         "n_bytes": len(payload),
-        "width": 16 + int(digest[:4], 16) % 4080,  # fake 16..4095 px
-        "height": 16 + int(digest[4:8], 16) % 4080,
+        "width": width,
+        "height": height,
         "checksum": digest[:16],
+        "kind": kind,
     }
 
 
-def decode_media(df: DataFrame, id_col: str = "doc_id", media_col: str = "media",
-                 media_type: str = "image") -> DataFrame:
+def decode_media(df: DataFrame, id_col: str = "doc_id",
+                 media_col: str = "media") -> DataFrame:
     """Decode an opaque binary column into typed media metadata.
 
     1 row in -> 1 row out; runs as mapInPandas so decode never holds
     more than one Arrow batch of media bytes in memory per task.
+    Undecodable payloads are QUARANTINED, not fatal: the row survives
+    with media_type='undecodable' and NULL shape, because at corpus
+    scale one corrupt blob must never kill the scan — filter or route
+    the quarantined rows downstream.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [_decode_bytes(bytes(b)) for b in pdf[media_col]]
+            meta = []
+            for b in pdf[media_col]:
+                raw = bytes(b)
+                try:
+                    meta.append(_decode_bytes(raw))
+                except ValueError:
+                    meta.append(
+                        {"n_bytes": len(raw), "width": None, "height": None,
+                         "checksum": None, "kind": "undecodable"}
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
-                    "media_type": media_type,
+                    "media_type": [m["kind"] for m in meta],
                     "n_bytes": [m["n_bytes"] for m in meta],
                     "width": [m["width"] for m in meta],
                     "height": [m["height"] for m in meta],
@@ -89,9 +170,7 @@ def resize_media(df: DataFrame, max_px: int = 512) -> DataFrame:
         F.lit(max_px) / F.greatest(F.col("width"), F.col("height")).cast("double"),
     )
     return df.select(
-        "doc_id",
-        "width",
-        "height",
+        "*",
         F.round(scale, 6).alias("scale"),
         F.ceil(F.col("width") * scale).cast("int").alias("out_width"),
         F.ceil(F.col("height") * scale).cast("int").alias("out_height"),

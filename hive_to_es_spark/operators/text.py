@@ -183,16 +183,66 @@ def m1_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m2_media_decode", None)  # stub codec digests -> rows-only
+# The oracle predicts the DECODED geometry and byte size from table
+# columns alone: the Spark side builds real BMP/PPM files and parses
+# their headers back (functions/multimodal.py); SQL re-derives what
+# the parse must find — including the PPM header length varying with
+# the DIGIT COUNT of the dimensions, which only matches if the decode
+# is byte-real.
+_M2_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         1 + n_chars % 60 AS width,
+         1 + doc_id % 40 AS height,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS media_type
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, media_type, width, height,
+         CASE WHEN media_type = 'bmp'
+              THEN 54 + height * (((3 * width) + 3) // 4 * 4)
+              ELSE 9 + length(CAST(width AS VARCHAR))
+                     + length(CAST(height AS VARCHAR)) + 3 * width * height
+         END AS n_bytes,
+         least(1.0, 32.0 / greatest(width, height)) AS scale_raw
+  FROM dims
+)
+SELECT doc_id, media_type,
+       CAST(n_bytes AS INTEGER) AS n_bytes,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       round(scale_raw, 6) AS scale,
+       CAST(ceil(width * scale_raw) AS INTEGER) AS out_width,
+       CAST(ceil(height * scale_raw) AS INTEGER) AS out_height
+FROM sized
+"""
+
+
+@register("m2_media_decode", _M2_ORACLE)
 def m2_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode pipeline over binary media columns: encode
-    each document's text as the stand-in media payload, run the
-    mapInPandas decode (stub codec — deterministic fake dimensions +
-    checksum), then resize. The registered output is the resize-stage
-    metadata: the whole decode->transform chain is exercised as one
-    distributed plan."""
-    from hive_to_es_spark.functions.multimodal import decode_media, resize_media
+    """Multimodal decode pipeline over binary media columns, decoding
+    REAL formats: every document gets a spec-conformant image payload
+    (even ids 24-bit BMP, odd ids binary PPM — dimensions derived from
+    row columns), the mapInPandas stage parses the actual headers
+    (little-endian BITMAPINFOHEADER fields / ASCII PNM tokens), and
+    the resize stage is pure column arithmetic. Value-verified: the
+    oracle recomputes the expected geometry and file size in SQL, so
+    a decoder that misread even one header byte would hash-mismatch."""
+    from hive_to_es_spark.functions.multimodal import (
+        decode_media,
+        encode_fixture_media,
+        resize_media,
+    )
 
     d = load_tables(spark, sf_dir).documents
-    media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("media"))
-    return resize_media(decode_media(media), max_px=512).orderBy("doc_id")
+    decoded = decode_media(encode_fixture_media(d))
+    return resize_media(decoded, max_px=32).select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        "scale",
+        "out_width",
+        "out_height",
+    )

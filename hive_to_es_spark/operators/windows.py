@@ -1,4 +1,4 @@
-"""Window-function operators (SURVEY.md §2.B "Window functions", w1-w6).
+"""Window-function operators (SURVEY.md §2.B "Window functions", w1-w7).
 
 Windows shuffle once on the partition key, then sort within each
 partition — at 100 TB the cost profile is one exchange + per-partition
@@ -118,57 +118,125 @@ FROM lineitem
 """
 
 
-@register("w4_range_frame", _W4_ORACLE)
-def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE BETWEEN value-based frame aggregation.
+# Default ceiling on distinct (partition, order) pairs for w4's
+# broadcast rewrite: 100k pairs ≈ a few MB broadcast (well under the
+# 10 MB autoBroadcast default), measured from the approx-distinct scan
+# below. Above it the aggregate itself is no longer a "tiny" table and
+# the plain partitioned RANGE window is the right plan.
+RANGE_BROADCAST_LIMIT = 100_000
 
-    NOT a window over lineitem: l_returnflag has 3 values, so the
-    naive partitioned window caps at 3 tasks no matter the cluster — a
-    structural scale ceiling. A RANGE frame's value depends only on
-    (partition key, order value), so instead: aggregate price per
-    (flag, quantity) — ~150 groups, map-side partial agg — compute
-    each distinct value's frame sum with a range self-join ON THE TINY
-    AGGREGATE, and broadcast the result back onto lineitem. The fact
-    table is never shuffled or windowed at all. (Valid while the order
-    key's distinct-count stays broadcastable — true for any discrete
-    measure; a continuous high-cardinality key would fall back to the
-    window.) Measured at sf0.1 both forms compute in ~40ms — the ~2s
-    bench entry is 600k-row result transfer, not compute; the rewrite
-    pays off when per-flag row counts exceed one task's slice.
+
+def range_frame_sum(
+    li: DataFrame,
+    part_col: str,
+    order_col: str,
+    sum_col: str,
+    delta,
+    broadcast_distinct_limit: int = RANGE_BROADCAST_LIMIT,
+) -> DataFrame:
+    """RANGE BETWEEN `delta` PRECEDING AND CURRENT ROW sum of
+    `sum_col`, partitioned by `part_col`, ordered by `order_col` —
+    with a cardinality-gated choice of physical plan.
+
+    A RANGE frame's value depends only on (partition key, order
+    value), so when the distinct pair count is broadcastable the fact
+    table never needs to be shuffled or windowed at all: aggregate
+    `sum_col` per pair (map-side partial agg), compute each distinct
+    value's frame sum with a range self-join ON THE TINY AGGREGATE,
+    and broadcast the result back. That sidesteps the structural
+    ceiling of a low-cardinality partition key (l_returnflag has 3
+    values -> the naive window caps at 3 tasks no matter the cluster).
+
+    The gate: one approx_count_distinct scan (no shuffle — HLL partial
+    agg; driver state = one long). Above `broadcast_distinct_limit`
+    (continuous keys — prices, timestamps) the aggregate is no longer
+    tiny and the plan falls back to the plain partitioned RANGE
+    window, whose parallelism is the partition-key cardinality; when
+    THAT is also low at production scale, quantize the order key
+    (bucket prices to cents) to re-enter the rewrite. Measured at
+    sf0.1 both forms compute in ~40ms — w4's ~2s bench entry is
+    600k-row result transfer, not compute.
     """
-    li = load_tables(spark, sf_dir).lineitem
-    g = li.groupBy("l_returnflag", "l_quantity").agg(
-        F.sum("l_extendedprice").alias("_s")
-    )
-    a = g.select(
-        F.col("l_returnflag").alias("_flag"), F.col("l_quantity").alias("_q")
-    )
+    n_pairs = li.agg(
+        F.approx_count_distinct(F.struct(part_col, order_col)).alias("n")
+    ).first()["n"]
+    if n_pairs > broadcast_distinct_limit:
+        w_expr = (
+            f"round(sum({sum_col}) OVER (PARTITION BY {part_col} "
+            f"ORDER BY {order_col} RANGE BETWEEN {delta} PRECEDING "
+            f"AND CURRENT ROW), 2)"
+        )
+        return li.select(
+            "l_orderkey", "l_linenumber", order_col, F.expr(w_expr).alias("range_sum")
+        )
+    g = li.groupBy(part_col, order_col).agg(F.sum(sum_col).alias("_s"))
+    a = g.select(F.col(part_col).alias("_p"), F.col(order_col).alias("_q"))
     b = g.select(
-        F.col("l_returnflag").alias("_bflag"),
-        F.col("l_quantity").alias("_bq"),
+        F.col(part_col).alias("_bp"),
+        F.col(order_col).alias("_bq"),
         F.col("_s").alias("_bs"),
     )
     frame_sums = (
         a.join(
             b,
-            (F.col("_flag") == F.col("_bflag"))
-            & (F.col("_bq") >= F.col("_q") - 1)
+            (F.col("_p") == F.col("_bp"))
+            & (F.col("_bq") >= F.col("_q") - delta)
             & (F.col("_bq") <= F.col("_q")),
         )
-        .groupBy("_flag", "_q")
+        .groupBy("_p", "_q")
         .agg(F.sum("_bs").alias("_range_sum"))
     )
     return (
         li.join(
             F.broadcast(frame_sums),
-            (li.l_returnflag == F.col("_flag")) & (li.l_quantity == F.col("_q")),
+            (li[part_col] == F.col("_p")) & (li[order_col] == F.col("_q")),
         )
         .select(
             "l_orderkey",
             "l_linenumber",
-            "l_quantity",
+            order_col,
             F.round("_range_sum", 2).alias("range_sum"),
         )
+    )
+
+
+@register("w4_range_frame", _W4_ORACLE)
+def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN value-based frame aggregation over a DISCRETE
+    order key (~150 distinct (flag, quantity) pairs) — takes
+    range_frame_sum's broadcast-rewrite path; see that docstring for
+    the plan and the cardinality gate."""
+    li = load_tables(spark, sf_dir).lineitem
+    return range_frame_sum(li, "l_returnflag", "l_quantity", "l_extendedprice", 1)
+
+
+_W7_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       round(sum(l_extendedprice) OVER (
+         PARTITION BY l_returnflag ORDER BY l_extendedprice
+         RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW), 2) AS range_sum
+FROM lineitem
+"""
+
+
+@register("w7_range_frame_highcard", _W7_ORACLE)
+def w7_range_frame_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a CONTINUOUS order key (l_extendedprice:
+    ~57k distinct pairs at sf0.01, ~all-distinct at scale) — the
+    high-cardinality fallback branch of range_frame_sum, pinned by an
+    explicit limit so the windowed path is the one value-verified at
+    every test scale (the production default would already choose it
+    beyond ~100k pairs). Parallelism = partition-key cardinality; at
+    production scale with few partitions, quantize the order key to
+    re-enter w4's rewrite."""
+    li = load_tables(spark, sf_dir).lineitem
+    return range_frame_sum(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        "l_extendedprice",
+        100.0,
+        broadcast_distinct_limit=1000,
     )
 
 

@@ -32,7 +32,7 @@ EXPECTED_KEYS = {
     "a10_collect", "a11_min_max_by", "a12_pivot", "a13_bool_agg", "a14_unpivot", "a15_count_min",
     # windows
     "w1_order_rank", "w2_running_sum", "w3_lag_lead", "w4_range_frame",
-    "w5_ntile_cume", "w6_first_last",
+    "w5_ntile_cume", "w6_first_last", "w7_range_frame_highcard",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
     "o5_train_split",
@@ -63,13 +63,14 @@ EXPECTED_KEYS = {
 
 # Keys intentionally without a SQL oracle (nondeterministic cross-engine).
 # d3 is NOT here: its md5-prefix word hash is engine-portable, so it
-# carries a full value-level oracle.
+# carries a full value-level oracle. m2 graduated in round 4: the
+# codec decodes real BMP/PPM headers whose geometry the oracle
+# re-derives from table columns.
 ROWS_ONLY = {
     "o3_sample",
     "a8_approx_distinct",
     "d2_dedup_minhash",
     "s6_kmeans_refine",
-    "m2_media_decode",
     "e4_watermark_late",
 }
 

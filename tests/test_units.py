@@ -303,3 +303,19 @@ def test_quantized_knn_recall_vs_exact(spark, sf_dir):
     quant = [r.vec_id for r in qs["s8_knn_quantized"](spark, sf_dir).collect()]
     assert len(set(exact) & set(quant)) >= 7
     assert exact[0] in quant  # the self-match / top neighbor survives
+
+
+def test_range_frame_both_paths_identical(spark, sf_dir):
+    """range_frame_sum's broadcast rewrite and its high-cardinality
+    window fallback are two physical plans for ONE semantics — forced
+    onto the same input (limit=0 pins the window, a huge limit pins
+    the rewrite), they must agree row for row."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.windows import range_frame_sum
+
+    li = load_tables(spark, sf_dir).lineitem.limit(5000)
+    args = (li, "l_returnflag", "l_extendedprice", "l_extendedprice", 100.0)
+    via_window = range_frame_sum(*args, broadcast_distinct_limit=0)
+    via_rewrite = range_frame_sum(*args, broadcast_distinct_limit=10_000_000)
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(via_window) == canon(via_rewrite)
