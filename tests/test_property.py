@@ -141,3 +141,87 @@ def test_connected_components_matches_union_find(spark, edges):
         r.id: r.component for r in connected_components(nodes_df, edges_df).collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(["inner", "left", "right", "full", "left_semi", "left_anti"]),
+    lo=st.integers(min_value=0, max_value=500000),
+    nat=st.integers(min_value=0, max_value=24),
+)
+def test_join_type_parity(spark, duck, sf_dir, how, lo, nat):
+    """Every join type over randomized one-sided filters: the filters
+    carve mismatches on BOTH sides (orders above a price, customers in
+    one nation), so outer joins produce real null-extended rows and
+    semi/anti real drop-outs — counted identically by DuckDB."""
+    t = load_tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_totalprice") >= lo)
+    c = t.customer.filter(F.col("c_nationkey") == nat)
+    n_spark = o.join(c, o.o_custkey == c.c_custkey, how).count()
+    sql_how = {
+        "inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+        "full": "FULL JOIN", "left_semi": "SEMI JOIN", "left_anti": "ANTI JOIN",
+    }[how]
+    n_duck = duck.execute(
+        f"""
+        SELECT count(*) FROM
+          (SELECT * FROM orders WHERE o_totalprice >= ?) o
+          {sql_how}
+          (SELECT * FROM customer WHERE c_nationkey = ?) c
+          ON o.o_custkey = c.c_custkey
+        """,
+        [lo, nat],
+    ).fetchone()[0]
+    assert n_spark == n_duck, how
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    preceding=st.integers(min_value=0, max_value=10),
+    following=st.integers(min_value=0, max_value=10),
+    agg=st.sampled_from(["sum", "min", "max", "count"]),
+)
+def test_window_rows_frame_parity(spark, duck, sf_dir, preceding, following, agg):
+    """Randomized ROWS BETWEEN frames (both directions, all basic
+    aggregates) partitioned by o_orderstatus — deterministic because
+    (o_totalprice, o_orderkey) is a unique total order (o_orderkey is
+    unique in the fixture), verified row-for-row vs DuckDB."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir).orders.filter(F.col("o_custkey") <= 200)
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-preceding, following)
+    )
+    fn = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}[agg]
+    got = sorted(
+        (r.o_orderkey, r.v)
+        for r in o.select(
+            "o_orderkey", F.round(fn("o_totalprice").over(w), 2).alias("v")
+        ).collect()
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                f"""
+                SELECT o_orderkey,
+                       round({agg}(o_totalprice) OVER (
+                         PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice ASC, o_orderkey ASC
+                         ROWS BETWEEN {preceding} PRECEDING AND {following} FOLLOWING), 2) AS v
+                FROM orders WHERE o_custkey <= 200
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == want

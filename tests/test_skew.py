@@ -78,6 +78,54 @@ def test_salted_join_row_identical_hot_key_rowlevel(spark):
         ), how
 
 
+def test_aqe_skew_join_split_fires(spark):
+    """AQE's runtime skew handling, demonstrated and pinned: a sort-
+    merge join whose shuffle leaves one oversized partition (hot key =
+    ~90% of rows) must be re-planned as SortMergeJoin(skew=true) —
+    the oversized partition split into advisory-sized pieces.
+
+    Where the line sits (why j12/salted_join still exists): AQE splits
+    an oversized PARTITION, which works because sort-merge only needs
+    matching key RANGES co-located — but it cannot help an aggregation
+    keyed on the hot key, a build side whose single key overflows
+    memory, or a plan where the skewed exchange feeds other operators
+    that pin the partitioning; salting restructures the KEY itself and
+    is the fix when AQE's split can't apply. Thresholds are lowered
+    here only to make test-scale partitions look oversized (defaults:
+    256 MB / factor 5)."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        pad = F.lpad(F.lit("x"), 64, "x")
+        hot = spark.range(200000).select(F.lit(0).alias("k"), pad.alias("p"))
+        tail = spark.range(20000).select((F.col("id") % 200 + 1).alias("k"), pad.alias("p"))
+        dim = spark.range(201).select(F.col("id").alias("k"), F.lit("attr").alias("a"))
+        joined = hot.unionByName(tail).join(dim, "k")
+        assert len(joined.collect()) == 220000  # row-identity unaffected
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_salted_join_rejects_dim_preserving_how(spark):
     import pytest
 
