@@ -152,6 +152,19 @@ def ngram_jaccard_pairs(
     (blocking AND set sizes), bounding every block at df_cap docs →
     pair count ≤ n_shingles · df_cap², never n². The DF count itself
     is a window over shingle — one shuffle, millions of small groups.
+
+    Rejected rewrites (measured at sf0.1, round 4): an inverted-index
+    form (collect_list per shingle, pairs generated by nested array
+    transforms — no checkpoint, no self-join) and a packed-long pair
+    key (doc_a*2^32+doc_b instead of a two-column groupBy) were both
+    output-identical but only ~8-10% faster — inside run-to-run
+    variance, because the cost is the Σ|block|² candidate-pair stream
+    itself, which is intrinsic to exact Jaccard at threshold 0.2.
+    AllPairs/PPJoin prefix filtering (block only on each set's
+    (|d|-ceil(t|d|)+1)-prefix under a global df order; smallest common
+    token provably lands in both prefixes) is the real candidate-count
+    lever, but its prefix is 80% of the set at t=0.2 — it pays at
+    t>=0.7, the wrong regime for this operator's contract.
     """
     sh0 = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
     # Hot-shingle removal via aggregate + broadcast ANTI join, not a

@@ -102,36 +102,55 @@ def t2_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Routing heuristic on top of the ground-truth lang column: an n-gram
-# marker score (vowel-bigram density differs by language in the
-# fixture vocabularies) is computed per doc, then routed. The filter
-# itself (keep en/de/fr) is the reference behavior; the score shows the
-# langid-feature shape staying in JVM expressions.
-_T3_ORACLE = """
-SELECT lang,
-       CASE WHEN lang IN ('en', 'de') THEN 'germanic' ELSE 'romance' END AS route,
+# Language routing on the PREDICTED language — t7's n-gram langid
+# argmax, not the fixture's ground-truth label (production never has
+# the label; the whole point of a langid filter is to produce one).
+# Docs predicted en/de route 'germanic', fr 'romance', everything else
+# is dropped — plus an e-bigram density feature per routed group.
+# Oracle shares t7's full CTE chain, so a prediction drift anywhere in
+# the profile/score/argmax pipeline fails BOTH t7 and t3.
+def _t3_oracle() -> str:
+    from hive_to_es_spark.operators.text_ext import LANGID_CTES
+
+    return LANGID_CTES + """
+SELECT predicted,
+       CASE WHEN predicted IN ('en', 'de') THEN 'germanic' ELSE 'romance' END AS route,
        count(*) AS n_docs,
-       round(avg(CAST(len(string_split(text, 'e')) - 1 AS DOUBLE)
-                 / nullif(n_chars, 0)), 6) AS e_density
-FROM documents
-WHERE lang IN ('en', 'de', 'fr')
-GROUP BY lang
+       round(avg(CAST(len(string_split(d.text, 'e')) - 1 AS DOUBLE)
+                 / nullif(d.n_chars, 0)), 6) AS e_density
+FROM best b JOIN documents d USING (doc_id)
+WHERE b.rn = 1 AND predicted IN ('en', 'de', 'fr')
+GROUP BY predicted
 """
 
 
-@register("t3_langid_filter", _T3_ORACLE)
+@register("t3_langid_filter", _t3_oracle())
 def t3_langid_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language filter + routing with an n-gram density feature."""
-    d = load_tables(spark, sf_dir).documents.filter(F.col("lang").isin("en", "de", "fr"))
-    route = F.when(F.col("lang").isin("en", "de"), "germanic").otherwise("romance")
-    e_density = (F.size(F.split("text", "e")) - 1).cast("double") / F.nullif(
-        F.col("n_chars"), F.lit(0)
+    """Language filter + routing keyed on the langid PREDICTION
+    (operators/text_ext.langid_predictions), with an n-gram density
+    feature per routed group."""
+    from hive_to_es_spark.operators.text_ext import langid_predictions
+
+    d = load_tables(spark, sf_dir).documents
+    pred = langid_predictions(d).select("doc_id", "predicted")
+    routed = (
+        d.join(pred, "doc_id")
+        .filter(F.col("predicted").isin("en", "de", "fr"))
+        .select(
+            "predicted",
+            F.when(F.col("predicted").isin("en", "de"), "germanic")
+            .otherwise("romance")
+            .alias("route"),
+            (
+                (F.size(F.split("text", "e")) - 1).cast("double")
+                / F.nullif(F.col("n_chars"), F.lit(0))
+            ).alias("ed"),
+        )
     )
     return (
-        d.select("lang", route.alias("route"), e_density.alias("ed"))
-        .groupBy("lang", "route")
+        routed.groupBy("predicted", "route")
         .agg(F.count("*").alias("n_docs"), F.round(F.avg("ed"), 6).alias("e_density"))
-        .select("lang", "route", "n_docs", "e_density")
+        .select("predicted", "route", "n_docs", "e_density")
     )
 
 

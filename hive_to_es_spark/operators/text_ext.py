@@ -169,7 +169,9 @@ def t6_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operator's value is the profile-join plan, which is the real
 # n-gram-langid shape (train profiles per lang, score docs against all
 # profiles, argmax). Deterministic via (count, bigram, lang) tiebreaks.
-_T7_ORACLE = """
+# The shared langid CTE chain (through `best`): t7 aggregates the
+# confusion matrix from it; t3's oracle routes on the prediction.
+LANGID_CTES = """
 WITH bigrams AS (
   SELECT doc_id, lang,
          unnest(list_transform(range(1, length(text)),
@@ -194,19 +196,21 @@ best AS (
                             ORDER BY overlap DESC, profile_lang ASC) AS rn
   FROM scores
 )
+"""
+
+_T7_ORACLE = LANGID_CTES + """
 SELECT lang, predicted, count(*) AS n_docs
 FROM best WHERE rn = 1
 GROUP BY lang, predicted
 """
 
 
-@register("t7_langid_ngram", _T7_ORACLE)
-def t7_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram language-ID: per-language character-bigram profiles,
-    docs scored by profile overlap, argmax prediction -> confusion
-    counts. (Chance-level on this fixture — shared vocabulary across
-    langs by design; see oracle comment.)"""
-    d = load_tables(spark, sf_dir).documents
+def langid_predictions(d: DataFrame) -> DataFrame:
+    """Per-document n-gram language-ID predictions (doc_id, lang,
+    predicted): per-language character-bigram profiles, docs scored by
+    top-20-profile overlap, deterministic argmax. Shared by t7
+    (confusion counts) and t3 (routing on the PREDICTION — the honest
+    langid-filter shape: production never has the true label)."""
     bigrams = d.select(
         "doc_id",
         "lang",
@@ -240,8 +244,19 @@ def t7_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_best = Window.partitionBy("doc_id").orderBy(
         F.col("overlap").desc(), F.col("profile_lang").asc()
     )
-    best = scores.select(
+    return scores.select(
         "doc_id", "lang", F.col("profile_lang").alias("predicted"),
         F.row_number().over(w_best).alias("rn"),
-    ).filter(F.col("rn") == 1)
-    return best.groupBy("lang", "predicted").agg(F.count("*").alias("n_docs"))
+    ).filter(F.col("rn") == 1).drop("rn")
+
+
+@register("t7_langid_ngram", _T7_ORACLE)
+def t7_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram language-ID: per-language character-bigram profiles,
+    docs scored by profile overlap, argmax prediction -> confusion
+    counts. (Chance-level on this fixture — shared vocabulary across
+    langs by design; see oracle comment.)"""
+    d = load_tables(spark, sf_dir).documents
+    return langid_predictions(d).groupBy("lang", "predicted").agg(
+        F.count("*").alias("n_docs")
+    )

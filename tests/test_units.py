@@ -319,3 +319,43 @@ def test_range_frame_both_paths_identical(spark, sf_dir):
     via_rewrite = range_frame_sum(*args, broadcast_distinct_limit=10_000_000)
     canon = lambda df: sorted(map(tuple, df.collect()))
     assert canon(via_window) == canon(via_rewrite)
+
+
+def test_release_checkpoint_frees_blocks(spark):
+    """functions/lifecycle.py: a localCheckpoint'ed frame pins block-
+    manager storage that GC never frees driver-side; release_checkpoint
+    must free it (and is a no-op on non-checkpointed frames)."""
+    from hive_to_es_spark.functions.lifecycle import (
+        release_all_persistent,
+        release_checkpoint,
+    )
+
+    sc = spark.sparkContext
+    release_all_persistent(spark)  # clean slate
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = n_cached()
+    plain = spark.range(1000).selectExpr("id", "id * 2 AS y")
+    assert release_checkpoint(plain) is False  # not a checkpoint: no-op
+    ck = plain.localCheckpoint(eager=True)
+    assert n_cached() == base + 1
+    assert release_checkpoint(ck) is True
+    assert n_cached() == base
+
+
+def test_release_all_persistent_sweeps(spark):
+    from hive_to_es_spark.functions.lifecycle import release_all_persistent
+
+    sc = spark.sparkContext
+    release_all_persistent(spark)
+    a = spark.range(500).localCheckpoint(eager=True)
+    b = spark.range(600).selectExpr("id AS x").persist()
+    b.count()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) >= 2
+    released = release_all_persistent(spark)
+    assert released >= 2
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
+    # a persisted (non-checkpoint) frame can still recompute after release
+    assert b.count() == 600
