@@ -183,3 +183,44 @@ def test_jobs_from_config_and_cli_roundtrip(spark, sf_dir, tmp_path):
         jobs_from_config({"jobs": [{"name": "x", "source_tble": "orders"}]})
     with _pytest.raises(ValueError, match="no jobs"):
         jobs_from_config({})
+
+
+def test_incremental_sink_schema_evolution(spark, sf_dir, tmp_path):
+    """The incremental-sync schema-drift story: a later job version
+    adds a projected column. Appended files carry the wider schema;
+    mergeSchema reads reconcile both generations (old rows NULL for
+    the new column) — the parquet twin of ES dynamic mapping, and the
+    behavior an operator of the reference tool class relies on when a
+    source table grows a column mid-history."""
+    from hive_to_es_spark.pipeline import Job, run_job
+
+    sink = str(tmp_path / "evolving")
+    v1 = Job(
+        name="sync_v1",
+        source_table="orders",
+        incremental_filter="o_orderkey <= 1000",
+        columns={"order_id": "o_orderkey"},
+        sink_path=sink,
+    )
+    v2 = Job(
+        name="sync_v2",
+        source_table="orders",
+        incremental_filter="o_orderkey > 1000 AND o_orderkey <= 2000",
+        columns={"order_id": "o_orderkey", "amount": "o_totalprice"},
+        mode="append",
+        sink_path=sink,
+    )
+    n1 = run_job(spark, sf_dir, v1).count()
+    n2 = run_job(spark, sf_dir, v2).count()
+    assert n1 > 0 and n2 > 0
+
+    merged = spark.read.option("mergeSchema", "true").parquet(sink)
+    assert set(merged.columns) == {"order_id", "amount"}
+    assert merged.count() == n1 + n2
+    # generation 1 rows surface with NULL for the later column;
+    # generation 2 rows carry real values
+    assert merged.filter(F.col("amount").isNull()).count() == n1
+    assert merged.filter(F.col("amount").isNotNull()).count() == n2
+    # a plain (non-merge) read still works off the union footer —
+    # whichever footer wins, the row COUNT is never wrong
+    assert spark.read.parquet(sink).count() == n1 + n2
