@@ -153,10 +153,10 @@ GROUP BY batch_id
 """
 
 
-@register("p6_batching", _P6_ORACLE)
-def p6_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch/page assignment (fetchmany-style 1000-row pages) with
-    per-batch bounds — bounded sink memory made visible.
+def page_assign(keys: DataFrame, key_col: str, page_size: int, n_parts: int) -> DataFrame:
+    """Batch/page assignment (fetchmany-style `page_size`-row pages)
+    with per-batch bounds — bounded sink memory made visible.
+    Returns (batch_id, n_rows, min_key, max_key).
 
     Scale shape: no global window, and no reliance on physical
     placement: the range partition is COMPUTED from the key
@@ -166,21 +166,26 @@ def p6_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame to keep the two passes consistent — RangePartitioner's
     sample seed incorporates the RDD id, so an unpersisted recompute
     re-draws DIFFERENT boundaries (observed: the oracle caught a
-     16-vs-15-batch drift the moment the persist was dropped).
+    16-vs-15-batch drift the moment the persist was dropped).
     Arithmetic ranges make determinism a property of the DATA, not of
     cache residency; the cost is balance under key skew, which for a
     dense surrogate key is moot. Driver state: min/max (2 values) +
     one count per range (n_partitions rows — same O(n_partitions) as a
     shuffle's map statuses). The within-range window shuffles by _pid
-    only — every group is ~n/n_partitions rows.
+    only — every group is ~n/n_parts rows.
     """
-    o = load_tables(spark, sf_dir).orders
-    n_parts = spark.sparkContext.defaultParallelism
-    keys = o.select("o_orderkey")
-    lo, hi = keys.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    keys = keys.select(key_col)
+    lo, hi = keys.agg(F.min(key_col), F.max(key_col)).first()
+    if lo is None:  # empty source: zero batches, not a TypeError below
+        return keys.select(
+            F.col(key_col).alias("batch_id"),
+            F.lit(0).cast("bigint").alias("n_rows"),
+            F.col(key_col).alias("min_key"),
+            F.col(key_col).alias("max_key"),
+        ).limit(0)
     width = max(1, -(-(hi - lo + 1) // n_parts))  # ceil-div
     ranged = keys.withColumn(
-        "_pid", F.floor((F.col("o_orderkey") - F.lit(lo)) / F.lit(width)).cast("int")
+        "_pid", F.floor((F.col(key_col) - F.lit(lo)) / F.lit(width)).cast("int")
     )
     counts = sorted(
         (r["_pid"], r["_n"])
@@ -192,18 +197,26 @@ def p6_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         offset_entries += [F.lit(pid), F.lit(acc)]
         acc += n
     offset = F.element_at(F.create_map(*offset_entries), F.col("_pid"))
-    w = Window.partitionBy("_pid").orderBy("o_orderkey")
+    w = Window.partitionBy("_pid").orderBy(key_col)
     global_rn = F.row_number().over(w) + offset - 1  # 0-based global rank
-    batch = F.floor(global_rn / 1000).cast("bigint")
+    batch = F.floor(global_rn / page_size).cast("bigint")
     return (
-        ranged.select("o_orderkey", batch.alias("batch_id"))
+        ranged.select(key_col, batch.alias("batch_id"))
         .groupBy("batch_id")
         .agg(
             F.count("*").alias("n_rows"),
-            F.min("o_orderkey").alias("min_key"),
-            F.max("o_orderkey").alias("max_key"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
         )
     )
+
+
+@register("p6_batching", _P6_ORACLE)
+def p6_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1000-row page assignment over orders — see page_assign for the
+    two-pass arithmetic-range plan and its determinism story."""
+    o = load_tables(spark, sf_dir).orders
+    return page_assign(o, "o_orderkey", 1000, spark.sparkContext.defaultParallelism)
 
 
 _P7_ORACLE = """

@@ -359,3 +359,22 @@ def test_release_all_persistent_sweeps(spark):
     assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
     # a persisted (non-checkpoint) frame can still recompute after release
     assert b.count() == 600
+
+
+def test_page_assign_empty_and_tiny_inputs(spark):
+    """page_assign (p6's engine): empty input yields zero batches with
+    the right schema; a tiny input yields exact page bounds."""
+    from hive_to_es_spark.operators.pipeline_ops import page_assign
+
+    empty = spark.createDataFrame([], "k LONG")
+    out = page_assign(empty, "k", 10, 4)
+    assert out.columns == ["batch_id", "n_rows", "min_key", "max_key"]
+    assert out.count() == 0
+
+    tiny = spark.createDataFrame([(i,) for i in range(25)], "k LONG")
+    rows = {r.batch_id: r for r in page_assign(tiny, "k", 10, 4).collect()}
+    assert {b: (rows[b].n_rows, rows[b].min_key, rows[b].max_key) for b in sorted(rows)} == {
+        0: (10, 0, 9),
+        1: (10, 10, 19),
+        2: (5, 20, 24),
+    }
