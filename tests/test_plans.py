@@ -180,3 +180,18 @@ def test_topk_windows_plan_group_limit(spark, sf_dir):
     per-partition window work bounded at scale."""
     for key in ("w1_order_rank", "s7_knn_batch", "s2_pairwise_topk"):
         assert "WindowGroupLimit" in _plan(spark, sf_dir, key), key
+
+
+def test_range_frame_gate_picks_the_right_plan(spark, sf_dir):
+    """w4 (discrete key) must compile to the broadcast rewrite — no
+    Window operator at all, fact table never shuffled; w7 (continuous
+    key, limit pinned low) must compile to the partitioned RANGE
+    window — no join anywhere. The cardinality gate selecting the
+    wrong branch would still pass the value oracles (both plans are
+    one semantics), so only a plan assertion can catch it."""
+    w4 = _plan(spark, sf_dir, "w4_range_frame")
+    assert "BroadcastHashJoin" in w4
+    assert "windowspecdefinition" not in w4
+    w7 = _plan(spark, sf_dir, "w7_range_frame_highcard")
+    assert "windowspecdefinition" in w7
+    assert "Join" not in w7
