@@ -16,10 +16,17 @@ discipline; per-node state never leaves the cluster.
 graphs are shallow (dup clusters are cliques-ish), so <10 rounds in
 practice. `localCheckpoint` truncates the per-round lineage (on a
 real cluster, `checkpoint` to shared storage for fault tolerance).
-The alternating large-star/small-star algorithm (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) halves round
-count on adversarial chains; min-propagation is preferred here for
-its 1-join round and deterministic output.
+For graphs DEEPER than the round budget (adversarial chains — e.g. a
+corpus whose near-dup pairs form one long similarity path),
+min-propagation's O(diameter) rounds are the wrong algorithm;
+`connected_components` then switches automatically to the alternating
+large-star/small-star contraction (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), which converges in
+O(log² n) rounds (O(log n) in practice) — implemented below in
+`connected_components_star`. Min-propagation stays the default
+because its 1-join round is measurably cheaper on the shallow graphs
+dedup actually produces (round-3 measurement), and both paths emit
+the identical deterministic contract: component = min reachable id.
 """
 
 from __future__ import annotations
@@ -104,10 +111,104 @@ def connected_components(
             # (tools/check.py sweeps per key).
             release_checkpoint(sym)
             return labels.select(F.col("_id").alias(id_col), "component")
-    release_checkpoint(sym)
+    # Diameter exceeded the round budget: min-propagation is the wrong
+    # algorithm for this graph shape. Hand the ALREADY-MATERIALIZED
+    # symmetric edge list to star contraction (O(log) rounds) instead
+    # of failing — the upstream pair plan is not re-executed.
     if prev is not None:
         release_checkpoint(prev)
+    result = _star_contraction(nodes, sym, id_col)
+    release_checkpoint(sym)
+    return result
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., SoCC'14) — same contract as
+    `connected_components` (component = min reachable id,
+    deterministic), but O(log) rounds regardless of diameter. Use
+    directly when the graph is known-deep; `connected_components`
+    falls back to it automatically when min-propagation exhausts its
+    round budget."""
+    sym = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .union(edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d")))
+        .localCheckpoint(eager=True)
+    )
+    result = _star_contraction(nodes, sym, id_col)
+    release_checkpoint(sym)
+    return result
+
+
+def _star_contraction(nodes: DataFrame, sym: DataFrame, id_col: str,
+                      max_rounds: int = 64) -> DataFrame:
+    """Alternating large-star/small-star over a symmetric edge list
+    (columns _s, _d). Per round: large-star hangs every
+    larger-than-center neighbor onto the neighborhood minimum, then
+    small-star re-hangs each center and its smaller neighbors onto
+    their minimum; the edge set monotonically flattens into stars
+    (node -> component min) in O(log² n) rounds, O(log n) observed.
+    Same per-round lifecycle discipline as min-propagation: lazy
+    checkpoint materialized by the convergence count, previous round
+    released."""
+    # canonical working set: directed (u > v), self-loops dropped
+    e = (
+        sym.filter(F.col("_s") != F.col("_d"))
+        .select(
+            F.greatest("_s", "_d").alias("u"), F.least("_s", "_d").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        # ---- large-star: m(u) = min(Γ(u) ∪ {u}); (w, m) for w > u --
+        adj = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = adj.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = m.select("u", F.least("_mn", "u").alias("m"))
+        large = (
+            adj.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # ---- small-star on (u > v) rows: hang u and its smaller
+        # neighbors onto min(Γ<(u) ∪ {u}) = min(v's) ----------------
+        sm = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(sm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(sm.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # convergence: the (distinct) edge sets are equal — one count
+        # (which also materializes the lazy checkpoint) plus a bounded
+        # anti-join probe; the only per-round driver state is two ints
+        n_new = small.count()
+        stable = n_new == n_edges and small.subtract(e).limit(1).count() == 0
+        old, e, n_edges = e, small, n_new
+        release_checkpoint(old)  # new round's set is materialized; old is dead
+        if stable:
+            roots = e.groupBy("u").agg(F.min("v").alias("component"))
+            return (
+                nodes.select(F.col(id_col).alias("_id"))
+                .join(roots, F.col("_id") == F.col("u"), "left")
+                .select(
+                    F.col("_id").alias(id_col),
+                    F.coalesce("component", "_id").alias("component"),
+                )
+            )
     raise RuntimeError(
-        f"connected_components: no convergence in {max_rounds} rounds "
-        "(diameter too large — use star-contraction)"
+        f"star contraction: no convergence in {max_rounds} rounds "
+        "(should be impossible — O(log^2 n) bound)"
     )

@@ -225,3 +225,46 @@ def test_window_rows_frame_parity(spark, duck, sf_dir, preceding, following, agg
         )
     )
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=15),
+                  st.integers(min_value=0, max_value=15)),
+        max_size=20,
+    )
+)
+def test_star_contraction_matches_union_find(spark, edges):
+    """The O(log)-round star-contraction path must agree with union-
+    find on arbitrary small graphs (self-loops and duplicate edges
+    included) — same oracle as the min-propagation property test."""
+    from hive_to_es_spark.functions.graph import connected_components_star
+
+    nodes = sorted({n for e in edges for n in e} | set(range(4)))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {n: find(n) for n in nodes}
+    expected = {n: min(m for m in nodes if roots[m] == roots[n]) for n in nodes}
+
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "id LONG")
+    edges_df = spark.createDataFrame(edges or [(0, 0)], "src LONG, dst LONG")
+    got = {
+        r.id: r.component
+        for r in connected_components_star(nodes_df, edges_df).collect()
+    }
+    assert got == expected

@@ -279,17 +279,39 @@ def test_connected_components_chain_star_isolated(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
 
 
-def test_connected_components_diameter_guard(spark):
-    """A graph whose diameter exceeds max_rounds must raise (the
-    star-contraction escape hatch), not return half-propagated labels."""
+def test_connected_components_deep_graph_falls_back_to_star(spark):
+    """A graph whose diameter exceeds max_rounds must NOT return
+    half-propagated labels OR fail: min-propagation hands its
+    materialized edge list to star contraction, which closes the
+    40-node chain in O(log) rounds with the identical contract."""
     from hive_to_es_spark.functions.graph import connected_components
 
-    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id LONG")
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id LONG")
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 6)], "src LONG, dst LONG"
+        [(i, i + 1) for i in range(n - 1)], "src LONG, dst LONG"
     )
-    with pytest.raises(RuntimeError, match="no convergence"):
-        connected_components(nodes, chain, max_rounds=2)
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, chain, max_rounds=3).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_contraction_direct(spark):
+    """connected_components_star on chain + star + isolated — the
+    same semantics test min-propagation passes."""
+    from hive_to_es_spark.functions.graph import connected_components_star
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id LONG")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7)], "src LONG, dst LONG"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
 
 
 def test_quantized_knn_recall_vs_exact(spark, sf_dir):
