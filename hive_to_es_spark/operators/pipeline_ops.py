@@ -219,6 +219,98 @@ def p6_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_assign(o, "o_orderkey", 1000, spark.sparkContext.defaultParallelism)
 
 
+def shard_assign(
+    df: DataFrame, key_col: str, weight_col: str, budget: int, n_parts: int
+) -> DataFrame:
+    """Weight-budgeted shard packing: documents in key order are
+    packed greedily into shards of ~`budget` total weight (a doc is
+    assigned by its STARTING cumulative offset, so a shard may exceed
+    budget by at most one doc — standard greedy packing; docs heavier
+    than the budget get a shard of their own). This is page_assign
+    with a WEIGHT instead of a row count — the training-data form:
+    token-budgeted shards for sequence packing, size-budgeted tars for
+    WebDataset-style exports.
+
+    Same scale shape as page_assign: the global cumulative weight is
+    two-pass — arithmetic key ranges off a min/max scan, per-range
+    weight totals collected (n_parts rows of driver state), offsets
+    broadcast back, running sum windowed WITHIN each range only. No
+    global window, nothing persisted, deterministic under recompute.
+    Returns (shard_id, n_docs, total_weight, min_key, max_key).
+    """
+    base = df.select(key_col, F.col(weight_col).cast("long").alias("_w"))
+    lo, hi = base.agg(F.min(key_col), F.max(key_col)).first()
+    if lo is None:
+        return base.select(
+            F.col(key_col).alias("shard_id"),
+            F.lit(0).cast("bigint").alias("n_docs"),
+            F.lit(0).cast("bigint").alias("total_weight"),
+            F.col(key_col).alias("min_key"),
+            F.col(key_col).alias("max_key"),
+        ).limit(0)
+    width = max(1, -(-(hi - lo + 1) // n_parts))  # ceil-div
+    ranged = base.withColumn(
+        "_pid", F.floor((F.col(key_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    )
+    totals = sorted(
+        (r["_pid"], r["_t"])
+        for r in ranged.groupBy("_pid").agg(F.sum("_w").alias("_t")).collect()
+    )
+    offset_entries: list = []
+    acc = 0
+    for pid, t in totals:
+        offset_entries += [F.lit(pid), F.lit(acc)]
+        acc += t
+    offset = F.element_at(F.create_map(*offset_entries), F.col("_pid"))
+    w = Window.partitionBy("_pid").orderBy(key_col)
+    # global cumulative weight INCLUSIVE of this row; start offset =
+    # cum - w. Integer div keeps both engines exact (no FP floor).
+    cum = F.sum("_w").over(w) + offset
+    shard = F.expr(f"(_cum - _w) div {budget}").cast("bigint")
+    return (
+        ranged.withColumn("_cum", cum)
+        .select(key_col, "_w", shard.alias("shard_id"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_w").cast("bigint").alias("total_weight"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+        )
+    )
+
+
+# Token-budget sharding semantics stated as a global running sum; the
+# Spark plan must NOT run one (p6's rule). 50k chars ~ a 12.5k-token
+# shard at 4 chars/token.
+_P12_ORACLE = """
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_weight,
+       min(doc_id) AS min_key,
+       max(doc_id) AS max_key
+FROM (
+  SELECT doc_id, n_chars,
+         CAST((sum(n_chars) OVER (ORDER BY doc_id) - n_chars) // 50000
+              AS BIGINT) AS shard_id
+  FROM documents
+)
+GROUP BY shard_id
+"""
+
+
+@register("p12_token_shards", _P12_ORACLE)
+def p12_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-budgeted corpus sharding over documents (weight =
+    n_chars, 50k per shard) — the packing step that turns a cleaned
+    corpus into bounded training shards. See shard_assign for the
+    two-pass, no-global-window plan."""
+    d = load_tables(spark, sf_dir).documents
+    return shard_assign(
+        d, "doc_id", "n_chars", 50_000, spark.sparkContext.defaultParallelism
+    )
+
+
 _P7_ORACLE = """
 SELECT count(*) AS n, round(sum(amount), 2) AS total
 FROM (SELECT o_totalprice AS amount FROM orders WHERE o_orderstatus = 'F')

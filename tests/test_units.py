@@ -400,3 +400,25 @@ def test_page_assign_empty_and_tiny_inputs(spark):
         1: (10, 10, 19),
         2: (5, 20, 24),
     }
+
+
+def test_shard_assign_packing_semantics(spark):
+    """shard_assign (p12's engine): greedy start-offset packing —
+    shards exceed budget by at most one straddling doc, an oversized
+    doc still lands in exactly one shard, empty input yields zero
+    shards, and every doc is assigned exactly once."""
+    from hive_to_es_spark.operators.pipeline_ops import shard_assign
+
+    rows = [(1, 40), (2, 40), (3, 40), (4, 250), (5, 10), (6, 10)]
+    df = spark.createDataFrame(rows, "k LONG, w LONG")
+    out = {r.shard_id: r for r in shard_assign(df, "k", "w", 100, 4).collect()}
+    # starts: 0,40,80,120,370,380 -> shards 0,0,0,1,3,3
+    assert {b: (out[b].n_docs, out[b].total_weight) for b in sorted(out)} == {
+        0: (3, 120),   # doc 3 straddles: shard 0 carries 120 > budget
+        1: (1, 250),   # the oversized doc gets its own shard
+        3: (2, 20),    # packing resumes at the next start offset
+    }
+    assert sum(r.n_docs for r in out.values()) == len(rows)
+
+    empty = spark.createDataFrame([], "k LONG, w LONG")
+    assert shard_assign(empty, "k", "w", 100, 4).count() == 0
