@@ -68,6 +68,7 @@ OPS = {
     "w4_range_frame": (2.0, "group-agg + broadcast back, linear"),
     "q8_market_share": (2.0, "fact-fact join + broadcast dims, linear"),
     "p10_corpus_pipeline": (2.0, "scan-side scoring + digest-window + 15-group agg, linear"),
+    "p12_token_shards": (2.0, "weighted two-pass paging: range totals + within-range window, linear"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
