@@ -39,17 +39,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with schema fix-ups.
 
-    events.ts is TIMESTAMP(NANOS) parquet which Spark 4.x cannot read
-    natively; with spark.sql.legacy.parquet.nanosAsLong=true it arrives
-    as bigint nanos and is rebuilt to a microsecond timestamp here
-    (FIXTURES.md "events"). All other tables load as-is.
+    events.ts has shipped in two physical forms across fixture
+    generations, both normalized here to a session-UTC TIMESTAMP
+    (TIMESTAMP_LTZ) so downstream code — in particular streaming
+    watermarks, which reject TIMESTAMP_NTZ — sees one stable type:
+
+    - TIMESTAMP(NANOS): Spark 4.x cannot read it natively; with
+      spark.sql.legacy.parquet.nanosAsLong=true it arrives as bigint
+      nanos and is rebuilt to a microsecond timestamp.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): read natively as
+      TIMESTAMP_NTZ; cast to TIMESTAMP. The session time zone is
+      pinned to UTC (session.REQUIRED_RUNTIME_CONFS) so the cast is a
+      deterministic relabel — wall-clock values are unchanged and
+      still match DuckDB's naive timestamps exactly.
+
+    All other tables load as-is.
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer `div`, NOT `/1000` — double division rounds half the
-        # microseconds up while DuckDB (the oracle) truncates ns -> us
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer `div`, NOT `/1000` — double division rounds half the
+            # microseconds up while DuckDB (the oracle) truncates ns -> us
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
