@@ -60,6 +60,9 @@ EXTENSION = [
     "d9_text_dup_groups",
     # round 4: the high-cardinality RANGE-frame fallback path
     "w7_range_frame_highcard",
+    # round 5: the bucketed-donor plan on the same shape (should beat
+    # w7's 3-task ceiling wall-clock-wise at equal semantics)
+    "w8_range_frame_scalable",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,13 +76,15 @@ N_RUNS = 3
 #   explode + hot-shingle cap is most of its cost.
 # These rebuild inside the timed section — the whole computation is
 # what the number means.
-# - w4/w7 run a one-scan approx-distinct gate job at build.
+# - w4/w7/w8 run a one-scan approx-distinct gate job at build (w8
+#   adds the min/max bucket-bounds scan).
 EAGER_BUILD = {
     "d4_dedup_ngram_jaccard",
     "d7_dedup_components",
     "d9_text_dup_groups",
     "w4_range_frame",
     "w7_range_frame_highcard",
+    "w8_range_frame_scalable",
 }
 
 

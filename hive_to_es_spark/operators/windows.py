@@ -122,8 +122,85 @@ FROM lineitem
 # broadcast rewrite: 100k pairs ≈ a few MB broadcast (well under the
 # 10 MB autoBroadcast default), measured from the approx-distinct scan
 # below. Above it the aggregate itself is no longer a "tiny" table and
-# the plain partitioned RANGE window is the right plan.
+# a distributed plan (bucketed window, or the plain partitioned RANGE
+# window when the partition key alone supplies enough parallelism) is
+# the right choice.
 RANGE_BROADCAST_LIMIT = 100_000
+
+
+def range_bucket_count(parallelism: int, n_parts: int) -> int:
+    """Buckets per partition key for the bucketed RANGE plan: enough
+    that n_parts × buckets ≈ 4× cluster parallelism (4 waves absorb
+    per-bucket skew), never fewer than 2 (1 bucket would be the plain
+    window with extra donor rows)."""
+    return max(2, -(-4 * parallelism // max(1, n_parts)))
+
+
+def _bucketed_range_frame(
+    li: DataFrame,
+    part_col: str,
+    order_col: str,
+    sum_col: str,
+    delta,
+    n_buckets: int,
+) -> DataFrame:
+    """Distributed RANGE frame with EXACT semantics and parallelism
+    n_parts × n_buckets — the escape hatch for the low-partition-
+    cardinality + continuous-order-key shape where both other plans
+    hit a ceiling (broadcast: pair count too high; plain window:
+    parallelism = partition-key cardinality, e.g. 3 tasks sorting the
+    whole fact table regardless of cluster size).
+
+    Plan: split each partition key's order range into arithmetic
+    buckets of width >= delta, so any row's frame [v-delta, v] spans
+    at most its own bucket and the one before. Each row is shuffled to
+    its own bucket, plus a "donor" copy to the NEXT bucket iff it sits
+    within delta of the bucket's upper edge (the only rows the next
+    bucket's frames can reach). The ordinary RANGE window then runs
+    per (partition key, bucket) — many small sorted runs instead of
+    one giant one — and donor rows contribute to sums but are dropped
+    from the output. No approximation: values equal the single-window
+    plan bit for bit, so the DuckDB oracle is the unchanged RANGE SQL.
+
+    Cost: one extra tiny min/max scan (driver state = 2 doubles), and
+    the shuffle carries <= (1 + delta/width) × rows; the fact table is
+    scanned ONCE (the donor copy comes from a 2-element explode, not a
+    second scan — at 100 TB the union-of-two-scans form would double
+    the IO). Skew note: equal order values always land in one bucket
+    (peers stay together), so a single hyper-frequent value caps one
+    bucket's size — that is the RANGE-peer semantics' irreducible
+    skew, same as the plain window.
+    """
+    lo, hi = li.agg(
+        F.min(F.col(order_col).cast("double")), F.max(F.col(order_col).cast("double"))
+    ).first()
+    if lo is None:  # empty input: any single-branch plan is fine
+        lo, hi = 0.0, 0.0
+    width = max(float(delta), (hi - lo) / n_buckets) or 1.0
+    v = F.col(order_col).cast("double") - F.lit(lo)
+    bkt = F.floor(v / F.lit(width))
+    near_upper_edge = v >= (bkt + 1) * F.lit(width) - F.lit(float(delta))
+    w_expr = (
+        f"round(sum({sum_col}) OVER (PARTITION BY {part_col}, _bkt "
+        f"ORDER BY {order_col} RANGE BETWEEN {delta} PRECEDING "
+        f"AND CURRENT ROW), 2)"
+    )
+    return (
+        li.select(
+            "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("_donor")
+        )
+        .filter((F.col("_donor") == 0) | near_upper_edge)
+        .withColumn("_bkt", bkt + F.col("_donor"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            order_col,
+            "_donor",
+            F.expr(w_expr).alias("range_sum"),
+        )
+        .filter(F.col("_donor") == 0)
+        .drop("_donor")
+    )
 
 
 def range_frame_sum(
@@ -133,10 +210,11 @@ def range_frame_sum(
     sum_col: str,
     delta,
     broadcast_distinct_limit: int = RANGE_BROADCAST_LIMIT,
+    plan: str = "auto",
 ) -> DataFrame:
     """RANGE BETWEEN `delta` PRECEDING AND CURRENT ROW sum of
     `sum_col`, partitioned by `part_col`, ordered by `order_col` —
-    with a cardinality-gated choice of physical plan.
+    with a cardinality-gated choice among three physical plans.
 
     A RANGE frame's value depends only on (partition key, order
     value), so when the distinct pair count is broadcastable the fact
@@ -148,19 +226,42 @@ def range_frame_sum(
     values -> the naive window caps at 3 tasks no matter the cluster).
 
     The gate: one approx_count_distinct scan (no shuffle — HLL partial
-    agg; driver state = one long). Above `broadcast_distinct_limit`
+    agg; driver state = two longs). Above `broadcast_distinct_limit`
     (continuous keys — prices, timestamps) the aggregate is no longer
-    tiny and the plan falls back to the plain partitioned RANGE
-    window, whose parallelism is the partition-key cardinality; when
-    THAT is also low at production scale, quantize the order key
-    (bucket prices to cents) to re-enter the rewrite. Measured at
-    sf0.1 both forms compute in ~40ms — w4's ~2s bench entry is
+    tiny, and the choice is between two distributed plans:
+
+    - partition-key cardinality >= cluster parallelism: the plain
+      partitioned RANGE window — one shuffle, per-key sorted runs,
+      already parallel enough;
+    - partition-key cardinality BELOW parallelism (the w7 shape): the
+      bucketed-donor plan (_bucketed_range_frame) — exact semantics,
+      parallelism n_parts × n_buckets instead of n_parts.
+
+    `plan` pins a branch for testing: "broadcast" | "window" |
+    "bucketed" | "auto" (measure and choose). Measured at sf0.1 the
+    broadcast/window forms compute in ~40ms — w4's ~2s bench entry is
     600k-row result transfer, not compute.
     """
-    n_pairs = li.agg(
-        F.approx_count_distinct(F.struct(part_col, order_col)).alias("n")
-    ).first()["n"]
-    if n_pairs > broadcast_distinct_limit:
+    parallelism = li.sparkSession.sparkContext.defaultParallelism
+    n_parts = None
+    if plan == "auto":
+        cards = li.agg(
+            F.approx_count_distinct(F.struct(part_col, order_col)).alias("np"),
+            F.approx_count_distinct(part_col).alias("nk"),
+        ).first()
+        n_pairs, n_parts = cards["np"], cards["nk"]
+        if n_pairs <= broadcast_distinct_limit:
+            plan = "broadcast"
+        else:
+            plan = "window" if n_parts >= parallelism else "bucketed"
+    if plan == "bucketed":
+        if n_parts is None:
+            n_parts = li.agg(F.approx_count_distinct(part_col).alias("nk")).first()["nk"]
+        return _bucketed_range_frame(
+            li, part_col, order_col, sum_col, delta,
+            range_bucket_count(parallelism, n_parts),
+        )
+    if plan == "window":
         w_expr = (
             f"round(sum({sum_col}) OVER (PARTITION BY {part_col} "
             f"ORDER BY {order_col} RANGE BETWEEN {delta} PRECEDING "
@@ -169,6 +270,7 @@ def range_frame_sum(
         return li.select(
             "l_orderkey", "l_linenumber", order_col, F.expr(w_expr).alias("range_sum")
         )
+    assert plan == "broadcast", f"unknown range_frame_sum plan {plan!r}"
     g = li.groupBy(part_col, order_col).agg(F.sum(sum_col).alias("_s"))
     a = g.select(F.col(part_col).alias("_p"), F.col(order_col).alias("_q"))
     b = g.select(
@@ -223,12 +325,31 @@ FROM lineitem
 def w7_range_frame_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over a CONTINUOUS order key (l_extendedprice:
     ~57k distinct pairs at sf0.01, ~all-distinct at scale) — the
-    high-cardinality fallback branch of range_frame_sum, pinned by an
-    explicit limit so the windowed path is the one value-verified at
-    every test scale (the production default would already choose it
-    beyond ~100k pairs). Parallelism = partition-key cardinality; at
-    production scale with few partitions, quantize the order key to
-    re-enter w4's rewrite."""
+    plain-window branch of range_frame_sum, pinned so this path stays
+    value-verified at every test scale. Its parallelism equals the
+    partition-key cardinality (3 here): correct but a scale ceiling —
+    the auto gate routes this shape to the bucketed plan instead,
+    which w8 pins and verifies."""
+    li = load_tables(spark, sf_dir).lineitem
+    return range_frame_sum(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        "l_extendedprice",
+        100.0,
+        plan="window",
+    )
+
+
+@register("w8_range_frame_scalable", _W7_ORACLE)
+def w8_range_frame_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w7's exact shape (continuous order key, 3-value partition key)
+    through range_frame_sum's AUTO gate, which measures ~57k pairs >
+    the 1000 limit and 3 partition keys < cluster parallelism and
+    picks the bucketed-donor plan — identical values to w7 (same
+    DuckDB oracle, unchanged RANGE SQL) with n_parts × n_buckets task
+    parallelism instead of 3. This is the branch that survives 100 TB
+    on the low-partition-cardinality shape."""
     li = load_tables(spark, sf_dir).lineitem
     return range_frame_sum(
         li,

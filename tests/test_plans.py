@@ -195,3 +195,27 @@ def test_range_frame_gate_picks_the_right_plan(spark, sf_dir):
     w7 = _plan(spark, sf_dir, "w7_range_frame_highcard")
     assert "windowspecdefinition" in w7
     assert "Join" not in w7
+
+
+def test_scalable_range_frame_is_bucket_parallel(spark, sf_dir):
+    """w8 (auto gate on the high-card/low-partition shape) must pick
+    the bucketed-donor plan: the window and its exchange partition on
+    (l_returnflag, _bkt) — parallelism n_parts × n_buckets, NOT the
+    3-task ceiling of w7's plain window — from a single fact scan
+    with no join anywhere."""
+    import re
+
+    from hive_to_es_spark.operators.windows import range_bucket_count
+
+    w8 = _plan(spark, sf_dir, "w8_range_frame_scalable")
+    assert "Join" not in w8
+    # the window itself is partitioned by (part, bucket)
+    window_lines = [l for l in w8.splitlines() if "windowspecdefinition" in l]
+    assert window_lines and all("_bkt" in l for l in window_lines)
+    # so is the shuffle feeding it
+    assert any("hashpartitioning" in l and "_bkt" in l for l in w8.splitlines())
+    # single fact scan: the donor copy comes from explode, not a 2nd read
+    assert len(re.findall(r"\(\d+\) Scan parquet", w8)) == 1
+    # and the bucket count actually multiplies parallelism (3 parts here)
+    assert 3 * range_bucket_count(spark.sparkContext.defaultParallelism, 3) > \
+        spark.sparkContext.defaultParallelism

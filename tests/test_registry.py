@@ -34,6 +34,7 @@ EXPECTED_KEYS = {
     # windows
     "w1_order_rank", "w2_running_sum", "w3_lag_lead", "w4_range_frame",
     "w5_ntile_cume", "w6_first_last", "w7_range_frame_highcard",
+    "w8_range_frame_scalable",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
     "o5_train_split",

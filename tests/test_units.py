@@ -327,20 +327,20 @@ def test_quantized_knn_recall_vs_exact(spark, sf_dir):
     assert exact[0] in quant  # the self-match / top neighbor survives
 
 
-def test_range_frame_both_paths_identical(spark, sf_dir):
-    """range_frame_sum's broadcast rewrite and its high-cardinality
-    window fallback are two physical plans for ONE semantics — forced
-    onto the same input (limit=0 pins the window, a huge limit pins
-    the rewrite), they must agree row for row."""
+def test_range_frame_all_three_paths_identical(spark, sf_dir):
+    """range_frame_sum's broadcast rewrite, plain-window fallback and
+    bucketed-donor plan are three physical plans for ONE semantics —
+    pinned onto the same input via `plan=`, they must agree row for
+    row (this is what lets w7/w8 share one DuckDB oracle)."""
     from hive_to_es_spark.io import load_tables
     from hive_to_es_spark.operators.windows import range_frame_sum
 
     li = load_tables(spark, sf_dir).lineitem.limit(5000)
     args = (li, "l_returnflag", "l_extendedprice", "l_extendedprice", 100.0)
-    via_window = range_frame_sum(*args, broadcast_distinct_limit=0)
-    via_rewrite = range_frame_sum(*args, broadcast_distinct_limit=10_000_000)
     canon = lambda df: sorted(map(tuple, df.collect()))
-    assert canon(via_window) == canon(via_rewrite)
+    via_window = canon(range_frame_sum(*args, plan="window"))
+    assert canon(range_frame_sum(*args, plan="broadcast")) == via_window
+    assert canon(range_frame_sum(*args, plan="bucketed")) == via_window
 
 
 def test_release_checkpoint_frees_blocks(spark):
