@@ -1,10 +1,12 @@
 """Sources & sinks.
 
 Source model mirrors the reference tool class (SURVEY.md §1.1): named
-tables as sources, document sinks. Here sources are parquet
-directories (prod: Hive catalog via ``spark.table``), and the
-Elasticsearch sink is represented by its connector options (no ES in
-the test env — verified as a parquet roundtrip, SURVEY.md §2.A p7).
+tables as sources, document sinks. Sources are parquet directories OR
+catalog tables — a "catalog:<db>" location routes every read through
+``spark.table`` (populate_catalog registers the fixtures as managed
+tables; analyze_catalog feeds the CBO) — and the Elasticsearch sink is
+represented by its connector options (no ES in the test env — verified
+as a parquet roundtrip, SURVEY.md §2.A p7).
 
 Scale posture: readers keep filters/projections as Column expressions
 so Catalyst pushes them into the parquet scan (PushedFilters /
@@ -35,6 +37,57 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Catalog routing: a source location of the form "catalog:<database>"
+# makes every read resolve through the session catalog
+# (``spark.table``) instead of parquet paths — the production source
+# model of the reference tool class (Hive tables in, documents out).
+# Works with any metastore implementation the session was built with
+# (in-memory catalog locally, Hive metastore on a cluster); tables are
+# registered once with populate_catalog and from then on carry catalog
+# stats (ANALYZE TABLE) that feed Spark's cost-based optimizer.
+CATALOG_PREFIX = "catalog:"
+
+
+def populate_catalog(
+    spark: SparkSession, sf_dir: str, database: str, mode: str = "overwrite"
+) -> str:
+    """Register the fixture tables as managed catalog tables.
+
+    Writes go through read_table, so physical-form fix-ups (the
+    events.ts nanos/NTZ normalization) happen ONCE at registration and
+    catalog readers get the normalized schema — exactly the posture of
+    a curated Hive warehouse, where the ingest job owns type hygiene.
+    Returns the "catalog:<database>" source string for load_tables.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for name in TABLES:
+        (read_table(spark, sf_dir, name)
+         .write.mode(mode).saveAsTable(f"{database}.{name}"))
+    return f"{CATALOG_PREFIX}{database}"
+
+
+def analyze_catalog(spark: SparkSession, database: str) -> None:
+    """ANALYZE every registered table (table-level + all-column stats)
+    so the CBO (spark.sql.cbo.enabled) has row counts, sizes and NDVs
+    to cost join orders with — at 100 TB, stats-driven build-side and
+    join-order choices are the difference between a broadcast and a
+    full shuffle."""
+    for name in TABLES:
+        spark.sql(f"ANALYZE TABLE {database}.{name} COMPUTE STATISTICS")
+        # Column stats (NDV, min/max, null counts) only exist for
+        # atomic types — ANALYZE rejects array/map/struct/binary
+        # (embeddings.embedding, documents/events payloads), so pick
+        # the supported columns explicitly instead of FOR ALL COLUMNS.
+        atomic = [
+            f"`{c}`" for c, t in spark.table(f"{database}.{name}").dtypes
+            if not (t.startswith(("array", "map", "struct")) or t == "binary")
+        ]
+        if atomic:
+            spark.sql(
+                f"ANALYZE TABLE {database}.{name} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(atomic)}"
+            )
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with schema fix-ups.
@@ -53,17 +106,41 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       deterministic relabel — wall-clock values are unchanged and
       still match DuckDB's naive timestamps exactly.
 
-    All other tables load as-is.
+    All other tables load as-is. A "catalog:<db>" location resolves
+    through ``spark.table`` instead (see CATALOG_PREFIX); the ts
+    normalization below is then a no-op because populate_catalog
+    already stored the normalized type.
     """
     apply_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if sf_dir.startswith(CATALOG_PREFIX):
+        df = spark.table(f"{sf_dir[len(CATALOG_PREFIX):]}.{name}")
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
+        if ts_type in ("bigint", "timestamp_ntz"):
+            # Both rebuilds produce TIMESTAMP_LTZ whose wall-clock
+            # values equal the stored naive instants ONLY under a UTC
+            # session — and apply_runtime_confs is best-effort (an
+            # externally built session may refuse the conf.set), so
+            # fail loudly rather than silently shift every event
+            # (ADVICE r4).
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                raise RuntimeError(
+                    f"events.ts normalization requires a UTC session time "
+                    f"zone, got {tz!r}: set spark.sql.session.timeZone=UTC "
+                    f"(session.REQUIRED_RUNTIME_CONFS) before reading events"
+                )
         if ts_type == "bigint":
             # integer `div`, NOT `/1000` — double division rounds half the
             # microseconds up while DuckDB (the oracle) truncates ns -> us
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
+            # NTZ detection depends on spark.sql.parquet.inferTimestampNTZ
+            # .enabled (pinned in REQUIRED_RUNTIME_CONFS): with it off the
+            # µs-NTZ column would arrive as plain 'timestamp' and skip this
+            # branch — benign under UTC, but pinned for determinism.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

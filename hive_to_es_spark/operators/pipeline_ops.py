@@ -23,7 +23,10 @@ _P1_ORACLE = "SELECT * FROM supplier"
 @register("p1_full_scan", _P1_ORACLE)
 def p1_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-import source stage: SELECT * of a named table (the
-    reference's full mode re-reads everything)."""
+    reference's full mode re-reads everything). The source location
+    may also be "catalog:<db>" to resolve through the session catalog
+    (io.populate_catalog / spark.table — the production Hive-table
+    source model, exercised end to end in tests/test_catalog.py)."""
     from hive_to_es_spark.pipeline import build_source
 
     return build_source(spark, sf_dir, Job(name="p1", source_table="supplier"))

@@ -20,8 +20,15 @@ REQUIRED_RUNTIME_CONFS = {
     # rebuild the column (io.load_tables).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic wall-clock semantics matching DuckDB's naive
-    # timestamps (the correctness oracle).
+    # timestamps (the correctness oracle). io.read_table additionally
+    # asserts UTC before normalizing events.ts, because this apply is
+    # best-effort on externally built sessions.
     "spark.sql.session.timeZone": "UTC",
+    # events.ts in its TIMESTAMP(MICROS, isAdjustedToUTC=false) form
+    # must surface as TIMESTAMP_NTZ for io.read_table's cast branch to
+    # fire; this is the default, pinned so a driver session that turns
+    # it off cannot change which branch normalizes the column.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
 }
 
 
