@@ -212,6 +212,133 @@ def ngram_jaccard_pairs(
     )
 
 
+# TRUE Jaccard at the production near-dup threshold — no df cap: the
+# oracle states pure semantics (every pair with J >= t over full
+# shingle sets); completeness of the Spark side's prefix filter is
+# exactly what the hash compare proves.
+_D10_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+      i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                          string_split(lower(text), ' ')[i+1],
+                          string_split(lower(text), ' ')[i+2])
+    ))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+"""
+
+
+def prefix_jaccard_candidates(docs: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs/PPJoin-style candidate pairs for Jaccard >= threshold:
+    block only on each document's (|d| - ceil(t*|d|) + 1)-token PREFIX
+    under a global rarity order, plus the t*|A| <= |B| <= |A|/t length
+    filter.
+
+    Completeness (no false negatives): J(A,B) >= t implies the overlap
+    I = J*|A∪B| >= t*|A| and >= t*|B|, and the classic prefix-filter
+    theorem (overlap >= a ⇒ the (|d|-a+1)-prefixes under ONE global
+    token order share a token) then guarantees the prefix-prefix join
+    finds the pair. The global order is ascending document frequency
+    with the shingle string as tiebreaker — rarest first, so prefixes
+    are made of the rarest tokens and prefix blocks stay small (the
+    hot "of the and" shingles sort LAST and almost never enter a
+    prefix: the frequency skew that forces d4's df cap prunes itself
+    here, with no semantic change).
+
+    No global rank is materialized: each document sorts its own
+    shingles by (df, shingle) — a per-doc row_number window, never an
+    unpartitioned one — because prefix membership only needs the
+    within-document position under the global order.
+
+    At t=0.8 the prefix is ~|d|/5 tokens vs d4's full-set blocking, so
+    candidate counts drop superlinearly (asserted in tests); at t=0.2
+    the prefix is 80% of the set and this plan loses — which is why d4
+    keeps full-shingle blocking for its low-threshold contract
+    (measured trade-off documented there).
+    """
+    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pos = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    pref = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_pos", F.row_number().over(pos))
+        .join(sizes, "doc_id")
+        .filter(F.col("_pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle")
+    b = pref.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J >= t bounds the size ratio by t
+            & (F.col("nb") * F.lit(threshold) <= F.col("na"))
+            & (F.col("na") * F.lit(threshold) <= F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def prefix_filtered_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via prefix-filter blocking —
+    the high-threshold twin of ngram_jaccard_pairs (see
+    prefix_jaccard_candidates for the completeness argument).
+
+    Verification joins each candidate pair back to the two full
+    shingle sets to count the exact intersection — the work is
+    |candidates| * |doc| rows, which the prefix+length filters keep
+    near the true-positive count at production thresholds.
+    """
+    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = prefix_jaccard_candidates(docs, threshold)
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("d10_dedup_jaccard_prefix", _D10_ORACLE)
+def d10_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs at the PRODUCTION threshold
+    (t=0.8) via AllPairs/PPJoin prefix filtering — the candidate-count
+    lever d4's docstring reserves for the t >= 0.7 regime, where
+    near-dup gates actually sit. Unlike d4 there is no df cap: the
+    result is true Jaccard over full shingle sets, and the rarity-
+    ordered prefixes neutralize hot shingles by construction."""
+    d = load_tables(spark, sf_dir).documents
+    return prefix_filtered_jaccard_pairs(d, threshold=0.8)
+
+
 @register("d4_dedup_ngram_jaccard", _D4_ORACLE)
 def d4_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, blocked by shared shingle

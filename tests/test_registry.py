@@ -54,7 +54,7 @@ EXPECTED_KEYS = {
     # LLM pipeline extensions (training-data set beyond SURVEY §2)
     "d3_dedup_simhash", "d4_dedup_ngram_jaccard", "d5_dedup_embedding",
     "d6_dedup_lsh_blocked", "d7_dedup_components", "d8_dedup_minhash_portable",
-    "d9_text_dup_groups",
+    "d9_text_dup_groups", "d10_dedup_jaccard_prefix",
     "s4_ann_lsh", "s5_ann_ivf", "s6_kmeans_refine", "s7_knn_batch",
     "s8_knn_quantized", "s9_pairwise_topk_lsh",
     "t4_quality_score", "t5_token_count_bpe",

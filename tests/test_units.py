@@ -343,6 +343,42 @@ def test_range_frame_all_three_paths_identical(spark, sf_dir):
     assert canon(range_frame_sum(*args, plan="bucketed")) == via_window
 
 
+def test_prefix_filter_prunes_and_stays_complete(spark, sf_dir):
+    """d10's prefix blocking must generate STRICTLY fewer candidate
+    pairs than d4's full-shingle blocking on the same input (that is
+    its whole point at t=0.8), while finding exactly the pairs the
+    cap-free full-blocking plan finds — completeness of the prefix
+    filter, checked against an independent Spark plan on top of the
+    DuckDB oracle gate."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.dedup import word_shingles
+    from hive_to_es_spark.operators.dedup_ext import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+        prefix_jaccard_candidates,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, sf_dir).documents
+    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    full_block = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    prefix_block = prefix_jaccard_candidates(docs, 0.8).count()
+    assert prefix_block < full_block, (prefix_block, full_block)
+
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    via_prefix = canon(prefix_filtered_jaccard_pairs(docs, 0.8))
+    via_full = canon(ngram_jaccard_pairs(docs, threshold=0.8, df_cap=10**9))
+    assert via_prefix == via_full
+    assert via_prefix, "threshold too high: vacuous test data"
+
+
 def test_release_checkpoint_frees_blocks(spark):
     """functions/lifecycle.py: a localCheckpoint'ed frame pins block-
     manager storage that GC never frees driver-side; release_checkpoint
