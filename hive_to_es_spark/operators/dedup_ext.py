@@ -474,7 +474,9 @@ def d6_dedup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pair expansion is Σ|bucket|², bounded by the 2^bits bucket count
     (raise bits to shrink blocks; 100 TB would use 16-20 bits and a
-    multi-probe union for recall).
+    multi-probe union for recall — implemented as
+    similarity.probe_buckets / s10_ann_multiprobe, with measured
+    recall@10 floors pinned in tests/test_units.py).
 
     Demo threshold 0.3 (fixture embeddings are diffuse, max within-
     bucket cosine ~0.43 at sf0.01); a production near-dup gate sits at

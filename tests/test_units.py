@@ -343,6 +343,21 @@ def test_range_frame_all_three_paths_identical(spark, sf_dir):
     assert canon(range_frame_sum(*args, plan="bucketed")) == via_window
 
 
+def test_ann_recall_floors_and_multiprobe_gain(spark, sf_dir):
+    """The ANN recall/probe tradeoff, MEASURED (VERDICT r4 item 4):
+    recall@10 vs s1-style exact ground truth over 20 query vectors.
+    Floors pinned below the observed values (single 0.125, multi 0.24
+    at sf0.01) with margin for fixture regeneration; the structural
+    claim is multi-probe strictly improves on single-probe."""
+    from hive_to_es_spark.operators.similarity import ann_recall
+
+    r_single = ann_recall(spark, sf_dir, multiprobe=False)
+    r_multi = ann_recall(spark, sf_dir, multiprobe=True)
+    assert r_multi > r_single, (r_single, r_multi)
+    assert r_single >= 0.08, r_single
+    assert r_multi >= 0.15, r_multi
+
+
 def test_prefix_filter_prunes_and_stays_complete(spark, sf_dir):
     """d10's prefix blocking must generate STRICTLY fewer candidate
     pairs than d4's full-shingle blocking on the same input (that is
