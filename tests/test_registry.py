@@ -102,16 +102,30 @@ def test_registry_docs_present():
 
 
 def test_operator_index_is_current():
-    """docs/OPERATORS.md must list exactly the registered keys (run
-    tools/gen_operator_index.py after adding operators)."""
+    """docs/OPERATORS.md must byte-equal a fresh regeneration from the
+    live registry — keys, oracle kinds AND docstring summaries (run
+    tools/gen_operator_index.py after touching operators). The diff in
+    the assertion message shows exactly which rows rotted."""
+    import difflib
     import os
-    import re
+
+    from tools.gen_operator_index import render
 
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "docs", "OPERATORS.md")
     with open(path) as f:
-        documented = set(re.findall(r"^\| `([a-z0-9_]+)` \|", f.read(), re.M))
-    assert documented == set(queries())
+        committed = f.read()
+    fresh = render()
+    if committed != fresh:
+        diff = "".join(
+            difflib.unified_diff(
+                committed.splitlines(True), fresh.splitlines(True),
+                "docs/OPERATORS.md (committed)", "registry (fresh)", n=0,
+            )
+        )
+        raise AssertionError(
+            f"operator index is stale — run tools/gen_operator_index.py:\n{diff}"
+        )
 
 
 def test_no_query_mutates_session_catalog(spark, sf_dir):

@@ -392,3 +392,91 @@ def test_stream_stream_join_equals_batch(spark, events_dir, tmp_path):
     )
     got = _canon(_run_available_now(spark, joined, tmp_path, mode="append"))
     assert got == expected
+
+
+def test_session_window_checkpoint_recovery(spark, events_dir, tmp_path):
+    """Kill-and-restart for session windows (e3) — the stateful op
+    most sensitive to restart semantics: a session whose events span
+    the restart boundary must come out as ONE merged session equal to
+    the uninterrupted batch run, not two fragments (what a state store
+    restarting empty would emit)."""
+    from hive_to_es_spark.streaming.sink import parquet_batch_writer, start_foreach_batch
+
+    ev_full = spark.read.parquet(events_dir)
+    expected = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, round(r.total, 2))
+        for r in tf_session(ev_full).collect()
+    }
+    max_ts = ev_full.agg(F.max("ts")).first()[0]
+
+    # Split INSIDE a multi-event session: midpoint between its first
+    # and last event, so its head arrives in run 1 and its tail in
+    # run 2. (session_end = last event + 30min gap.) Streaming session
+    # aggs only support APPEND mode — a session emits once the
+    # watermark passes its end — so pick one that finalizes well
+    # before the final watermark (max_ts - 1h).
+    from datetime import timedelta
+
+    sess = sorted(
+        ((u, s), e)
+        for (u, s), (e, n, _t) in expected.items()
+        if n >= 2 and e < max_ts - timedelta(minutes=90)
+    )
+    assert sess, "fixture must contain early multi-event sessions"
+    (user, s_start), s_end = sess[len(sess) // 2]
+    split_ts = s_start + (s_end - timedelta(minutes=30) - s_start) / 2
+    ev, h1_dir, h2_dir, src = _time_split_halves(
+        spark, events_dir, tmp_path, split_ts=split_ts
+    )
+    # the chosen session really spans the boundary
+    h1n = spark.read.parquet(h1_dir).filter(
+        (F.col("user_id") == user) & (F.col("ts") >= s_start)
+    ).count()
+    h2n = spark.read.parquet(h2_dir).filter(
+        (F.col("user_id") == user) & (F.col("ts") < s_end)
+    ).count()
+    assert h1n > 0 and h2n > 0, "split must land inside the session"
+
+    schema = ev.schema
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        # streaming session aggregation requires a watermark and only
+        # supports append mode; 1h > the 30min gap, and arrival is
+        # monotone so nothing is ever late
+        q = start_foreach_batch(
+            tf_session(stream.withWatermark("ts", "1 hour")),
+            parquet_batch_writer(sink),
+            ckpt,
+            output_mode="append",
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    _copy_parts(h2_dir, src, "b")
+    run_once()
+
+    # Append mode emits each session exactly once, when the watermark
+    # finalizes it; sessions ending within 1h of max_ts never finalize
+    # on a finite source, so compare against the batch run on both
+    # sides of that horizon.
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, round(r.total, 2))
+        for r in spark.read.parquet(sink).collect()
+    }
+    # everything emitted must match the uninterrupted batch run exactly
+    assert got, "no sessions finalized"
+    for key, v in got.items():
+        assert expected.get(key) == v, (key, v, expected.get(key))
+    # every session that provably finalized must have been emitted —
+    # including the one whose events span the restart (merged, not
+    # fragmented: a fragment would carry a different start or count)
+    surely_final = {
+        k: v for k, v in expected.items()
+        if v[0] < max_ts - timedelta(minutes=90)
+    }
+    missing = set(surely_final) - set(got)
+    assert not missing, missing
+    assert (user, s_start) in got and got[(user, s_start)] == expected[(user, s_start)]

@@ -25,7 +25,11 @@ iterative). Keys map to SURVEY.md §2 (+ the §2.D-ext additions).
 """
 
 
-def main() -> int:
+def render() -> str:
+    """The full OPERATORS.md content from the live registry — one
+    function so the drift-guard test can regenerate and diff the
+    WHOLE document (key set, oracle kinds AND summaries), not just
+    the key list."""
     queries()  # force registration
     lines = [HEADER]
     for key in sorted(REGISTRY):
@@ -38,10 +42,14 @@ def main() -> int:
         f"\n**{len(REGISTRY)} operators: {n_sql} sql-oracle, "
         f"{len(REGISTRY) - n_sql} rows-only.**\n"
     )
+    return "".join(lines)
+
+
+def main() -> int:
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "docs", "OPERATORS.md")
     with open(out, "w") as f:
-        f.writelines(lines)
+        f.write(render())
     print(f"wrote {out}: {len(REGISTRY)} operators")
     return 0
 
