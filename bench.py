@@ -128,15 +128,25 @@ def main() -> int:
                     sum(per_query[n] for n in EXTENSION), 4
                 ),
                 "sf": sf,
-                # Round-3 VERDICT asked for the +12% r2->r3 flagship
-                # drift to be attributed: four same-session-layout runs
-                # on one day (round 4) spanned 0.554-0.807s with
-                # flagship code unchanged, so sub-±15% movement in the
-                # sub-second totals is run-to-run JVM/OS noise, not
-                # regression signal. Flagships run FIRST in the
-                # session, so the growing extension list cannot be the
-                # cause. Gate on the 2x bound, not single-run deltas.
-                "notes": "flagship totals vary ±15% run-to-run at these ms scales",
+                # Round-4 VERDICT asked for the r3->r4 extended-set
+                # drift (s2 1.8x, d1 1.74x, d6 1.55x, w4 1.61x, e1
+                # 1.29x) to be attributed. tools/bench_drift.py A/B
+                # (round 5; fresh subprocess per variant, 5 runs each):
+                # a session that has already run the full bench layout
+                # reproduces r3's numbers almost exactly (s2 0.055 vs
+                # r3 0.051; d1 0.024 vs 0.022), a fresh minimal session
+                # is ~2x slower on the sub-100ms ops, and lifecycle
+                # sweeps are NEUTRAL (with_sweeps ~= isolated). So the
+                # drift is JVM/JIT warmth depth — how much code the JVM
+                # compiled before the op ran — plus w4's eager-build
+                # reclassification (all build-once variants reproduce
+                # r3's 2.2s; the r4 3.57s includes the gate job + full
+                # rebuild per timed run, by design). Expected bands:
+                # same-layout reruns +-20%; cross-layout comparisons of
+                # sub-100ms ops up to ~2.5x. Gate on the 2x bound vs
+                # BASELINE.md flagships, not extended-set deltas.
+                "notes": "sub-100ms ops vary up to ~2.5x with JVM warmth across "
+                "session layouts (tools/bench_drift.py); same-layout +-20%",
             }
         )
     )
