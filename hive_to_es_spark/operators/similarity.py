@@ -418,22 +418,13 @@ LIMIT 5
 """
 
 
-@register("s5_ann_ivf", _S5_ORACLE)
-def s5_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbors: nearest-centroid
-    inverted lists, probe = the query's own cell.
-
-    The codebook (10 centroids) is computed via the s3 posexplode
-    shape, reassembled, and BROADCAST; assignment is a broadcast
-    nested-probe over 10 rows per vector — O(n x k) with k bounded,
-    never a shuffle of vectors. At 100 TB: train the codebook offline
-    (k-means on a sample), store as a tiny table, and this exact plan
-    (broadcast codebook -> assign -> cell-local top-k) is the serving
-    path; nprobe > 1 = relax the bucket filter to rn <= nprobe.
-    """
-    e = load_tables(spark, sf_dir).embeddings
+def _ivf_ranked_cells(e: DataFrame) -> DataFrame:
+    """Per-vector centroid ranking for the IVF family: every vector
+    crossed with the BROADCAST per-label centroid codebook (10 rows —
+    O(n x k) probes, never a shuffle of vectors), ranked by Euclidean
+    distance with a label tiebreak. rn = 1 is the cell assignment;
+    rn <= nprobe is the multi-probe set."""
     ev = _dbl("embedding")
-    # codebook: label -> centroid vector (collect components sorted by pos)
     comp = (
         e.select("label", F.posexplode(ev).alias("pos0", "v"))
         .groupBy("label", "pos0")
@@ -456,18 +447,25 @@ def s5_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("c_label").asc())
-    assigned = (
+    return (
         e.select("vec_id", ev.alias("evec"))
         .crossJoin(F.broadcast(codebook))
         .select("vec_id", "evec", "c_label", dist.alias("d"))
         .select("vec_id", "evec", "c_label", F.row_number().over(w_assign).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "evec", F.col("c_label").alias("bucket"))
+    )
+
+
+def ivf_topk(e: DataFrame, query_vec_id: int, nprobe: int, k: int) -> DataFrame:
+    """IVF ANN: corpus assigned to nearest-centroid cells (rn == 1),
+    query probes its `nprobe` nearest cells, cell-local top-k."""
+    ranked = _ivf_ranked_cells(e)
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "evec", F.col("c_label").alias("bucket")
     )
     q = (
-        assigned.filter(F.col("vec_id") == 0)
+        ranked.filter((F.col("vec_id") == query_vec_id) & (F.col("rn") <= nprobe))
         .select(
-            F.col("bucket").alias("qbucket"),
+            F.col("c_label").alias("qbucket"),
             F.col("evec").alias("qv"),
             _norm(F.col("evec")).alias("nq"),
         )
@@ -482,8 +480,73 @@ def s5_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(5)
+        .limit(k)
     )
+
+
+@register("s5_ann_ivf", _S5_ORACLE)
+def s5_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors: nearest-centroid
+    inverted lists, probe = the query's own cell.
+
+    The codebook (10 centroids) is computed via the s3 posexplode
+    shape, reassembled, and BROADCAST; assignment is a broadcast
+    nested-probe over 10 rows per vector — O(n x k) with k bounded,
+    never a shuffle of vectors. At 100 TB: train the codebook offline
+    (k-means on a sample), store as a tiny table, and this exact plan
+    (broadcast codebook -> assign -> cell-local top-k) is the serving
+    path; s11 is the nprobe > 1 recall knob.
+    """
+    e = load_tables(spark, sf_dir).embeddings
+    return ivf_topk(e, query_vec_id=0, nprobe=1, k=5)
+
+
+# nprobe=2 companion: identical CTEs, only the q cell filter widens.
+_S11_ORACLE = """
+WITH comp AS (
+  SELECT label, j, avg(CAST(embedding[j] AS DOUBLE)) AS cv
+  FROM embeddings CROSS JOIN generate_series(1, 64) t(j)
+  GROUP BY label, j
+),
+codebook AS (
+  SELECT label AS c_label, list(cv ORDER BY j) AS cvec FROM comp GROUP BY label
+),
+dists AS (
+  SELECT e.vec_id, c.c_label,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(
+                              list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                              c.cvec) ASC, c.c_label ASC) AS rn
+  FROM embeddings e CROSS JOIN codebook c
+),
+assigned AS (SELECT vec_id, c_label AS bucket FROM dists WHERE rn = 1),
+q AS (
+  SELECT d.c_label AS qbucket,
+         (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+          FROM embeddings WHERE vec_id = 0) AS qv
+  FROM dists d WHERE d.vec_id = 0 AND d.rn <= 2
+)
+SELECT e.vec_id, a.bucket,
+       round(list_cosine_similarity(
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cos_sim
+FROM embeddings e
+JOIN assigned a ON e.vec_id = a.vec_id
+JOIN q ON a.bucket = q.qbucket
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 5
+"""
+
+
+@register("s11_ann_ivf_nprobe", _S11_ORACLE)
+def s11_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s5 with nprobe=2 — the IVF-side recall knob, twin of s10's
+    LSH multi-probe: the query searches its two nearest cells, so the
+    candidate pool strictly contains s5's and the returned top-5 is
+    at least as good element-wise (asserted in tests). Corpus-side
+    work is unchanged (cells are still rn == 1 inverted lists); only
+    the broadcast probe set doubles."""
+    e = load_tables(spark, sf_dir).embeddings
+    return ivf_topk(e, query_vec_id=0, nprobe=2, k=5)
 
 
 @register("s6_kmeans_refine", None)  # iterative; no single-statement ANSI oracle

@@ -57,6 +57,7 @@ EXPECTED_KEYS = {
     "d9_text_dup_groups", "d10_dedup_jaccard_prefix",
     "s4_ann_lsh", "s5_ann_ivf", "s6_kmeans_refine", "s7_knn_batch",
     "s8_knn_quantized", "s9_pairwise_topk_lsh", "s10_ann_multiprobe",
+    "s11_ann_ivf_nprobe",
     "t4_quality_score", "t5_token_count_bpe",
     "t6_fingerprint", "t7_langid_ngram",
     # UDF surface

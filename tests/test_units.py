@@ -358,6 +358,20 @@ def test_ann_recall_floors_and_multiprobe_gain(spark, sf_dir):
     assert r_multi >= 0.15, r_multi
 
 
+def test_ivf_nprobe_dominates_single_cell(spark, sf_dir):
+    """s11 (nprobe=2) searches a strict superset of s5's candidate
+    pool, so its top-5 similarities must dominate s5's element-wise
+    (sorted desc) — the structural guarantee behind 'more probes =
+    more recall'."""
+    from hive_to_es_spark.registry import queries
+
+    qs = queries()
+    s5 = sorted((r.cos_sim for r in qs["s5_ann_ivf"](spark, sf_dir).collect()), reverse=True)
+    s11 = sorted((r.cos_sim for r in qs["s11_ann_ivf_nprobe"](spark, sf_dir).collect()), reverse=True)
+    assert len(s11) == len(s5) == 5
+    assert all(a >= b for a, b in zip(s11, s5)), (s11, s5)
+
+
 def test_prefix_filter_prunes_and_stays_complete(spark, sf_dir):
     """d10's prefix blocking must generate STRICTLY fewer candidate
     pairs than d4's full-shingle blocking on the same input (that is

@@ -69,6 +69,16 @@ OPS = {
     "q8_market_share": (2.0, "fact-fact join + broadcast dims, linear"),
     "p10_corpus_pipeline": (2.0, "scan-side scoring + digest-window + 15-group agg, linear"),
     "p12_token_shards": (2.0, "weighted two-pass paging: range totals + within-range window, linear"),
+    # round 5: the RANGE-frame ceiling pair — same semantics, the plain
+    # window is pinned to partition-key parallelism (3 tasks) while the
+    # bucketed-donor plan spreads each key over ~4x-parallelism buckets;
+    # both linear in rows, but w8's slope should stay flat while w7's
+    # 3 sorting tasks eat the whole k-fold growth.
+    "w7_range_frame_highcard": (2.0, "plain partitioned RANGE window: 3 tasks sort everything — the ceiling"),
+    "w8_range_frame_scalable": (2.0, "bucketed-donor RANGE window: n_parts x n_buckets tasks — the escape"),
+    # identical document copies grow every prefix block k-fold -> pair
+    # stream ~k^2, same Σ|block|² model as d4
+    "d10_dedup_jaccard_prefix": (4.0, "prefix-blocked pairs; identical copies grow every prefix block"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
