@@ -61,8 +61,10 @@ EXTENSION = [
     # round 4: the high-cardinality RANGE-frame fallback path
     "w7_range_frame_highcard",
     # round 5: the bucketed-donor plan on the same shape (should beat
-    # w7's 3-task ceiling wall-clock-wise at equal semantics)
+    # w7's 3-task ceiling wall-clock-wise at equal semantics), and the
+    # production-threshold prefix-filtered Jaccard
     "w8_range_frame_scalable",
+    "d10_dedup_jaccard_prefix",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,6 +80,9 @@ N_RUNS = 3
 # what the number means.
 # - w4/w7/w8 run a one-scan approx-distinct gate job at build (w8
 #   adds the min/max bucket-bounds scan).
+# - d10 has no checkpoint, but repeated collect() of one DataFrame
+#   reuses materialized shuffle stages and times only the tail;
+#   rebuilding per run prices the whole candidate + verify pipeline.
 EAGER_BUILD = {
     "d4_dedup_ngram_jaccard",
     "d7_dedup_components",
@@ -85,6 +90,7 @@ EAGER_BUILD = {
     "w4_range_frame",
     "w7_range_frame_highcard",
     "w8_range_frame_scalable",
+    "d10_dedup_jaccard_prefix",
 }
 
 

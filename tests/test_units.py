@@ -343,6 +343,53 @@ def test_range_frame_all_three_paths_identical(spark, sf_dir):
     assert canon(range_frame_sum(*args, plan="bucketed")) == via_window
 
 
+def test_range_frame_auto_gate_highcard_partitions(spark):
+    """The auto gate's third outcome: when the PARTITION key alone
+    exceeds cluster parallelism, the plain window is already parallel
+    enough and auto must pick it (no bucket column, no join) — the
+    branch w7 pins artificially, chosen here by measurement."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from hive_to_es_spark.operators.windows import range_frame_sum
+
+    n_parts = spark.sparkContext.defaultParallelism * 4
+    df = (
+        spark.range(n_parts * 20)
+        .select(
+            F.col("id").alias("l_orderkey"),
+            F.lit(1).alias("l_linenumber"),
+            (F.col("id") % n_parts).alias("pk"),
+            (F.rand(seed=7) * 1000).alias("val"),
+        )
+    )
+    out = range_frame_sum(df, "pk", "val", "val", 10.0, broadcast_distinct_limit=100)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "windowspecdefinition" in plan
+    assert "_bkt" not in plan
+    assert "Join" not in plan
+
+
+def test_range_bucket_count_math():
+    """Pure gate math for the bucketed RANGE plan: n_parts x buckets
+    covers ~4x parallelism, floor of 2 buckets, and fewer partition
+    keys always means at least as many buckets per key."""
+    from hive_to_es_spark.operators.windows import range_bucket_count
+
+    assert range_bucket_count(32, 3) == 43          # ceil(128/3)
+    assert range_bucket_count(32, 1000) == 2        # floor: never 1
+    assert range_bucket_count(1000, 3) * 3 >= 4 * 1000
+    for p in (8, 32, 1000):
+        counts = [range_bucket_count(p, n) for n in (1, 2, 4, 64, 10_000)]
+        assert counts == sorted(counts, reverse=True)
+        assert all(c >= 2 for c in counts)
+
+
 def test_ann_recall_floors_and_multiprobe_gain(spark, sf_dir):
     """The ANN recall/probe tradeoff, MEASURED (VERDICT r4 item 4):
     recall@10 vs s1-style exact ground truth over 20 query vectors.

@@ -82,7 +82,18 @@ OPS = {
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
-EAGER_BUILD = {"d4_dedup_ngram_jaccard", "d7_dedup_components", "d9_text_dup_groups"}
+# d10 is eager for a different reason than d4's checkpoint: repeated
+# collect() of one built DataFrame reuses materialized shuffle stages,
+# so non-eager timing measures only the post-shuffle tail — and WHICH
+# stages are still materialized differs across scales (eviction),
+# which made d10's first published growth curve flip between LOW and
+# FAIL run to run. Rebuilding per timed run recomputes everything.
+EAGER_BUILD = {
+    "d4_dedup_ngram_jaccard",
+    "d7_dedup_components",
+    "d9_text_dup_groups",
+    "d10_dedup_jaccard_prefix",
+}
 
 # Two-sided slack per doubling step. Upper breach = superlinear creep
 # (FAIL: the scale danger). Lower breach = grew less than the model
