@@ -268,3 +268,85 @@ def test_star_contraction_matches_union_find(spark, edges):
         for r in connected_components_star(nodes_df, edges_df).collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30), min_size=2, max_size=12
+    ),
+    thresh_pct=st.sampled_from([70, 80, 90]),
+)
+def test_prefix_jaccard_matches_python_sets(spark, docs, thresh_pct):
+    """d10's prefix-filter plan must equal brute-force set Jaccard on
+    arbitrary tiny corpora — tiny alphabet forces heavy shingle
+    sharing, duplicate docs, and single-shingle docs, the corners
+    where a prefix-length off-by-one would silently drop pairs."""
+    from hive_to_es_spark.operators.dedup_ext import prefix_filtered_jaccard_pairs
+
+    t = thresh_pct / 100.0
+
+    def shingles(text):
+        # mirror word_shingles exactly: 3-word windows, shorter tail
+        # windows shrink (concat_ws skips out-of-range NULLs) but
+        # EMPTY words from doubled spaces are kept, like concat_ws
+        w = text.lower().split(" ")
+        k = max(len(w) - 2, 1)
+        return {" ".join(w[i:i + 3]) for i in range(k)}
+
+    sets = {i: shingles(d) for i, d in enumerate(docs)}
+    expected = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter / union >= t:
+                    expected.add((a, b))
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id LONG, text STRING"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filtered_jaccard_pairs(df, t).collect()
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    ),
+    delta=st.sampled_from([1, 5, 100]),
+    n_buckets=st.integers(min_value=2, max_value=7),
+)
+def test_bucketed_range_frame_matches_plain_window(spark, vals, delta, n_buckets):
+    """The bucketed-donor RANGE plan must equal the plain window for
+    ANY values (negatives, duplicates, all-equal), delta, and bucket
+    count — including bucket widths right at the delta floor, where a
+    donor off-by-one at a bucket edge would double-count or drop
+    frame members."""
+    from hive_to_es_spark.operators.windows import (
+        _bucketed_range_frame,
+        range_frame_sum,
+    )
+
+    rows = [(i, 1, "K" if i % 2 else "J", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey LONG, l_linenumber INT, pk STRING, val DOUBLE"
+    )
+    args = (df, "pk", "val", "val", float(delta))
+    canon = lambda d: sorted(map(tuple, d.collect()))
+    assert canon(_bucketed_range_frame(*args, n_buckets=n_buckets)) == canon(
+        range_frame_sum(*args, plan="window")
+    )
