@@ -8,6 +8,7 @@ to an oracle.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -663,4 +664,60 @@ def b3_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").cast("bigint").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_B4_ORACLE = """
+SELECT o.o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice), 2) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey
+"""
+
+
+@register("b4_bucketed_join", _B4_ORACLE)
+def b4_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join + same-key aggregation with
+    ZERO exchanges — the pre-shuffle that pays for itself on every
+    subsequent join at 100 TB.
+
+    orders and lineitem are written once per session as managed tables
+    bucketed AND sorted on the join key (8 buckets here; a cluster
+    sizes buckets so each is a few hundred MB). Both scans then emerge
+    already hash-partitioned and sorted on the key, the merge-hinted
+    join needs no Exchange and no Sort, and the groupBy on the SAME
+    key reuses the join's partitioning — the whole plan is scan ->
+    SortMergeJoin -> partial+final agg with not a single shuffle
+    (asserted in tests/test_plans.py). The merge hint pins SMJ so the
+    Exchange-free property is what's verified even where the dim
+    would broadcast at test scale.
+    """
+    t = load_tables(spark, sf_dir)
+    suffix = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/").split("/")[-1])
+    names = {"orders": f"b4_orders_{suffix}", "lineitem": f"b4_lineitem_{suffix}"}
+    for src, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        if not spark.catalog.tableExists(names[src]):
+            # a previous SESSION may have left the managed location on
+            # disk while this session's catalog has no entry for it —
+            # saveAsTable refuses that state, so clear the stale dir
+            # (engine-owned derived data; the source of truth is sf_dir)
+            import shutil
+
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = os.path.join(wh.removeprefix("file:"), names[src])
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
+            (getattr(t, src).write.mode("overwrite")
+             .bucketBy(8, key).sortBy(key).saveAsTable(names[src]))
+    o = spark.table(names["orders"]).select("o_orderkey")
+    li = spark.table(names["lineitem"]).select("l_orderkey", "l_extendedprice")
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
     )

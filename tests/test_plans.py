@@ -167,6 +167,16 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_li_b")
 
 
+def test_bucketed_join_op_has_zero_exchanges(spark, sf_dir):
+    """b4's whole plan — bucketed scan -> merge join -> same-key agg —
+    must contain no Exchange and no explicit Sort (both satisfied by
+    the bucketed+sorted table layout). The registered-operator twin of
+    test_bucketed_join_eliminates_shuffle."""
+    plan = _plan(spark, sf_dir, "b4_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
 def test_partition_pruning_reaches_scan(spark, sf_dir):
     """b3's year filter must become a partition filter on the read-back
     scan (directory pruning), not a post-scan row filter."""

@@ -14,7 +14,7 @@ EXPECTED_KEYS = {
     "p9_incremental_upsert", "p10_corpus_pipeline", "p11_incremental_dedup",
     "p12_token_shards",
     "b3_partition_pruning",
-    "b1_csv_json_roundtrip", "b2_orc_roundtrip",
+    "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
     # filters
     "f1_pred_basic", "f2_pred_null", "f3_pred_like", "f4_pred_between_in",
     "f5_case_when",
