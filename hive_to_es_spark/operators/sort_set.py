@@ -154,6 +154,53 @@ def o5_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Integer-only threshold arithmetic (bucket*cnt < tgt*1000) so both
+# engines compare exact bigints — no float rate, no rounding drift.
+_O6_ORACLE = """
+WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+tgt AS (SELECT min(cnt) AS tgt FROM counts),
+kept AS (
+  SELECT d.lang, c.cnt
+  FROM documents d JOIN counts c ON d.lang = c.lang, tgt
+  WHERE (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         % 1000) * c.cnt < tgt.tgt * 1000
+)
+SELECT lang, CAST(max(cnt) AS BIGINT) AS n_before,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY lang
+"""
+
+
+@register("o6_balanced_mixture", _O6_ORACLE)
+def o6_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced-mixture downsampling: every language
+    stratum is hash-sampled toward the SMALLEST stratum's size (rate =
+    min_count/count), the data-mixing step that rebalances a skewed
+    corpus before training.
+
+    Plan shape at 100 TB: two tiny aggregates (per-stratum counts and
+    their min — a handful of rows) broadcast back onto the scan, and
+    the keep decision is a pure integer predicate of (doc_id, stratum
+    counts): bucket(doc_id)*cnt < min_cnt*1000, exact in bigints on
+    both engines. Rows never shuffle for the sampling itself; like
+    o4/o5 the assignment is stable under reruns and appends — a kept
+    doc stays kept as long as its stratum's rate does not tighten.
+    """
+    d = load_tables(spark, sf_dir).documents
+    counts = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    tgt = counts.agg(F.min("cnt").alias("tgt"))
+    rates = counts.crossJoin(tgt)
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(hash_bucket("doc_id", 1000) * F.col("cnt") < F.col("tgt") * 1000)
+        .groupBy("lang")
+        .agg(
+            F.max("cnt").cast("bigint").alias("n_before"),
+            F.count("*").cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 _BIG = "SELECT o_orderkey FROM orders WHERE o_totalprice > 400000"
 _URG = "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'"
 

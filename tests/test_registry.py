@@ -37,7 +37,7 @@ EXPECTED_KEYS = {
     "w8_range_frame_scalable",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
-    "o5_train_split",
+    "o5_train_split", "o6_balanced_mixture",
     "u1_union_all", "u2_union_distinct", "u3_intersect", "u4_except", "u5_distinct",
     "u6_intersect_except_all",
     # scalar families

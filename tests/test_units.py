@@ -405,6 +405,22 @@ def test_ann_recall_floors_and_multiprobe_gain(spark, sf_dir):
     assert r_multi >= 0.15, r_multi
 
 
+def test_balanced_mixture_actually_balances(spark, sf_dir):
+    """o6's output strata must be near-equal (each hash-sampled toward
+    the min stratum): every kept count within 2x of the smallest, and
+    the dominant stratum visibly downsampled."""
+    from hive_to_es_spark.registry import queries
+
+    rows = queries()["o6_balanced_mixture"](spark, sf_dir).collect()
+    kept = {r.lang: r.n_kept for r in rows}
+    before = {r.lang: r.n_before for r in rows}
+    assert len(kept) >= 3
+    assert max(kept.values()) <= 2 * min(kept.values()), kept
+    dominant = max(before, key=before.get)
+    assert kept[dominant] < before[dominant]
+    assert all(kept[l] <= before[l] for l in kept)
+
+
 def test_ivf_nprobe_dominates_single_cell(spark, sf_dir):
     """s11 (nprobe=2) searches a strict superset of s5's candidate
     pool, so its top-5 similarities must dominate s5's element-wise
