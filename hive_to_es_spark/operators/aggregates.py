@@ -418,3 +418,36 @@ def a15_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("k").alias("l_suppkey"), "exact_n")
         .agg(F.min("n").alias("cms_est"))
     )
+
+
+# Exact linear-interpolation percentiles: Spark `percentile` and
+# DuckDB `quantile_cont` implement the same estimator, verified to
+# agree to the cent on the fixture data.
+_A16_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("a16_percentiles", _A16_ORACLE)
+def a16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of price per return flag — the latency/size
+    distribution query of every monitoring pipeline.
+
+    Scale note: EXACT percentile buffers each group's values in the
+    aggregation (sort-based), so at 100 TB per-group cardinality this
+    is the one agg in the repo whose memory is O(group size) — the
+    production form is `approx_percentile` (mergeable t-digest sketch,
+    bounded memory, same plan shape) traded exactly like a8's HLL vs
+    a2's exact distinct; it is engine-specific, so the EXACT form is
+    what carries the cross-engine value oracle here.
+    """
+    li = load_tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
+    )
