@@ -667,6 +667,57 @@ def b3_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# b5 — DYNAMIC partition pruning: the partition filter is not a
+# literal (b3) but the result of a dim-side filter, discovered at
+# runtime. The oracle computes the same join from the unpartitioned
+# source.
+_B5_ORACLE = """
+SELECT CAST(year(o.o_orderdate) AS INT) AS year,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o.o_totalprice), 2) AS total
+FROM orders o
+JOIN (SELECT DISTINCT year(l_shipdate) AS ly FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-06-01') d
+  ON year(o.o_orderdate) = d.ly
+GROUP BY year(o.o_orderdate)
+"""
+
+
+@register("b5_dynamic_partition_pruning", _B5_ORACLE)
+def b5_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — b3's static literal filter replaced
+    by a filter VALUE only known at runtime: the partitioned fact is
+    joined to a filtered dim-side subquery, and Spark injects a
+    dynamicpruning subquery into the fact scan so non-matching year
+    directories are skipped WITHOUT a literal predicate in the query
+    (plan-asserted in tests/test_plans.py). At 100 TB this is the
+    mechanism that keeps star joins from scanning every date
+    partition when the filter lives on the dimension table."""
+    o = load_tables(spark, sf_dir).orders
+    li = load_tables(spark, sf_dir).lineitem
+    path = os.path.join(TMP_ROOT, "b5_orders_by_year")
+    (
+        o.withColumn("year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        li.filter(F.col("l_shipdate") >= "2000-06-01")
+        .select(F.year("l_shipdate").alias("ly"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact.year == dim.ly)
+        .groupBy("year")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 _B4_ORACLE = """
 SELECT o.o_orderkey,
        CAST(count(*) AS BIGINT) AS n_items,

@@ -184,6 +184,16 @@ def test_partition_pruning_reaches_scan(spark, sf_dir):
     assert "PartitionFilters" in plan and "year" in plan
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """b5's fact scan must carry a dynamicpruningexpression partition
+    filter — the dim-side year filter reaches the fact's directory
+    pruning at RUNTIME, with no literal year predicate anywhere in the
+    query."""
+    plan = _plan(spark, sf_dir, "b5_dynamic_partition_pruning")
+    assert "dynamicpruningexpression" in plan
+    assert "PartitionFilters" in plan
+
+
 def test_topk_windows_plan_group_limit(spark, sf_dir):
     """rank/row_number <= k filters must compile to WindowGroupLimit
     (partial top-k BEFORE the shuffle) — the plan property that keeps

@@ -15,6 +15,7 @@ EXPECTED_KEYS = {
     "p12_token_shards",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
+    "b5_dynamic_partition_pruning",
     # filters
     "f1_pred_basic", "f2_pred_null", "f3_pred_like", "f4_pred_between_in",
     "f5_case_when",
