@@ -772,3 +772,57 @@ def b4_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+# p14 — partition backfill via dynamic partition overwrite: re-import
+# ONE year with corrected values; untouched partitions must survive
+# byte-for-byte. The oracle states the expected final table: every
+# year as imported originally, except 1998 re-priced.
+_P14_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS year,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(CASE WHEN year(o_orderdate) = 1998
+                      THEN o_totalprice * 1.05
+                      ELSE o_totalprice END), 2) AS total
+FROM orders
+GROUP BY year(o_orderdate)
+"""
+
+
+@register("p14_partition_backfill", _P14_ORACLE)
+def p14_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent single-partition backfill — the everyday corrective
+    job of a partitioned warehouse: rewrite year=1998 with corrected
+    prices WITHOUT touching any other partition.
+
+    The writer uses partitionOverwriteMode=dynamic (a writer option,
+    no session state), so the second write replaces ONLY the
+    partitions present in its input dataframe — with the default
+    STATIC mode the same code would silently truncate the whole
+    table to one year, the classic backfill footgun. The read-back
+    aggregate value-proves both halves: 1998 carries the corrected
+    prices, every other year is untouched.
+    """
+    o = load_tables(spark, sf_dir).orders
+    path = os.path.join(TMP_ROOT, "p14_orders_backfill")
+    base = o.withColumn("year", F.year("o_orderdate"))
+    base.write.mode("overwrite").partitionBy("year").parquet(path)
+    # price correction stays unrounded: per-row round(x*1.05, 2) sits
+    # on the .005 boundary for a handful of rows where the engines'
+    # rounding disagrees; the aggregate's single 2dp round (the repo
+    # rule) absorbs float-order noise without cross-engine edges
+    corrected = (
+        base.filter(F.col("year") == 1998)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.05)
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("year").cast("int").alias("year")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

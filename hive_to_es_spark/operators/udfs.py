@@ -137,3 +137,53 @@ def g4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+# mapInArrow: the zero-copy batch interface below pandas — pyarrow
+# RecordBatches in and out, no pandas conversion at all. The oracle
+# states the same norm in SQL.
+_G5_ORACLE = """
+SELECT vec_id,
+       round(sqrt(list_aggregate(
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         'sum')), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+@register("g5_arrow_batch_map", _G5_ORACLE)
+def g5_arrow_batch_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: per-vector L2 norm computed on raw pyarrow
+    RecordBatches — the lowest-overhead Python boundary Spark offers
+    (no pandas materialization; columnar buffers pass through
+    zero-copy). The numerics mirror the engine's JVM fold exactly:
+    float32 components widen to float64 and accumulate in list order,
+    so the result hash-matches the SQL oracle bit for bit. The
+    accumulation is a deliberate sequential fold: numpy's pairwise
+    summation reorders additions and breaks cross-engine bit parity
+    (the same trade documented on d5's HOF note) — production numeric
+    kernels without an oracle constraint would np.asarray the Arrow
+    buffers and vectorize. At 100 TB this is the interface for
+    numpy-heavy per-batch work (quantization/codec layers) when even
+    pandas overhead matters."""
+    import pyarrow as pa
+
+    def batch_norms(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            norms = []
+            for emb in batch.column("embedding"):
+                acc = 0.0
+                for x in emb.values:
+                    v = float(x.as_py())
+                    acc += v * v
+                norms.append(round(acc ** 0.5, 6))
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(norms, type=pa.float64())],
+                names=["vec_id", "l2_norm"],
+            )
+
+    e = load_tables(spark, sf_dir).embeddings
+    return e.select("vec_id", "embedding").mapInArrow(
+        batch_norms, "vec_id BIGINT, l2_norm DOUBLE"
+    )
