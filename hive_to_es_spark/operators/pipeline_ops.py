@@ -774,11 +774,11 @@ def b4_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# p14 — partition backfill via dynamic partition overwrite: re-import
+# p13 — partition backfill via dynamic partition overwrite: re-import
 # ONE year with corrected values; untouched partitions must survive
 # byte-for-byte. The oracle states the expected final table: every
 # year as imported originally, except 1998 re-priced.
-_P14_ORACLE = """
+_P13_ORACLE = """
 SELECT CAST(year(o_orderdate) AS INT) AS year,
        CAST(count(*) AS BIGINT) AS n,
        round(sum(CASE WHEN year(o_orderdate) = 1998
@@ -789,8 +789,8 @@ GROUP BY year(o_orderdate)
 """
 
 
-@register("p14_partition_backfill", _P14_ORACLE)
-def p14_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("p13_partition_backfill", _P13_ORACLE)
+def p13_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Idempotent single-partition backfill — the everyday corrective
     job of a partitioned warehouse: rewrite year=1998 with corrected
     prices WITHOUT touching any other partition.
@@ -804,7 +804,7 @@ def p14_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices, every other year is untouched.
     """
     o = load_tables(spark, sf_dir).orders
-    path = os.path.join(TMP_ROOT, "p14_orders_backfill")
+    path = os.path.join(TMP_ROOT, "p13_orders_backfill")
     base = o.withColumn("year", F.year("o_orderdate"))
     base.write.mode("overwrite").partitionBy("year").parquet(path)
     # price correction stays unrounded: per-row round(x*1.05, 2) sits

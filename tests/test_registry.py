@@ -12,7 +12,7 @@ EXPECTED_KEYS = {
     "p1_full_scan", "p2_incremental_filter", "p3_project_rename", "p4_doc_id",
     "p5_type_to_json", "p6_batching", "p7_sink_es", "p8_job_config",
     "p9_incremental_upsert", "p10_corpus_pipeline", "p11_incremental_dedup",
-    "p12_token_shards", "p14_partition_backfill",
+    "p12_token_shards", "p13_partition_backfill",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
     "b5_dynamic_partition_pruning",
