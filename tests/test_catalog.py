@@ -32,10 +32,18 @@ def _canon(df):
 def test_catalog_query_parity(spark, sf_dir, catalog):
     """Registered §2 queries must produce identical results whether
     their tables resolve from parquet paths or through the catalog —
-    including events (ts normalized at registration time) and a
-    multi-join query."""
+    one representative per operator family (filters, joins, aggs,
+    windows, set ops, scalars, sampling, dedup, ANN, text, multimodal,
+    UDFs, pipeline stages, TPC-H), including events (ts normalized at
+    registration time)."""
     qs = queries()
-    for key in ("j11_multiway", "a1_hash_agg", "e1_tumbling"):
+    for key in (
+        "j11_multiway", "a1_hash_agg", "e1_tumbling", "f1_pred_basic",
+        "w1_order_rank", "u2_union_distinct", "x1_string", "o5_train_split",
+        "d1_dedup_exact", "s1_knn_cosine", "t1_text_stats",
+        "m1_multimodal_cols", "g1_scalar_pandas_udf", "p3_project_rename",
+        "q6_forecast_revenue",
+    ):
         assert _canon(qs[key](spark, sf_dir)) == _canon(qs[key](spark, catalog)), key
 
 
