@@ -325,23 +325,29 @@ def test_prefix_jaccard_matches_python_sets(spark, docs, thresh_pct):
 )
 @given(
     vals=st.lists(
-        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        min_size=1,
+        max_size=40,
     ),
     delta=st.sampled_from([1, 5, 100]),
     n_buckets=st.integers(min_value=2, max_value=7),
 )
 def test_bucketed_range_frame_matches_plain_window(spark, vals, delta, n_buckets):
     """The bucketed-donor RANGE plan must equal the plain window for
-    ANY values (negatives, duplicates, all-equal), delta, and bucket
-    count — including bucket widths right at the delta floor, where a
-    donor off-by-one at a bucket edge would double-count or drop
-    frame members."""
+    ANY values (negatives, duplicates, all-equal, NULL order keys —
+    which RANGE treats as one peer group), delta, and bucket count —
+    including bucket widths right at the delta floor, where a donor
+    off-by-one at a bucket edge would double-count or drop frame
+    members."""
     from hive_to_es_spark.operators.windows import (
         _bucketed_range_frame,
         range_frame_sum,
     )
 
-    rows = [(i, 1, "K" if i % 2 else "J", float(v)) for i, v in enumerate(vals)]
+    rows = [
+        (i, 1, "K" if i % 2 else "J", None if v is None else float(v))
+        for i, v in enumerate(vals)
+    ]
     df = spark.createDataFrame(
         rows, "l_orderkey LONG, l_linenumber INT, pk STRING, val DOUBLE"
     )
