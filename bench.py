@@ -78,8 +78,10 @@ N_RUNS = 3
 #   explode + hot-shingle cap is most of its cost.
 # These rebuild inside the timed section — the whole computation is
 # what the number means.
-# - w4/w7/w8 run a one-scan approx-distinct gate job at build (w8
-#   adds the min/max bucket-bounds scan).
+# - w4/w8 run a one-scan approx-distinct gate job at build (w8 adds
+#   the min/max bucket-bounds scan); w7 pins plan="window" (no gate)
+#   but stays eager so repeated collects recompute the whole window
+#   instead of reusing its materialized shuffle.
 # - d10 has no checkpoint, but repeated collect() of one DataFrame
 #   reuses materialized shuffle stages and times only the tail;
 #   rebuilding per run prices the whole candidate + verify pipeline.

@@ -201,15 +201,7 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return _jaccard_from_common(common, sizes, threshold)
 
 
 # TRUE Jaccard at the production near-dup threshold — no df cap: the
@@ -271,8 +263,14 @@ def prefix_jaccard_candidates(docs: DataFrame, threshold: float) -> DataFrame:
     (measured trade-off documented there).
     """
     sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return _prefix_candidates(sh, sizes, threshold)
+
+
+def _prefix_candidates(sh: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """Candidate generation over a prepared (doc_id, shingle) relation
+    — see prefix_jaccard_candidates for the completeness argument."""
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     pos = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
     pref = (
         sh.join(dfreq, "shingle")
@@ -295,27 +293,13 @@ def prefix_jaccard_candidates(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def prefix_filtered_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard >= threshold pairs via prefix-filter blocking —
-    the high-threshold twin of ngram_jaccard_pairs (see
-    prefix_jaccard_candidates for the completeness argument).
-
-    Verification joins each candidate pair back to the two full
-    shingle sets to count the exact intersection — the work is
-    |candidates| * |doc| rows, which the prefix+length filters keep
-    near the true-positive count at production thresholds.
-    """
-    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cand = prefix_jaccard_candidates(docs, threshold)
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+def _jaccard_from_common(
+    common: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared tail of d4/d10: join per-doc set sizes onto intersection
+    counts, threshold on the UNROUNDED Jaccard (the repo rule — a
+    rounded filter would disagree with the oracle at the boundary),
+    round to 6dp for output."""
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
@@ -325,6 +309,37 @@ def prefix_filtered_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFram
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def prefix_filtered_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via prefix-filter blocking —
+    the high-threshold twin of ngram_jaccard_pairs (see
+    prefix_jaccard_candidates for the completeness argument).
+
+    Verification joins each candidate pair back to the two full
+    shingle sets to count the exact intersection — the work is
+    |candidates| * |doc| rows, which the prefix+length filters keep
+    near the true-positive count at production thresholds.
+
+    The exploded shingle relation feeds SIX consumers (df ranking,
+    prefix rows, candidate sizes, both verification sides, output
+    sizes), so like d4 it is materialized once (localCheckpoint;
+    cluster: persist/checkpoint) — unmaterialized, the scan + explode
+    subtree re-ran ~7x per query (caught by review)."""
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    ).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = _prefix_candidates(sh, sizes, threshold)
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _jaccard_from_common(common, sizes, threshold)
 
 
 @register("d10_dedup_jaccard_prefix", _D10_ORACLE)

@@ -752,13 +752,23 @@ def b4_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # a previous SESSION may have left the managed location on
             # disk while this session's catalog has no entry for it —
             # saveAsTable refuses that state, so clear the stale dir
-            # (engine-owned derived data; the source of truth is sf_dir)
+            # (engine-owned derived data; the source of truth is
+            # sf_dir). The location honors the current database
+            # (<wh>/<db>.db/<table>) and only a LOCAL warehouse can be
+            # cleaned from here — on a remote scheme (hdfs://, s3://)
+            # the write proceeds and surfaces Spark's own error, which
+            # an operator must resolve against that filesystem.
             import shutil
 
             wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-            loc = os.path.join(wh.removeprefix("file:"), names[src])
-            if os.path.isdir(loc):
-                shutil.rmtree(loc)
+            if "://" not in wh or wh.startswith("file:"):
+                base = re.sub(r"^file:(//)?", "", wh)
+                db = spark.catalog.currentDatabase()
+                loc = os.path.join(
+                    base, f"{db}.db" if db != "default" else "", names[src]
+                )
+                if os.path.isdir(loc):
+                    shutil.rmtree(loc)
             (getattr(t, src).write.mode("overwrite")
              .bucketBy(8, key).sortBy(key).saveAsTable(names[src]))
     o = spark.table(names["orders"]).select("o_orderkey")

@@ -278,12 +278,23 @@ def range_frame_sum(
         F.col(order_col).alias("_bq"),
         F.col("_s").alias("_bs"),
     )
+    # NULL semantics must match the window branches (the three plans
+    # are oracled as ONE semantics): a NULL partition key is a real
+    # partition (eqNullSafe, not =), and NULL order values form their
+    # own peer group whose frame is exactly that group — the range
+    # arithmetic never matches NULLs, so they get an explicit
+    # both-NULL clause instead of silently dropping out of the join.
     frame_sums = (
         a.join(
             b,
-            (F.col("_p") == F.col("_bp"))
-            & (F.col("_bq") >= F.col("_q") - delta)
-            & (F.col("_bq") <= F.col("_q")),
+            F.col("_p").eqNullSafe(F.col("_bp"))
+            & (
+                (
+                    (F.col("_bq") >= F.col("_q") - delta)
+                    & (F.col("_bq") <= F.col("_q"))
+                )
+                | (F.col("_q").isNull() & F.col("_bq").isNull())
+            ),
         )
         .groupBy("_p", "_q")
         .agg(F.sum("_bs").alias("_range_sum"))
@@ -291,7 +302,8 @@ def range_frame_sum(
     return (
         li.join(
             F.broadcast(frame_sums),
-            (li[part_col] == F.col("_p")) & (li[order_col] == F.col("_q")),
+            li[part_col].eqNullSafe(F.col("_p"))
+            & li[order_col].eqNullSafe(F.col("_q")),
         )
         .select(
             "l_orderkey",

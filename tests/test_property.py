@@ -333,26 +333,35 @@ def test_prefix_jaccard_matches_python_sets(spark, docs, thresh_pct):
     n_buckets=st.integers(min_value=2, max_value=7),
 )
 def test_bucketed_range_frame_matches_plain_window(spark, vals, delta, n_buckets):
-    """The bucketed-donor RANGE plan must equal the plain window for
-    ANY values (negatives, duplicates, all-equal, NULL order keys —
-    which RANGE treats as one peer group), delta, and bucket count —
-    including bucket widths right at the delta floor, where a donor
-    off-by-one at a bucket edge would double-count or drop frame
-    members."""
+    """ALL THREE RANGE-frame plans must agree for ANY values
+    (negatives, duplicates, all-equal, NULL order keys — which RANGE
+    treats as one peer group — and a NULL partition key), delta, and
+    bucket count — including bucket widths right at the delta floor,
+    where a donor off-by-one at a bucket edge would double-count or
+    drop frame members. The broadcast rewrite needs null-safe joins to
+    pass this (a plain equi-join silently drops NULL keys — caught by
+    review, locked in here)."""
     from hive_to_es_spark.operators.windows import (
         _bucketed_range_frame,
         range_frame_sum,
     )
 
     rows = [
-        (i, 1, "K" if i % 2 else "J", None if v is None else float(v))
+        (
+            i,
+            1,
+            None if i % 5 == 4 else ("K" if i % 2 else "J"),
+            None if v is None else float(v),
+        )
         for i, v in enumerate(vals)
     ]
     df = spark.createDataFrame(
         rows, "l_orderkey LONG, l_linenumber INT, pk STRING, val DOUBLE"
     )
     args = (df, "pk", "val", "val", float(delta))
-    canon = lambda d: sorted(map(tuple, d.collect()))
-    assert canon(_bucketed_range_frame(*args, n_buckets=n_buckets)) == canon(
-        range_frame_sum(*args, plan="window")
+    canon = lambda d: sorted(
+        tuple((x is None, x) for x in row) for row in map(tuple, d.collect())
     )
+    via_window = canon(range_frame_sum(*args, plan="window"))
+    assert canon(_bucketed_range_frame(*args, n_buckets=n_buckets)) == via_window
+    assert canon(range_frame_sum(*args, plan="broadcast")) == via_window
