@@ -795,3 +795,58 @@ def s9_pairwise_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+def ivf_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 20,
+    nprobe: int = 1,
+) -> float:
+    """Measured recall@k of the IVF cell search (s5/s11) against exact
+    top-k, averaged over the first `n_queries` vectors — the IVF twin
+    of ann_recall, so both ANN families carry measured recall numbers
+    (floors pinned in tests).
+
+    Distributed the same way: the ranked-cells relation serves both
+    the corpus assignment (rn == 1) and each query's nprobe probe
+    cells; ground truth is one blocked scan + per-query window;
+    recall is one join + two counts of driver state.
+    """
+    e = load_tables(spark, sf_dir).embeddings
+    ranked = _ivf_ranked_cells(e)
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "evec", F.col("c_label").alias("bucket")
+    )
+    qcells = (
+        ranked.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("evec").alias("qv"),
+            F.col("c_label").alias("bucket"),
+        )
+    )
+
+    def topk(cands: DataFrame) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        return (
+            cands.select(
+                "qid", "vec_id",
+                F.round(cosine(F.col("evec"), F.col("qv")), 6).alias("cos"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "vec_id")
+        )
+
+    queries_b = qcells.filter(F.col("bucket").isNotNull()).select("qid", "qv").distinct()
+    exact = topk(
+        e.select("vec_id", _dbl("embedding").alias("evec")).crossJoin(
+            F.broadcast(queries_b)
+        )
+    )
+    approx = topk(assigned.join(F.broadcast(qcells.select("qid", "qv", "bucket")), "bucket"))
+    hits = exact.join(approx, ["qid", "vec_id"]).count()
+    total = exact.count()
+    return hits / total if total else 0.0
