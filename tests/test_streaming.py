@@ -480,3 +480,62 @@ def test_session_window_checkpoint_recovery(spark, events_dir, tmp_path):
     missing = set(surely_final) - set(got)
     assert not missing, missing
     assert (user, s_start) in got and got[(user, s_start)] == expected[(user, s_start)]
+
+
+def test_sliding_window_checkpoint_recovery(spark, events_dir, tmp_path):
+    """Kill-and-restart for sliding windows (e2): a window OPEN at the
+    restart boundary accumulates events from both runs, so its final
+    count equals the uninterrupted batch run only if the aggregation
+    state survived the restart. Sliding windows multiply that proof:
+    every event belongs to 4 overlapping windows (1h window, 15m
+    slide), so the boundary cuts through several open windows at
+    once."""
+    from hive_to_es_spark.streaming.sink import parquet_batch_writer, start_foreach_batch
+    from hive_to_es_spark.streaming.ops import tf_sliding
+
+    ev_full = spark.read.parquet(events_dir)
+    expected = {
+        (r.window_start, r.event_type): r.n for r in tf_sliding(ev_full).collect()
+    }
+    max_ts = ev_full.agg(F.max("ts")).first()[0]
+
+    ev, h1_dir, h2_dir, src = _time_split_halves(spark, events_dir, tmp_path)
+    schema = ev.schema
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = start_foreach_batch(
+            tf_sliding(stream.withWatermark("ts", "1 hour")),
+            parquet_batch_writer(sink),
+            ckpt,
+            output_mode="append",
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    _copy_parts(h2_dir, src, "b")
+    run_once()
+
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got, "no windows finalized"
+    # every emitted window must carry the full-input count (fragments
+    # from a reset state store would undercount boundary windows) ...
+    for key, n in got.items():
+        assert expected.get(key) == n, (key, n, expected.get(key))
+    # ... and every window that provably finalized must be present,
+    # including the ones straddling the restart split
+    from datetime import timedelta
+
+    surely_final = {
+        k for k in expected
+        # window_end = start + 1h; finalized when watermark (max_ts-1h)
+        # passes it, with an extra hour of margin for the boundary
+        if k[0] + timedelta(hours=1) < max_ts - timedelta(hours=2)
+    }
+    missing = surely_final - set(got)
+    assert not missing, sorted(missing)[:5]
