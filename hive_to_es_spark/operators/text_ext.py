@@ -260,3 +260,56 @@ def t7_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_predictions(d).groupBy("lang", "predicted").agg(
         F.count("*").alias("n_docs")
     )
+
+
+# Unigram LM quality score (CCNet-style): corpus-wide word
+# frequencies become the language model; a document's score is the
+# mean log-probability of its words. Cross-engine determinism: ln of
+# identical doubles agrees between Java's Math.log and DuckDB's ln
+# (both correctly-rounded for these magnitudes), the per-doc mean is
+# over <=100 values, and the 4dp round absorbs order-of-summation
+# ulps.
+_T8_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+total AS (SELECT sum(c) AS t FROM freq),
+scored AS (
+  SELECT wo.doc_id, ln(f.c / total.t) AS lp
+  FROM words wo JOIN freq f ON wo.w = f.w, total
+)
+SELECT doc_id, round(avg(lp), 4) AS lm_score
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("t8_unigram_lm_score", _T8_ORACLE)
+def t8_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (the CCNet/Wikipedia-LM filtering
+    step of LLM corpus pipelines): train corpus-wide word frequencies
+    in-query, score each document as the mean log-probability of its
+    words — rare-word-heavy (low-quality or off-domain) docs score
+    low and a percentile threshold on lm_score is the quality gate.
+
+    Scale shape: one explode + word-count aggregate (map-side
+    partial), the scalar total via a 1-row cross join, and the
+    score join is words-to-frequencies on the word key — at 100 TB
+    the frequency table is the only broadcast-or-shuffle decision,
+    and a production run would train frequencies once on a sample
+    and broadcast the top-K vocabulary with an OOV floor instead of
+    joining the full tail."""
+    d = load_tables(spark, sf_dir).documents
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    return (
+        words.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c") / F.col("t")).alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("lp"), 4).alias("lm_score"))
+    )

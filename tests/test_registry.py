@@ -61,7 +61,7 @@ EXPECTED_KEYS = {
     "s8_knn_quantized", "s9_pairwise_topk_lsh", "s10_ann_multiprobe",
     "s11_ann_ivf_nprobe",
     "t4_quality_score", "t5_token_count_bpe",
-    "t6_fingerprint", "t7_langid_ngram",
+    "t6_fingerprint", "t7_langid_ngram", "t8_unigram_lm_score",
     # UDF surface
     "g1_scalar_pandas_udf", "g2_grouped_map", "g3_grouped_agg_udaf", "g4_udtf",
     "g5_arrow_batch_map",
