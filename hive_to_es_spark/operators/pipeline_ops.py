@@ -745,7 +745,21 @@ def b4_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     would broadcast at test scale.
     """
     t = load_tables(spark, sf_dir)
-    suffix = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/").split("/")[-1])
+    # Table names are keyed on the FULL resolved source path (basename
+    # for readability + an 8-hex digest for uniqueness): two datasets
+    # whose paths merely share a basename (/a/sf0.1 vs /b/sf0.1) must
+    # not reuse each other's bucketed tables. Single-writer assumption:
+    # the exists-check -> rmtree -> saveAsTable sequence below is not
+    # atomic, so concurrent sessions sharing one warehouse must not
+    # build the same table simultaneously (normal for an engine-owned
+    # derived cache; a cluster deployment would take a metastore lock).
+    import hashlib
+
+    full = os.path.abspath(sf_dir)
+    suffix = (
+        re.sub(r"[^0-9a-zA-Z]+", "_", full.strip("/").split("/")[-1])
+        + "_" + hashlib.sha256(full.encode()).hexdigest()[:8]
+    )
     names = {"orders": f"b4_orders_{suffix}", "lineitem": f"b4_lineitem_{suffix}"}
     for src, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         if not spark.catalog.tableExists(names[src]):

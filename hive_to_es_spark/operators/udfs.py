@@ -173,6 +173,12 @@ def g5_arrow_batch_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec_ids = batch.column("vec_id")
             norms = []
             for emb in batch.column("embedding"):
+                # A NULL embedding yields a null ListScalar whose
+                # .values access raises — emit SQL NULL instead of
+                # crashing the whole Arrow batch (output is nullable).
+                if not emb.is_valid:
+                    norms.append(None)
+                    continue
                 acc = 0.0
                 for x in emb.values:
                     v = float(x.as_py())

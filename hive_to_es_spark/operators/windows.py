@@ -136,6 +136,19 @@ def range_bucket_count(parallelism: int, n_parts: int) -> int:
     return max(2, -(-4 * parallelism // max(1, n_parts)))
 
 
+def choose_range_plan(
+    n_pairs: int, n_parts: int, parallelism: int, broadcast_distinct_limit: int
+) -> str:
+    """Pure gate decision for range_frame_sum's auto mode, factored
+    out so the branch logic is unit-testable at SYNTHETIC parallelism
+    (a <=3-core runner legitimately picks the plain window on the w8
+    shape — the plan-shape test can't assert 'bucketed' there, but
+    this function's behavior at parallelism=32 still can be)."""
+    if n_pairs <= broadcast_distinct_limit:
+        return "broadcast"
+    return "window" if n_parts >= parallelism else "bucketed"
+
+
 def _bucketed_range_frame(
     li: DataFrame,
     part_col: str,
@@ -179,7 +192,18 @@ def _bucketed_range_frame(
     width = max(float(delta), (hi - lo) / n_buckets) or 1.0
     v = F.col(order_col).cast("double") - F.lit(lo)
     bkt = F.floor(v / F.lit(width))
-    near_upper_edge = v >= (bkt + 1) * F.lit(width) - F.lit(float(delta))
+    # Donor test runs in shifted doubles while the per-bucket window's
+    # RANGE arithmetic runs on the original column values; widen the
+    # edge by one part in 1e12 of delta so a half-ulp disagreement at
+    # an exact frame boundary can only ADD a donor row, never drop one.
+    # Extra donors are harmless: the in-bucket RANGE frame re-applies
+    # the exact predicate on the original values, and donors are
+    # filtered from the output — so the slack trades a few shuffled
+    # rows for a closed correctness argument. Exactness is guaranteed
+    # for order keys losslessly representable as doubles (ints, dates,
+    # float32/64); wider decimals should pre-cast or use plan="window".
+    slack = float(delta) * 1e-12 + 1e-9
+    near_upper_edge = v >= (bkt + 1) * F.lit(width) - F.lit(float(delta) + slack)
     w_expr = (
         f"round(sum({sum_col}) OVER (PARTITION BY {part_col}, _bkt "
         f"ORDER BY {order_col} RANGE BETWEEN {delta} PRECEDING "
@@ -250,10 +274,9 @@ def range_frame_sum(
             F.approx_count_distinct(part_col).alias("nk"),
         ).first()
         n_pairs, n_parts = cards["np"], cards["nk"]
-        if n_pairs <= broadcast_distinct_limit:
-            plan = "broadcast"
-        else:
-            plan = "window" if n_parts >= parallelism else "bucketed"
+        plan = choose_range_plan(
+            n_pairs, n_parts, parallelism, broadcast_distinct_limit
+        )
     if plan == "bucketed":
         if n_parts is None:
             n_parts = li.agg(F.approx_count_distinct(part_col).alias("nk")).first()["nk"]

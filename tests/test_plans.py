@@ -217,16 +217,36 @@ def test_range_frame_gate_picks_the_right_plan(spark, sf_dir):
     assert "Join" not in w7
 
 
+def test_range_plan_gate_at_synthetic_parallelism():
+    """The auto-gate decision at SYNTHETIC parallelism — covers the
+    cluster-sized branch choice even on a small runner: the w8 shape
+    (57k pairs, 3 partition keys) must go bucketed at parallelism 32,
+    window on a 2-core box (3 >= 2), and broadcast under the limit."""
+    from hive_to_es_spark.operators.windows import choose_range_plan
+
+    assert choose_range_plan(57_000, 3, 32, 1000) == "bucketed"
+    assert choose_range_plan(57_000, 3, 2, 1000) == "window"
+    assert choose_range_plan(150, 3, 32, 1000) == "broadcast"
+    assert choose_range_plan(57_000, 64, 32, 1000) == "window"
+
+
 def test_scalable_range_frame_is_bucket_parallel(spark, sf_dir):
     """w8 (auto gate on the high-card/low-partition shape) must pick
     the bucketed-donor plan: the window and its exchange partition on
     (l_returnflag, _bkt) — parallelism n_parts × n_buckets, NOT the
     3-task ceiling of w7's plain window — from a single fact scan
-    with no join anywhere."""
+    with no join anywhere. On a <=3-core runner the gate legitimately
+    picks the plain window (3 keys >= parallelism), so this plan-shape
+    assertion is skipped there; the gate decision itself is covered at
+    synthetic parallelism by the unit test above."""
     import re
+
+    import pytest
 
     from hive_to_es_spark.operators.windows import range_bucket_count
 
+    if spark.sparkContext.defaultParallelism <= 3:
+        pytest.skip("gate correctly picks plain window at <=3 cores")
     w8 = _plan(spark, sf_dir, "w8_range_frame_scalable")
     assert "Join" not in w8
     # the window itself is partitioned by (part, bucket)
