@@ -65,6 +65,10 @@ EXTENSION = [
     # production-threshold prefix-filtered Jaccard
     "w8_range_frame_scalable",
     "d10_dedup_jaccard_prefix",
+    # round 6: the hybrid MinHash-prefilter + exact-verify form of the
+    # same low-threshold contract d4/d9 price — the reduction this op
+    # exists for shows up as its delta vs d4's entry
+    "d11_dedup_minhash_verified",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,6 +97,8 @@ EAGER_BUILD = {
     "w7_range_frame_highcard",
     "w8_range_frame_scalable",
     "d10_dedup_jaccard_prefix",
+    # d11 materializes its shingle table (localCheckpoint) at build
+    "d11_dedup_minhash_verified",
 }
 
 

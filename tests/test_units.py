@@ -486,6 +486,42 @@ def test_prefix_filter_prunes_and_stays_complete(spark, sf_dir):
     assert via_prefix, "threshold too high: vacuous test data"
 
 
+def test_minhash_prefilter_cuts_candidate_stream(spark, sf_dir):
+    """d11's banded-MinHash prefilter must generate an order-of-
+    magnitude smaller candidate stream than d4's full-shingle blocking
+    on the same input (that is its whole point at t=0.2: 11.5k vs
+    ~tens at sf0.01), while the verified output still equals the
+    cap-free exact plan's — the recall claim, checked against an
+    independent Spark plan on top of the DuckDB oracle gate."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.dedup import word_shingles
+    from hive_to_es_spark.operators.dedup_ext import (
+        minhash_candidate_pairs,
+        minhash_verified_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, sf_dir).documents
+    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    full_block = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    mh_block = minhash_candidate_pairs(sh).count()
+    assert mh_block * 10 < full_block, (mh_block, full_block)
+
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    via_minhash = canon(minhash_verified_jaccard_pairs(docs, 0.2))
+    via_full = canon(ngram_jaccard_pairs(docs, threshold=0.2, df_cap=10**9))
+    assert via_minhash == via_full
+    assert via_minhash, "threshold too high: vacuous test data"
+
+
 def test_release_checkpoint_frees_blocks(spark):
     """functions/lifecycle.py: a localCheckpoint'ed frame pins block-
     manager storage that GC never frees driver-side; release_checkpoint
