@@ -83,7 +83,7 @@ def apply_transforms(df: DataFrame, job: Job) -> DataFrame:
         df = df.select(*(F.expr(expr).alias(name) for name, expr in job.columns.items()))
     if job.id_column:
         df = df.withColumn("_id", F.col(job.id_column).cast("string"))
-    elif job.sink_format == "es":
+    elif job.sink_format in ("es", "es_http"):
         df = df.withColumn("_id", F.monotonically_increasing_id().cast("string"))
     return df
 
@@ -111,6 +111,21 @@ def write_sink(df: DataFrame, job: Job) -> None:
             .options(**opts)
             .mode(job.mode)
             .save()
+        )
+    elif job.sink_format == "es_http":
+        # Connector-free REST bulk path (es_http.bulk_index): same
+        # identity/mode semantics as the connector branch, executable
+        # against any HTTP endpoint — this is the branch that runs the
+        # bulk protocol for real in tests (mock ES server).
+        from hive_to_es_spark.es_http import bulk_index
+
+        bulk_index(
+            df,
+            job.options.get("es.nodes", "http://localhost:9200"),
+            job.es_index or job.name,
+            id_column="_id" if "_id" in df.columns else None,
+            batch_entries=job.batch_entries,
+            mode=job.mode,
         )
     else:
         raise ValueError(f"job {job.name!r}: unknown sink_format {job.sink_format!r}")

@@ -125,3 +125,214 @@ def test_es_job_options_override_defaults(spark, sf_dir):
 def test_unknown_sink_format_rejected():
     with pytest.raises(ValueError, match="unknown sink_format"):
         write_sink(FakeDF(["x"]), _es_job(sink_format="csv"))
+
+
+# ---------------------------------------------------------------------------
+# Real HTTP round-trip: the es_http sink (hive_to_es_spark/es_http.py)
+# drives an in-process mock Elasticsearch over actual sockets —
+# foreachPartition workers POST NDJSON /_bulk bodies concurrently; the
+# server stores documents by _id like ES does. This closes the gap the
+# recorder tests above must leave open: the bulk protocol, identity
+# semantics, and full-vs-incremental index lifecycle all EXECUTE.
+# ---------------------------------------------------------------------------
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class MockES:
+    """Minimal ES REST stand-in: index lifecycle + /_bulk + /_refresh.
+
+    State: {index: {_id: doc}} exactly like ES identity semantics
+    (index action = create-or-replace by _id; missing _id auto-ids).
+    Also records an event log and per-request bulk doc counts so tests
+    can assert lifecycle order and chunk sizing. Thread-safe: the
+    foreachPartition senders POST concurrently."""
+
+    def __init__(self, fail_bulk: bool = False):
+        self.lock = threading.Lock()
+        self.indices: dict[str, dict[str, dict]] = {}
+        self.events: list[str] = []
+        self.bulk_doc_counts: list[int] = []
+        self.auto_id = 0
+        self.fail_bulk = fail_bulk
+        store = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_DELETE(self):
+                index = self.path.strip("/")
+                with store.lock:
+                    existed = store.indices.pop(index, None) is not None
+                    store.events.append(f"DELETE {index}")
+                if existed:
+                    self._reply(200, {"acknowledged": True})
+                else:
+                    self._reply(404, {"error": "index_not_found_exception"})
+
+            def do_PUT(self):
+                index = self.path.strip("/")
+                with store.lock:
+                    store.indices.setdefault(index, {})
+                    store.events.append(f"PUT {index}")
+                self._reply(200, {"acknowledged": True})
+
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                if self.path.endswith("/_refresh"):
+                    with store.lock:
+                        store.events.append(f"REFRESH {self.path.strip('/').split('/')[0]}")
+                    return self._reply(200, {"_shards": {"failed": 0}})
+                if not self.path.endswith("/_bulk"):
+                    return self._reply(400, {"error": f"unsupported {self.path}"})
+                if store.fail_bulk:
+                    return self._reply(
+                        200,
+                        {
+                            "errors": True,
+                            "items": [
+                                {"index": {"status": 400, "error": "mapper_parsing"}}
+                            ],
+                        },
+                    )
+                lines = [l for l in body.decode().split("\n") if l]
+                assert len(lines) % 2 == 0, "bulk body must be action/doc pairs"
+                n_docs = 0
+                with store.lock:
+                    for i in range(0, len(lines), 2):
+                        action = json.loads(lines[i])
+                        doc = json.loads(lines[i + 1])
+                        assert list(action) == ["index"], action
+                        index = action["index"]["_index"]
+                        _id = action["index"].get("_id")
+                        if _id is None:
+                            store.auto_id += 1
+                            _id = f"auto{store.auto_id}"
+                        store.indices.setdefault(index, {})[_id] = doc
+                        n_docs += 1
+                    store.bulk_doc_counts.append(n_docs)
+                    store.events.append("BULK")
+                self._reply(200, {"errors": False, "items": []})
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.server.server_address[1]}"
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+
+    def stop(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+@pytest.fixture()
+def mock_es():
+    s = MockES()
+    yield s
+    s.stop()
+
+
+def _http_job(url: str, **over) -> Job:
+    base = dict(
+        name="orders_to_es_http",
+        source_sql=(
+            "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate "
+            "FROM orders ORDER BY o_orderkey LIMIT 100"
+        ),
+        columns={
+            "order_id": "o_orderkey",
+            "status": "o_orderstatus",
+            "total": "o_totalprice",
+            "day": "o_orderdate",
+        },
+        id_column="order_id",
+        sink_format="es_http",
+        es_index="orders_http_v1",
+        batch_entries=7,
+        options={"es.nodes": url},
+    )
+    base.update(over)
+    return Job(**base)
+
+
+def test_es_http_full_sync_roundtrip(spark, sf_dir, mock_es):
+    """Full sync over real HTTP: delete+recreate lifecycle, every
+    DataFrame row arrives as a document under its mapped _id, values
+    survive JSON round-trip (dates ISO), and no chunk exceeds
+    batch_entries."""
+    from hive_to_es_spark.pipeline import run_job
+
+    df = run_job(spark, sf_dir, _http_job(mock_es.url))
+    rows = {str(r["_id"]): r for r in df.collect()}
+
+    docs = mock_es.indices["orders_http_v1"]
+    assert set(docs) == set(rows)
+    some_id = next(iter(rows))
+    assert docs[some_id]["status"] == rows[some_id]["status"]
+    assert docs[some_id]["total"] == pytest.approx(rows[some_id]["total"])
+    assert docs[some_id]["day"] == rows[some_id]["day"].isoformat()
+    # overwrite = delete + create BEFORE any bulk
+    first_bulk = mock_es.events.index("BULK")
+    assert "DELETE orders_http_v1" in mock_es.events[:first_bulk]
+    assert "PUT orders_http_v1" in mock_es.events[:first_bulk]
+    assert mock_es.events[-1] == "REFRESH orders_http_v1"
+    # chunking: batch_entries caps every bulk body
+    assert mock_es.bulk_doc_counts and max(mock_es.bulk_doc_counts) <= 7
+    assert sum(mock_es.bulk_doc_counts) == 100
+
+
+def test_es_http_append_preserves_and_replaces(spark, sf_dir, mock_es):
+    """Incremental semantics: append mode leaves the index in place
+    (no DELETE/PUT), keeps foreign documents, and REPLACES same-_id
+    documents instead of duplicating them — the idempotent-replay
+    property the reference's incremental sync relies on."""
+    from hive_to_es_spark.pipeline import run_job
+
+    run_job(spark, sf_dir, _http_job(mock_es.url))  # seed: full sync
+    mock_es.indices["orders_http_v1"]["foreign"] = {"status": "KEEP"}
+    n_events_before = len(mock_es.events)
+
+    run_job(spark, sf_dir, _http_job(mock_es.url, mode="append"))
+    new_events = mock_es.events[n_events_before:]
+    assert not any(e.startswith(("DELETE", "PUT")) for e in new_events)
+    docs = mock_es.indices["orders_http_v1"]
+    assert docs["foreign"] == {"status": "KEEP"}  # untouched by append
+    assert len(docs) == 101  # 100 replaced in place + the foreign doc
+
+
+def test_es_http_auto_id_when_keyless(spark, sf_dir, mock_es):
+    """No id_column: the transform stage still synthesizes _id (the
+    auto-id contract), so replayed rows are NOT deduplicated — exactly
+    the at-least-once behavior the docstring warns keyless jobs get."""
+    from hive_to_es_spark.pipeline import run_job
+
+    job = _http_job(mock_es.url, id_column=None)
+    run_job(spark, sf_dir, job)
+    assert len(mock_es.indices["orders_http_v1"]) == 100
+
+
+def test_es_http_bulk_error_fails_the_job(spark, sf_dir):
+    """A bulk response with errors:true must fail the Spark job, not
+    vanish — HTTP 200 with per-item errors is how ES reports partial
+    failure, and swallowing it is silent data loss."""
+    from py4j.protocol import Py4JJavaError
+
+    from hive_to_es_spark.pipeline import run_job
+
+    s = MockES(fail_bulk=True)
+    try:
+        with pytest.raises(Py4JJavaError) as err:
+            run_job(spark, sf_dir, _http_job(s.url))
+        assert "bulk indexing reported errors" in str(err.value)
+    finally:
+        s.stop()
