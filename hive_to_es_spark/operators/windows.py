@@ -358,13 +358,18 @@ FROM lineitem
 
 @register("w7_range_frame_highcard", _W7_ORACLE)
 def w7_range_frame_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame over a CONTINUOUS order key (l_extendedprice:
-    ~57k distinct pairs at sf0.01, ~all-distinct at scale) — the
-    plain-window branch of range_frame_sum, pinned so this path stays
-    value-verified at every test scale. Its parallelism equals the
-    partition-key cardinality (3 here): correct but a scale ceiling —
-    the auto gate routes this shape to the bucketed plan instead,
-    which w8 pins and verifies."""
+    """DEPRECATED verification pin — do NOT call at scale; use w8 (or
+    range_frame_sum's default auto gate, the only supported entry).
+
+    This key pins range_frame_sum's plain-window branch (plan="window")
+    on the continuous-order-key shape so that branch stays
+    value-verified at every test scale: its parallelism equals the
+    partition-key cardinality (3 tasks here, regardless of cluster
+    size), which is the documented scale ceiling the auto gate exists
+    to route around — on this exact shape the gate picks the
+    bucketed-donor plan (w8: same oracle, same values, n_parts x
+    n_buckets tasks). Registry exposure is solely so the pinned branch
+    keeps a CHECK hash row next to its replacement."""
     li = load_tables(spark, sf_dir).lineitem
     return range_frame_sum(
         li,
