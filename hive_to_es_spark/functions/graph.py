@@ -14,8 +14,10 @@ discipline; per-node state never leaves the cluster.
 
 100 TB posture: rounds scale with graph DIAMETER, not size — near-dup
 graphs are shallow (dup clusters are cliques-ish), so <10 rounds in
-practice. `localCheckpoint` truncates the per-round lineage (on a
-real cluster, `checkpoint` to shared storage for fault tolerance).
+practice. Per-round lineage is truncated via lifecycle.materialize:
+`localCheckpoint` by default, or RELIABLE checkpoints when callers
+pass `checkpoint_dir` (shared storage on a real cluster — survives
+executor loss; same results, asserted in tests).
 For graphs DEEPER than the round budget (adversarial chains — e.g. a
 corpus whose near-dup pairs form one long similarity path),
 min-propagation's O(diameter) rounds are the wrong algorithm;
@@ -34,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hive_to_es_spark.functions.lifecycle import release_checkpoint
+from hive_to_es_spark.functions.lifecycle import materialize, release_checkpoint
 
 
 def connected_components(
@@ -44,6 +46,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id reachable from it.
 
@@ -55,14 +58,21 @@ def connected_components(
     deterministic. Isolated nodes are their own component. Raises if
     propagation hasn't converged after max_rounds (graph diameter >
     max_rounds means the caller should switch to star-contraction).
+
+    `checkpoint_dir`: None (default) keeps per-round state in the
+    executor block manager (localCheckpoint — fastest, lost-executor-
+    fatal); a path switches every materialization in the loop to
+    RELIABLE checkpoints on that directory (shared storage), which is
+    what a multi-hour 100 TB closure runs with. Results are identical
+    (asserted in tests/test_merge.py).
     """
     # Materialize the symmetrized edge list ONCE — it is joined every
     # round, and without this the upstream plan (e.g. d7's LSH pair
     # generation) would re-execute per round.
-    sym = (
+    sym = materialize(
         edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
-        .union(edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d")))
-        .localCheckpoint(eager=True)
+        .union(edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))),
+        checkpoint_dir,
     )
 
     labels = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("component"))
@@ -92,8 +102,8 @@ def connected_components(
                     F.coalesce("_nbr_min", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=False)
         )
+        new = materialize(new, checkpoint_dir, eager=False)
         changed = new.filter(F.col("component") != F.col("_old")).count()
         # The count materialized THIS round's checkpoint, so the
         # previous round's blocks are dead — release them now instead
@@ -117,7 +127,7 @@ def connected_components(
     # of failing — the upstream pair plan is not re-executed.
     if prev is not None:
         release_checkpoint(prev)
-    result = _star_contraction(nodes, sym, id_col)
+    result = _star_contraction(nodes, sym, id_col, checkpoint_dir=checkpoint_dir)
     release_checkpoint(sym)
     return result
 
@@ -128,6 +138,7 @@ def connected_components_star(
     id_col: str = "id",
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., SoCC'14) — same contract as
@@ -136,18 +147,19 @@ def connected_components_star(
     directly when the graph is known-deep; `connected_components`
     falls back to it automatically when min-propagation exhausts its
     round budget."""
-    sym = (
+    sym = materialize(
         edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
-        .union(edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d")))
-        .localCheckpoint(eager=True)
+        .union(edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))),
+        checkpoint_dir,
     )
-    result = _star_contraction(nodes, sym, id_col)
+    result = _star_contraction(nodes, sym, id_col, checkpoint_dir=checkpoint_dir)
     release_checkpoint(sym)
     return result
 
 
 def _star_contraction(nodes: DataFrame, sym: DataFrame, id_col: str,
-                      max_rounds: int = 64) -> DataFrame:
+                      max_rounds: int = 64,
+                      checkpoint_dir: str | None = None) -> DataFrame:
     """Alternating large-star/small-star over a symmetric edge list
     (columns _s, _d). Per round: large-star hangs every
     larger-than-center neighbor onto the neighborhood minimum, then
@@ -164,8 +176,8 @@ def _star_contraction(nodes: DataFrame, sym: DataFrame, id_col: str,
             F.greatest("_s", "_d").alias("u"), F.least("_s", "_d").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    e = materialize(e, checkpoint_dir)
     n_edges = e.count()
     for _ in range(max_rounds):
         # ---- large-star: m(u) = min(Γ(u) ∪ {u}); (w, m) for w > u --
@@ -189,8 +201,8 @@ def _star_contraction(nodes: DataFrame, sym: DataFrame, id_col: str,
             .filter(F.col("u") != F.col("v"))
             .union(sm.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint(eager=False)
         )
+        small = materialize(small, checkpoint_dir, eager=False)
         # convergence: the (distinct) edge sets are equal — one count
         # (which also materializes the lazy checkpoint) plus a bounded
         # anti-join probe; the only per-round driver state is two ints

@@ -24,6 +24,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def materialize(
+    df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True
+) -> DataFrame:
+    """Cut lineage and pin a frame's rows, choosing the storage tier:
+
+    - `checkpoint_dir=None` (default): `localCheckpoint` — executor
+      block manager, no extra IO. Correct locally and fastest, but on
+      a real cluster a lost executor loses its blocks and the frame
+      CANNOT recompute (lineage is gone) — acceptable only for
+      restartable jobs.
+    - `checkpoint_dir=<path>`: RELIABLE checkpoint into that directory
+      (shared storage on a cluster — HDFS/S3/NFS); survives executor
+      loss. This is the knob long iterative jobs (connected
+      components, the dedup pair plans) thread through for fault
+      tolerance at 100 TB.
+
+    `setCheckpointDir` is context-global in Spark; re-pointing it here
+    is idempotent for a fixed dir and documented as such (one dir per
+    job run is the normal discipline)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 def release_checkpoint(df: DataFrame) -> bool:
     """Free the block-manager storage behind a localCheckpoint'ed
     DataFrame. Returns True if blocks were released. Best-effort: a

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_to_es_spark.io import load_tables
+from hive_to_es_spark.functions.lifecycle import materialize
 from hive_to_es_spark.operators.dedup import word_shingles
 from hive_to_es_spark.operators.similarity import _dbl, _dot, _norm
 from hive_to_es_spark.registry import register
@@ -140,7 +141,10 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.2, df_cap: int = 1000
+    docs: DataFrame,
+    threshold: float = 0.2,
+    df_cap: int = 1000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs from a (doc_id, text)
     DataFrame, blocked by shared shingle with a document-frequency cap.
@@ -189,8 +193,8 @@ def ngram_jaccard_pairs(
     # these blocks, so there is no safe release point inside the
     # builder. Consumers that are done with the result free them via
     # functions/lifecycle.py (tools/check.py sweeps after every key).
-    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
-        eager=True
+    sh = materialize(
+        sh0.join(F.broadcast(hot), "shingle", "left_anti"), checkpoint_dir
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -314,7 +318,9 @@ def _jaccard_from_common(
     )
 
 
-def prefix_filtered_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def prefix_filtered_jaccard_pairs(
+    docs: DataFrame, threshold: float, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Exact Jaccard >= threshold pairs via prefix-filter blocking —
     the high-threshold twin of ngram_jaccard_pairs (see
     prefix_jaccard_candidates for the completeness argument).
@@ -326,12 +332,16 @@ def prefix_filtered_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFram
 
     The exploded shingle relation feeds SIX consumers (df ranking,
     prefix rows, candidate sizes, both verification sides, output
-    sizes), so like d4 it is materialized once (localCheckpoint;
-    cluster: persist/checkpoint) — unmaterialized, the scan + explode
-    subtree re-ran ~7x per query (caught by review)."""
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
-    ).localCheckpoint(eager=True)
+    sizes), so like d4 it is materialized once (lifecycle.materialize:
+    localCheckpoint by default, reliable checkpoint via
+    `checkpoint_dir` on a cluster) — unmaterialized, the scan +
+    explode subtree re-ran ~7x per query (caught by review)."""
+    sh = materialize(
+        docs.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+        ),
+        checkpoint_dir,
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     cand = _prefix_candidates(sh, sizes, threshold)
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -425,7 +435,10 @@ def minhash_candidate_pairs(
 
 
 def minhash_verified_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.2, n_hashes: int = _D11_N_HASHES
+    docs: DataFrame,
+    threshold: float = 0.2,
+    n_hashes: int = _D11_N_HASHES,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Hybrid low-threshold dedup: banded-MinHash PREFILTER -> exact
     Jaccard VERIFY — the standard production shape for near-dup mining
@@ -451,9 +464,12 @@ def minhash_verified_jaccard_pairs(
     The exploded shingle relation feeds FOUR consumers (signature agg,
     both verify sides, output sizes) — materialized once, same as
     d4/d10."""
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
-    ).localCheckpoint(eager=True)
+    sh = materialize(
+        docs.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+        ),
+        checkpoint_dir,
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     cand = minhash_candidate_pairs(sh, n_hashes)
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -314,6 +314,40 @@ def test_star_contraction_direct(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
 
 
+def test_reliable_checkpoint_dir_identical_results(spark, sf_dir, tmp_path):
+    """checkpoint_dir switches every materialization in the iterative
+    closure and the dedup pair plans from localCheckpoint (executor
+    memory — lost-executor-fatal on a cluster) to RELIABLE checkpoints
+    on shared storage. Results must be bit-identical either way, and
+    checkpoint files must actually land in the directory — proof the
+    reliable path ran, not the default."""
+    from hive_to_es_spark.functions.graph import connected_components
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.dedup_ext import minhash_verified_jaccard_pairs
+
+    ckpt = str(tmp_path / "reliable_ckpt")
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id LONG")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7)], "src LONG, dst LONG"
+    )
+    canon_cc = lambda df: sorted(map(tuple, df.collect()))
+    assert canon_cc(
+        connected_components(nodes, edges, checkpoint_dir=ckpt)
+    ) == canon_cc(connected_components(nodes, edges))
+
+    docs = load_tables(spark, sf_dir).documents
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(
+        minhash_verified_jaccard_pairs(docs, 0.2, checkpoint_dir=ckpt)
+    ) == canon(minhash_verified_jaccard_pairs(docs, 0.2))
+
+    import os
+
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no checkpoint files written — reliable path never ran"
+
+
 def test_quantized_knn_recall_vs_exact(spark, sf_dir):
     """s8's int8-quantized top-10 must recover most of the exact
     float-cosine top-10 (the quantization-error bound in practice):
