@@ -365,3 +365,70 @@ def test_bucketed_range_frame_matches_plain_window(spark, vals, delta, n_buckets
     via_window = canon(range_frame_sum(*args, plan="window"))
     assert canon(_bucketed_range_frame(*args, n_buckets=n_buckets)) == via_window
     assert canon(range_frame_sum(*args, plan="broadcast")) == via_window
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    n_base=st.integers(min_value=2, max_value=3),
+)
+def test_prefix_filter_complete_at_boundary(spark, data, n_base):
+    """Adversarial completeness check for d10's prefix filter: corpora
+    engineered so document pairs straddle the J=0.8 boundary (twins
+    produced by 0-3 word replacements over a 12-word vocabulary, plus
+    exact duplicates and short docs), with heavy document-frequency
+    TIES — the corner where a broken tiebreak in the global (df,
+    shingle) rarity order could desynchronize two documents' prefixes
+    and silently drop a true pair. The theorem under test: the
+    prefix-candidate set must be a SUPERSET of the exact J>=0.8 pairs
+    (ground truth recomputed in pure Python, independent of any Spark
+    or DuckDB plan), and the verified operator must return exactly the
+    true pairs."""
+    from hive_to_es_spark.operators.dedup_ext import (
+        prefix_filtered_jaccard_pairs,
+        prefix_jaccard_candidates,
+    )
+
+    vocab = [f"w{i}" for i in range(12)]
+    words = st.sampled_from(vocab)
+    docs: list[str] = []
+    for _ in range(n_base):
+        base = data.draw(st.lists(words, min_size=4, max_size=18))
+        docs.append(" ".join(base))
+        for _ in range(data.draw(st.integers(min_value=1, max_value=2))):
+            twin = list(base)
+            for _ in range(data.draw(st.integers(min_value=0, max_value=3))):
+                pos = data.draw(st.integers(min_value=0, max_value=len(twin) - 1))
+                twin[pos] = data.draw(words)
+            docs.append(" ".join(twin))
+    docs.append(data.draw(words))  # 1-word doc: partial-shingle corner
+
+    def py_shingles(text: str) -> set[str]:
+        ws = text.lower().split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(max(len(ws) - 2, 1))}
+
+    sets = {i: py_shingles(t) for i, t in enumerate(docs)}
+    truth = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter / union >= 0.8:
+                    truth.add((a, b))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id LONG, text STRING"
+    )
+    cand = {(r.doc_a, r.doc_b) for r in prefix_jaccard_candidates(df, 0.8).collect()}
+    assert truth <= cand, f"prefix filter dropped true pairs: {sorted(truth - cand)}"
+
+    verified = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filtered_jaccard_pairs(df, 0.8).collect()
+    }
+    assert verified == truth
