@@ -637,3 +637,82 @@ def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total"),
     )
+
+
+_J13_ORACLE = """
+WITH win AS (
+  SELECT o_orderkey AS win_id, o_orderdate AS lo
+  FROM orders WHERE o_totalprice > 495000
+)
+SELECT w.win_id,
+       CAST(count(*) AS BIGINT) AS n_shipped,
+       round(sum(l.l_extendedprice), 2) AS revenue
+FROM win w
+JOIN lineitem l
+  ON l.l_shipdate >= w.lo AND l.l_shipdate < w.lo + INTERVAL 7 DAY
+GROUP BY w.win_id
+"""
+
+
+@register("j13_interval_bin_join", _J13_ORACLE)
+def j13_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via fixed-width BIN equi-join — the
+    100 TB shape for range joins when NEITHER side is broadcastable.
+
+    j8 handles range joins whose interval side is tiny (broadcast
+    nested loop); j10 handles intervals that share an equi blocking
+    key. This operator covers the remaining case: many intervals, no
+    natural equi key. Catalyst would plan the raw range predicate as
+    BroadcastNestedLoopJoin — O(|points| x |intervals|) comparisons
+    and a driver-sized interval side; at 10^9 points x 10^6 intervals
+    that is 10^15 comparisons and never finishes.
+
+    The binned plan (the standard fixed-bin range-join rewrite, as in
+    Spark's own RANGE_JOIN hint on Databricks and Flink's interval
+    join): pick a bin width >= the max interval length (7 days here),
+    explode each interval to the 2 week-bins it can touch, tag each
+    point with its single week-bin, equi-join on the bin, then apply
+    the exact range predicate. The join becomes a plain shuffled hash
+    join on the bin key; comparisons drop to sum over bins of
+    |points_bin| x |intervals_bin| — linear in both inputs for
+    non-pathological time distributions. Each (point, interval) pair
+    meets at most once (the point's bin is unique), so no distinct
+    pass is needed before the aggregate.
+
+    Here: "promotion windows" = the top ~1% orders by price open a
+    [o_orderdate, +7d) window; count lineitems shipped inside each
+    window. The oracle states the pure range-join semantics; the hash
+    match proves the bin rewrite loses no pair at bin boundaries
+    (intervals crossing a week edge are covered by the 2-bin explode).
+    """
+    t = load_tables(spark, sf_dir)
+    epoch = F.lit("1995-01-01")
+    win = t.orders.filter(F.col("o_totalprice") > 495000).select(
+        F.col("o_orderkey").alias("win_id"),
+        F.col("o_orderdate").alias("lo"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("hi"),
+    )
+    # interval [lo, hi) with hi - lo = bin width -> touches exactly the
+    # bins of lo and hi (sequence is inclusive; the hi bin may contain
+    # points < hi even when hi itself is excluded)
+    win_binned = win.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.datediff(F.col("lo"), epoch) / 7),
+                F.floor(F.datediff(F.col("hi"), epoch) / 7),
+            )
+        ),
+    )
+    pts = t.lineitem.select("l_shipdate", "l_extendedprice").withColumn(
+        "bin", F.floor(F.datediff(F.col("l_shipdate"), epoch) / 7)
+    )
+    return (
+        pts.join(win_binned, "bin")
+        .filter((F.col("l_shipdate") >= F.col("lo")) & (F.col("l_shipdate") < F.col("hi")))
+        .groupBy("win_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shipped"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hive_to_es_spark.io import load_tables
 from hive_to_es_spark.registry import register
@@ -299,3 +300,50 @@ def u6_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_distinct"),
     ).select("op", "n", "n_distinct")
     return summarize(ia, "intersect_all").unionByName(summarize(ea, "except_all"))
+
+
+_O7_ORACLE = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 50
+"""
+
+
+@register("o7_stratum_cap", _O7_ORACLE)
+def o7_stratum_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum cap: keep at most N=50 documents per
+    language, chosen by md5(doc_id) order — the "no source dominates"
+    step of corpus mixing (cap each domain/language/source at a fixed
+    contribution), complementing o6's proportional rebalancing.
+
+    Hash order makes the winners a pure function of the KEY SET: the
+    same doc wins under reruns and engine swaps (value-verified here),
+    and appends can only displace losers, never reshuffle survivors
+    arbitrarily as a PRNG would. doc_id tiebreak keeps the order total
+    even under md5 collisions.
+
+    Plan: one shuffle on lang + per-partition sort, row_number, filter
+    — no global sort. At 100 TB the refinement is two-pass: a map-side
+    partial top-N per partition (each partition keeps its N smallest
+    hashes per stratum) feeds the exact window, so the shuffle carries
+    at most N x n_partitions rows per stratum instead of the whole
+    corpus; same final winners because the global top-N is contained
+    in the union of per-partition top-Ns.
+    """
+    d = load_tables(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )

@@ -313,3 +313,66 @@ def t8_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.avg("lp"), 4).alias("lm_score"))
     )
+
+
+_T9_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+      i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                          string_split(lower(text), ' ')[i+1],
+                          string_split(lower(text), ' ')[i+2])
+    ))) AS shingle
+  FROM documents
+),
+eval_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 = 0),
+corpus_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0)
+SELECT c.doc_id,
+       CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_hit_shingles,
+       CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+FROM corpus_sh c JOIN eval_sh e ON c.shingle = e.shingle
+GROUP BY c.doc_id
+"""
+
+
+@register("t9_decontaminate", _T9_ORACLE)
+def t9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    3-gram shingle with a held-out evaluation set — the n-gram overlap
+    check training pipelines run before release so eval answers are
+    not memorized from the training corpus (the method popularized by
+    GPT-2/GPT-3 appendix-style 8-gram checks; 3-gram here to match the
+    repo's shingle vocabulary and because the fixture docs are short).
+
+    The eval set is documents with doc_id % 29 = 0 (a stand-in for an
+    external benchmark file); every other document is corpus. Output:
+    each contaminated corpus doc with how many distinct shingles it
+    shares and how many distinct eval docs it collides with.
+
+    Scale shape: the asymmetry IS the plan. A benchmark is a few
+    thousand docs regardless of corpus size, so its shingle set is
+    broadcast (hinted here); the corpus side then never shuffles — the
+    join is map-side against the broadcast hash table and only the
+    per-doc collision counts (<< corpus) reach the two-level distinct
+    aggregate. At 100 TB this is one scan of the corpus. The two
+    countDistincts share one grouping key, so Catalyst plans a single
+    expand + two-phase agg, not two joins.
+    """
+    d = load_tables(spark, sf_dir).documents
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    is_eval = F.col("doc_id") % 29 == 0
+    corpus = sh.filter(~is_eval)
+    ev = sh.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    return (
+        corpus.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").cast("bigint").alias("n_hit_shingles"),
+            F.countDistinct("eval_doc").cast("bigint").alias("n_eval_docs"),
+        )
+    )

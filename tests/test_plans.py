@@ -259,3 +259,22 @@ def test_scalable_range_frame_is_bucket_parallel(spark, sf_dir):
     # and the bucket count actually multiplies parallelism (3 parts here)
     assert 3 * range_bucket_count(spark.sparkContext.defaultParallelism, 3) > \
         spark.sparkContext.defaultParallelism
+
+
+def test_interval_bin_join_is_hash_join(spark, sf_dir):
+    """j13 exists to replace the BroadcastNestedLoopJoin Catalyst
+    plans for a raw range predicate with a bin equi-join; the plan
+    must contain a hash/sort-merge join and no nested loop."""
+    plan = _plan(spark, sf_dir, "j13_interval_bin_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """t9's scale story is the benchmark side broadcasting so the
+    corpus never shuffles for the join."""
+    plan = _plan(spark, sf_dir, "t9_decontaminate")
+    assert "BroadcastHashJoin" in plan

@@ -22,7 +22,7 @@ EXPECTED_KEYS = {
     # joins
     "j1_inner_equi", "j2_left_right_outer", "j3_full_outer", "j4_semi", "j5_anti",
     "j6_broadcast", "j7_cross", "j8_theta_range", "j9_asof", "j10_interval_overlap",
-    "j11_multiway", "j12_salted_skew_join", "q3_shipping_priority", "q2_min_cost", "q4_order_priority", "q10_returned_items", "q14_promo_revenue", "q17_small_quantity", "q18_large_orders",
+    "j11_multiway", "j12_salted_skew_join", "j13_interval_bin_join", "q3_shipping_priority", "q2_min_cost", "q4_order_priority", "q10_returned_items", "q14_promo_revenue", "q17_small_quantity", "q18_large_orders",
     "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
     "q12_shipmode_priority", "q16_supplier_variety", "q19_disjunctive_revenue",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
@@ -39,7 +39,7 @@ EXPECTED_KEYS = {
     "w8_range_frame_scalable",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
-    "o5_train_split", "o6_balanced_mixture",
+    "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap",
     "u1_union_all", "u2_union_distinct", "u3_intersect", "u4_except", "u5_distinct",
     "u6_intersect_except_all",
     # scalar families
@@ -63,6 +63,7 @@ EXPECTED_KEYS = {
     "s11_ann_ivf_nprobe",
     "t4_quality_score", "t5_token_count_bpe",
     "t6_fingerprint", "t7_langid_ngram", "t8_unigram_lm_score",
+    "t9_decontaminate",
     # UDF surface
     "g1_scalar_pandas_udf", "g2_grouped_map", "g3_grouped_agg_udaf", "g4_udtf",
     "g5_arrow_batch_map",
