@@ -639,6 +639,45 @@ def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def binned_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width_s: int,
+) -> DataFrame:
+    """Generic fixed-bin point-in-interval join: rows of `points`
+    matched to rows of `intervals` with lo <= point < hi, planned as
+    an EQUI join on floor(unix_time / bin_width_s) instead of the
+    BroadcastNestedLoopJoin Catalyst produces for a raw range
+    predicate. See j13's docstring for the full cost argument.
+
+    Completeness: a point p in [lo, hi) has bin(p) in
+    [bin(lo), bin(hi)] for ANY bin width, and the interval explodes to
+    exactly that inclusive bin range (sequence), so every qualifying
+    pair meets. If intervals are no longer than bin_width_s each
+    explodes to <= 2 rows; longer intervals still work, at
+    ceil(len/width)+1 rows. Each (point, interval) pair meets at most
+    once because the point's bin is unique — no distinct needed.
+    Property-tested against the naive join on boundary-engineered
+    synthetic intervals in tests/test_property.py.
+    """
+    i_lo = F.floor(F.unix_timestamp(F.col(lo_col)) / bin_width_s)
+    i_hi = F.floor(F.unix_timestamp(F.col(hi_col)) / bin_width_s)
+    binned = intervals.withColumn("_bin", F.explode(F.sequence(i_lo, i_hi)))
+    pts = points.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(point_col)) / bin_width_s)
+    )
+    return (
+        pts.join(binned, "_bin")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("_bin")
+    )
+
+
 _J13_ORACLE = """
 WITH win AS (
   SELECT o_orderkey AS win_id, o_orderdate AS lo
@@ -686,30 +725,14 @@ def j13_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (intervals crossing a week edge are covered by the 2-bin explode).
     """
     t = load_tables(spark, sf_dir)
-    epoch = F.lit("1995-01-01")
     win = t.orders.filter(F.col("o_totalprice") > 495000).select(
         F.col("o_orderkey").alias("win_id"),
         F.col("o_orderdate").alias("lo"),
         (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("hi"),
     )
-    # interval [lo, hi) with hi - lo = bin width -> touches exactly the
-    # bins of lo and hi (sequence is inclusive; the hi bin may contain
-    # points < hi even when hi itself is excluded)
-    win_binned = win.withColumn(
-        "bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.datediff(F.col("lo"), epoch) / 7),
-                F.floor(F.datediff(F.col("hi"), epoch) / 7),
-            )
-        ),
-    )
-    pts = t.lineitem.select("l_shipdate", "l_extendedprice").withColumn(
-        "bin", F.floor(F.datediff(F.col("l_shipdate"), epoch) / 7)
-    )
+    pts = t.lineitem.select("l_shipdate", "l_extendedprice")
     return (
-        pts.join(win_binned, "bin")
-        .filter((F.col("l_shipdate") >= F.col("lo")) & (F.col("l_shipdate") < F.col("hi")))
+        binned_interval_join(pts, win, "l_shipdate", "lo", "hi", 7 * 86400)
         .groupBy("win_id")
         .agg(
             F.count("*").cast("bigint").alias("n_shipped"),

@@ -850,3 +850,60 @@ def p13_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+_P14_ORACLE = """
+SELECT CASE WHEN year(o_orderdate) >= 1998 THEN o_orderstatus
+            ELSE 'pre_evolution' END AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("p14_schema_evolution", _P14_ORACLE)
+def p14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across batch generations — the Hive-era ETL
+    reality a sync tool lives with: early partitions were written
+    before a column existed, later ones carry it, and one read must
+    span both.
+
+    Batch 1 (orders before 1998) is written WITHOUT o_orderstatus;
+    batch 2 (1998+) adds the column. Both land under one root in
+    Hive-style batch=N partition directories; the read uses
+    mergeSchema=true, which unions the file footers' schemas and
+    null-fills the missing column in old files. The aggregate keys on
+    the evolved column (old rows surface as 'pre_evolution'), so a
+    reader that dropped either generation's schema or rows breaks the
+    hash against the oracle's re-derivation from the source table.
+
+    100 TB posture: mergeSchema reads EVERY file's footer before
+    planning — fine for a backfill audit, wrong as the steady state.
+    Production keeps the authoritative schema in the catalog (Hive
+    metastore / Delta log) and evolves it there (ADD COLUMN is a
+    metadata-only operation); readers then pass the declared schema
+    and skip footer merging entirely. This operator pins the
+    semantics that migration must preserve: absent-in-file = NULL,
+    never a default, never a shifted column.
+    """
+    o = load_tables(spark, sf_dir).orders
+    root = os.path.join(TMP_ROOT, "p14_orders_evolved")
+    v1 = o.filter(F.year("o_orderdate") < 1998).select("o_orderkey", "o_totalprice", "o_orderdate")
+    v2 = o.filter(F.year("o_orderdate") >= 1998).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        back.select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("pre_evolution")).alias("status"),
+            "o_totalprice",
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

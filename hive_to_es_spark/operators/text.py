@@ -265,3 +265,75 @@ def m2_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_width",
         "out_height",
     )
+
+
+_M3_ORACLE = """
+WITH spec AS (
+  SELECT doc_id, text,
+         1 + octet_length(CAST(text AS BLOB)) % 300 AS n_frames
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, text, n_frames, unnest(range(0, n_frames, 10)) AS frame_idx
+  FROM spec
+)
+SELECT doc_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(text || '-' || CAST(frame_idx AS VARCHAR)) AS frame_checksum
+FROM fr
+"""
+
+
+@register("m3_frame_sample", _M3_ORACLE)
+def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped frame sampling: 1 row in -> K rows out through
+    mapInPandas — the registered, value-verified twin of
+    functions/multimodal.sample_frames (which keeps the realistic
+    sha1-over-raw-bytes digest that no SQL engine can replay).
+
+    The "video" payload is the document's UTF-8 bytes; frame count is
+    derived from the BYTE length (multi-byte zh text ≠ char count —
+    the oracle must count octets too), and every 10th frame is emitted
+    with a digest keyed on (content, frame index). Both sides of the
+    contract are engine-portable (md5 over a string), so unlike m2 —
+    whose oracle re-derives geometry only — this one value-verifies
+    the Python stage's EXPLODED row set: frame indices, per-doc frame
+    counts, and per-frame digests.
+
+    Scale shape: mapInPandas streams Arrow batches; output rows never
+    materialize per-doc lists driver- or executor-wide beyond one
+    batch. Row explosion is bounded (<=30 frames/doc at stride 10);
+    a real decoder (pyav) would slot into the same iterator with the
+    same schema. No shuffle at all — sampling is embarrassingly
+    parallel over input partitions.
+    """
+    d = load_tables(spark, sf_dir).documents.select("doc_id", "text")
+    schema = "doc_id BIGINT, n_frames INT, frame_idx INT, frame_checksum STRING"
+
+    def sample(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, idxs, sums = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = 1 + len(text.encode("utf-8")) % 300
+                for i in range(0, n, 10):
+                    ids.append(doc_id)
+                    ns.append(n)
+                    idxs.append(i)
+                    sums.append(
+                        hashlib.md5(f"{text}-{i}".encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": ns,
+                    "frame_idx": idxs,
+                    "frame_checksum": sums,
+                }
+            )
+
+    return d.mapInPandas(sample, schema)

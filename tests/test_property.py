@@ -432,3 +432,68 @@ def test_prefix_filter_complete_at_boundary(spark, data, n_base):
         for r in prefix_filtered_jaccard_pairs(df, 0.8).collect()
     }
     assert verified == truth
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    bin_width_s=st.sampled_from([60, 3600, 86400]),
+)
+def test_binned_interval_join_matches_naive(spark, seed, bin_width_s):
+    """j13's bin rewrite must find EXACTLY the naive range-join pairs,
+    for interval endpoints engineered to stress bin edges: lengths up
+    to the full bin width, lo values snapped onto and one second off
+    bin boundaries, points at lo, hi-1 and hi."""
+    import random
+
+    from hive_to_es_spark.operators.joins import binned_interval_join
+
+    rnd = random.Random(seed)
+    base = 1_600_000_000  # fixed epoch anchor, bin-aligned below
+    anchor = base - base % bin_width_s
+    intervals = []
+    for i in range(40):
+        if i % 4 == 0:  # lo exactly on a bin boundary
+            lo = anchor + rnd.randrange(0, 50) * bin_width_s
+        elif i % 4 == 1:  # lo one second before a boundary
+            lo = anchor + rnd.randrange(1, 50) * bin_width_s - 1
+        else:
+            lo = anchor + rnd.randrange(0, 50 * bin_width_s)
+        length = rnd.choice([1, bin_width_s // 2 + 1, bin_width_s])
+        intervals.append((i, lo, lo + length))
+    points = []
+    for j, (i, lo, hi) in enumerate(intervals):
+        # points pinned to the half-open boundary: in, last-in, first-out
+        points.extend([(100 + 3 * j, lo), (101 + 3 * j, hi - 1), (102 + 3 * j, hi)])
+    for j in range(200):
+        points.append((1000 + j, anchor + rnd.randrange(0, 52 * bin_width_s)))
+
+    idf = spark.createDataFrame(
+        [(i, *map(_ts, (lo, hi))) for i, lo, hi in intervals],
+        "iid int, lo timestamp, hi timestamp",
+    )
+    pdf = spark.createDataFrame(
+        [(p, _ts(t)) for p, t in points], "pid int, t timestamp"
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in binned_interval_join(pdf, idf, "t", "lo", "hi", bin_width_s)
+        .select("pid", "iid")
+        .collect()
+    )
+    want = sorted(
+        (p, i) for p, t in points for i, lo, hi in intervals if lo <= t < hi
+    )
+    assert got == want
+
+
+def _ts(epoch_s: int):
+    import datetime
+
+    return datetime.datetime.fromtimestamp(epoch_s, datetime.timezone.utc).replace(
+        tzinfo=None
+    )

@@ -12,7 +12,7 @@ EXPECTED_KEYS = {
     "p1_full_scan", "p2_incremental_filter", "p3_project_rename", "p4_doc_id",
     "p5_type_to_json", "p6_batching", "p7_sink_es", "p8_job_config",
     "p9_incremental_upsert", "p10_corpus_pipeline", "p11_incremental_dedup",
-    "p12_token_shards", "p13_partition_backfill",
+    "p12_token_shards", "p13_partition_backfill", "p14_schema_evolution",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
     "b5_dynamic_partition_pruning",
@@ -52,7 +52,7 @@ EXPECTED_KEYS = {
     # LLM pipeline
     "d1_dedup_exact", "d2_dedup_minhash", "s1_knn_cosine", "s2_pairwise_topk",
     "s3_centroids", "t1_text_stats", "t2_tfidf_terms", "t3_langid_filter",
-    "m1_multimodal_cols", "m2_media_decode",
+    "m1_multimodal_cols", "m2_media_decode", "m3_frame_sample",
     # LLM pipeline extensions (training-data set beyond SURVEY §2)
     "d3_dedup_simhash", "d4_dedup_ngram_jaccard", "d5_dedup_embedding",
     "d6_dedup_lsh_blocked", "d7_dedup_components", "d8_dedup_minhash_portable",

@@ -95,7 +95,7 @@ OPS = {
     # when every band bucket gets k identical copies; the point of the
     # op is the CONSTANT (candidates << all shingle-block pairs), not
     # a different exponent.
-    "d11_dedup_minhash_verified": (4.0, "banded MinHash candidate pairs; identical copies grow every band bucket"),
+    "d11_dedup_minhash_verified": (4.0, "banded MinHash candidate pairs; identical copies grow every band bucket. A LOW verdict here is the op WORKING: total runtime = 32-hash signatures (linear, dominant) + candidate verify (k², suppressed 245-494x vs d4 by design), so the quadratic term stays invisible until far larger scale"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
