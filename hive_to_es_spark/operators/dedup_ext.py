@@ -377,9 +377,17 @@ def minhash_candidate_pairs(
     rows_per_band: int = _D11_ROWS_PER_BAND,
 ) -> DataFrame:
     """Banded-MinHash candidate pairs (doc_a, doc_b) from a prepared
-    (doc_id, shingle) relation — d8's engine-portable salted
-    md5-prefix hash family at recall-tuned parameters: 32 hash
-    functions banded 16 x r=2. A pair with true Jaccard J becomes a
+    (doc_id, shingle) relation — 32 hash functions banded 16 x r=2.
+
+    Hash family: seeded xxhash64, NOT d8's salted md5-prefix. d8
+    needs md5 because its ORACLE recomputes the signatures in DuckDB;
+    here the signatures are only a prefilter and the oracle is pure
+    exact-Jaccard SQL, so the family is free to be the cheapest
+    64-bit hash the JVM has — xxhash64 is a single codegen'd
+    expression vs md5's digest + substring + base-16 conv (measured
+    5.5x faster end-to-end at sf0.1, 8.85s -> 1.60s best-of-3 eager,
+    because the 32-hash signature stage is d11's dominant linear
+    term per docs/SCALE.md). A pair with true Jaccard J becomes a
     candidate with p = 1-(1-J^r)^b — at J=0.8 the miss probability is
     (1-0.64)^16 ≈ 8e-8, while a J=0.05 coincidental overlap survives
     only ~4% of bands. r=2 is what kills the hot-shingle pathology of
@@ -395,10 +403,7 @@ def minhash_candidate_pairs(
     assert n_hashes % rows_per_band == 0, "bands must tile the signature"
 
     def h(i):
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle"))), 1, 15),
-            16, 10,
-        ).cast("bigint")
+        return F.xxhash64(F.lit(i), F.col("shingle"))
 
     mh = sh.groupBy("doc_id").agg(
         *[F.min(h(i)).alias(f"mh{i}") for i in range(n_hashes)]
@@ -450,8 +455,8 @@ def minhash_verified_jaccard_pairs(
     (measured on the fixtures: 11.5k candidate pairs at sf0.01, 1.13M
     at sf0.1 — vs 25 / 256 true pairs); d10's prefix filter only pays
     at t >= 0.7. Here the candidate stream is minhash-band collisions
-    instead — measured 47 / 2,286 candidates at sf0.01 / sf0.1, a
-    245x / 494x reduction (>=10x asserted in tests/test_units.py like
+    instead — measured 42 / 1,938 candidates at sf0.01 / sf0.1, a
+    274x / 583x reduction (>=10x asserted in tests/test_units.py like
     d10's) that GROWS with corpus size because band-bucket collisions
     track true similarity, not shingle co-occurrence — and every
     candidate
