@@ -880,3 +880,79 @@ def d9_text_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("group_id"),
         (F.col("component") == F.col("doc_id")).cast("int").alias("is_canonical"),
     )
+
+
+_D12_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+      i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                          string_split(lower(text), ' ')[i+1],
+                          string_split(lower(text), ' ')[i+2])
+    ))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT id AS doc_id, min(r) AS group_id,
+       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+@register("d12_dup_groups_hybrid", _D12_ORACLE)
+def d12_dup_groups_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate groups over the CAP-FREE exact-Jaccard
+    pair graph, with the pairs generated by d11's MinHash-prefilter +
+    exact-verify hybrid — the production composition for corpus-scale
+    dedup (Lee et al. ACL'22: candidates from LSH, verify exactly,
+    close into clusters, keep one per cluster).
+
+    Contract difference vs d9: d9's pair relation is d4's df-capped
+    blocking (its oracle QUALIFYies shingle df <= 1000 — the cap is
+    part of that contract); here the oracle is the PURE Jaccard >= 0.2
+    pair graph over full shingle sets, which the hybrid reproduces
+    whenever its prefilter recall is 100% — verified by the hash gate
+    at both fixture SFs, and the only probabilistic element (per-pair
+    miss p=(1-J^2)^16) vanishes toward the J >= 0.8 mass real
+    near-dup clusters have.
+
+    Scale shape: d11's candidate stream (hundreds of pairs where
+    blocking streams millions) + O(diameter) min-label closure with
+    the large-star/small-star fallback — both sides of the
+    composition carry their own growth-curve rows in docs/SCALE.md.
+    `is_canonical` marks the min-doc_id survivor; filtering on it IS
+    the dedup."""
+    from hive_to_es_spark.functions.graph import connected_components
+
+    d = load_tables(spark, sf_dir).documents
+    pairs = minhash_verified_jaccard_pairs(d, threshold=0.2).select("doc_a", "doc_b")
+    comp = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return comp.select(
+        "doc_id",
+        F.col("component").alias("group_id"),
+        (F.col("component") == F.col("doc_id")).cast("int").alias("is_canonical"),
+    )
