@@ -347,3 +347,36 @@ def o7_stratum_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("doc_id", "lang")
     )
+
+
+_O8_ORACLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 1000
+"""
+
+
+@register("o8_corpus_shuffle", _O8_ORACLE)
+def o8_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: order the training data by
+    md5(doc_id) — the reproducible "random" example order a training
+    run wants (same order every rerun and every engine, no PRNG state,
+    and stable under re-partitioning, unlike orderBy(rand(seed)) whose
+    output depends on partition layout).
+
+    The LIMIT keeps the test contract bounded (and plans
+    TakeOrderedAndProject — top-k, no global sort materialization);
+    the unbounded production form is the same ORDER BY written out,
+    which Spark executes as a range-partitioned sort: sample hash
+    bounds -> repartitionByRange -> per-partition sort, all
+    distributed, no single-task bottleneck. Epoch reshuffles are
+    md5(concat(doc_id, epoch)) — a new deterministic permutation per
+    epoch with zero state carried between them.
+    """
+    d = load_tables(spark, sf_dir).documents
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .orderBy(F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc())
+        .limit(1000)
+    )

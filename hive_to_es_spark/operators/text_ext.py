@@ -376,3 +376,69 @@ def t9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_doc").cast("bigint").alias("n_eval_docs"),
         )
     )
+
+
+# Patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+# parse identically: classes, +/{m,n} quantifiers, no lookarounds.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+_T10_ORACLE = f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents
+),
+red AS (
+  SELECT doc_id, raw,
+         regexp_replace(regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+  FROM pii
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS INTEGER) AS n_phones,
+       md5(redacted) AS redacted_md5
+FROM red
+"""
+
+
+@register("t10_pii_redact", _T10_ORACLE)
+def t10_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub step a corpus runs before release:
+    replace email addresses and phone numbers with typed placeholder
+    tokens and account for every hit. The fixture text carries no PII,
+    so the operator first APPENDS a synthetic email + phone derived
+    from doc_id (making every row a real positive case), then redacts;
+    the oracle rebuilds the same string and the md5 over the redacted
+    output proves byte-exact replacement, not just matching counts.
+
+    Patterns are restricted to the Java-regex ∩ RE2 subset (character
+    classes and bounded quantifiers; no lookarounds or backrefs), so
+    both engines compile them identically — same discipline as the
+    repo's md5-prefix hash trick.
+
+    Scale shape: pure scan-side projection (regexp_replace +
+    regexp_count are codegen'd JVM expressions), no shuffle, no UDF —
+    at 100 TB this is exactly one pass over the text column, and a
+    production run would fold it into the same scan as quality
+    scoring (t4) and langid (t3/t7)."""
+    d = load_tables(spark, sf_dir).documents
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -39,7 +39,7 @@ EXPECTED_KEYS = {
     "w8_range_frame_scalable",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
-    "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap",
+    "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap", "o8_corpus_shuffle",
     "u1_union_all", "u2_union_distinct", "u3_intersect", "u4_except", "u5_distinct",
     "u6_intersect_except_all",
     # scalar families
@@ -63,7 +63,7 @@ EXPECTED_KEYS = {
     "s11_ann_ivf_nprobe",
     "t4_quality_score", "t5_token_count_bpe",
     "t6_fingerprint", "t7_langid_ngram", "t8_unigram_lm_score",
-    "t9_decontaminate",
+    "t9_decontaminate", "t10_pii_redact",
     # UDF surface
     "g1_scalar_pandas_udf", "g2_grouped_map", "g3_grouped_agg_udaf", "g4_udtf",
     "g5_arrow_batch_map",
