@@ -69,6 +69,12 @@ EXTENSION = [
     # same low-threshold contract d4/d9 price — the reduction this op
     # exists for shows up as its delta vs d4's entry
     "d11_dedup_minhash_verified",
+    # round 6: the hybrid pair stream closed into dup groups (compare
+    # against d9's d4-pair closure), the binned range join, and the
+    # broadcast decontamination scan
+    "d12_dup_groups_hybrid",
+    "j13_interval_bin_join",
+    "t9_decontaminate",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,6 +105,8 @@ EAGER_BUILD = {
     "d10_dedup_jaccard_prefix",
     # d11 materializes its shingle table (localCheckpoint) at build
     "d11_dedup_minhash_verified",
+    # d12 runs d11's build plus the closure loop at build time
+    "d12_dup_groups_hybrid",
 }
 
 

@@ -49,7 +49,13 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
 
 
 def test_topk_plans_take_ordered(spark, sf_dir):
-    for key in ["o1_order_limit", "q3_shipping_priority", "s1_knn_cosine", "s4_ann_lsh"]:
+    for key in [
+        "o1_order_limit",
+        "q3_shipping_priority",
+        "s1_knn_cosine",
+        "s4_ann_lsh",
+        "o8_corpus_shuffle",
+    ]:
         assert "TakeOrderedAndProject" in _plan(spark, sf_dir, key), key
 
 
