@@ -139,6 +139,12 @@ def bulk_index(
             action: dict = {"index": {"_index": idx}}
             if idc is not None and doc.get(idc) is not None:
                 action["index"]["_id"] = str(doc[idc])
+            # `_id` is an ES METADATA field: real ES (>=6.x) rejects a
+            # source document containing it ("Field [_id] is a metadata
+            # field..."). The id travels in the action line only; a
+            # NORMALLY-named id column stays in the source, matching
+            # es-hadoop's es.mapping.id behavior.
+            doc.pop("_id", None)
             buf.append(json.dumps(action, separators=(",", ":")))
             buf.append(
                 json.dumps(
@@ -152,5 +158,10 @@ def bulk_index(
 
     df.foreachPartition(send_partition)
     # Make the write visible to immediate readers (the connector does
-    # the same when es.batch.write.refresh is on, its default).
-    _http("POST", f"{es_url}/{index}/_refresh", body=b"", timeout=timeout)
+    # the same when es.batch.write.refresh is on, its default). 404 is
+    # normal for a first-run append that delivered zero rows: no bulk
+    # request ever auto-created the index, and an empty incremental
+    # batch must be a no-op, not a crash.
+    _http(
+        "POST", f"{es_url}/{index}/_refresh", body=b"", timeout=timeout, ignore=(404,)
+    )

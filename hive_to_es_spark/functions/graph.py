@@ -64,7 +64,7 @@ def connected_components(
     fatal); a path switches every materialization in the loop to
     RELIABLE checkpoints on that directory (shared storage), which is
     what a multi-hour 100 TB closure runs with. Results are identical
-    (asserted in tests/test_merge.py).
+    (asserted in tests/test_units.py::test_reliable_checkpoint_dir_identical_results).
     """
     # Materialize the symmetrized edge list ONCE — it is joined every
     # round, and without this the upstream plan (e.g. d7's LSH pair

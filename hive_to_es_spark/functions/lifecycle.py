@@ -40,14 +40,19 @@ def materialize(
       components, the dedup pair plans) thread through for fault
       tolerance at 100 TB.
 
-    `setCheckpointDir` is context-global in Spark; re-pointing it here
-    is idempotent for a fixed dir and documented as such (one dir per
-    job run is the normal discipline)."""
+    `setCheckpointDir` is context-global in Spark; for a fixed dir it
+    is set once per context (one dir per job run is the normal
+    discipline). The guard caches the last dir WE set on the context
+    object — `getCheckpointDir()` cannot be compared against the
+    caller's path because Spark returns the qualified
+    '<dir>/<uuid>' subdirectory it created, so a naive compare
+    re-points (and re-mkdirs a fresh uuid dir) on every call."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() != checkpoint_dir:
+    if getattr(sc, "_h2es_checkpoint_dir", None) != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
+        sc._h2es_checkpoint_dir = checkpoint_dir
     return df.checkpoint(eager=eager)
 
 

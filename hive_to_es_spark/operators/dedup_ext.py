@@ -462,9 +462,21 @@ def minhash_verified_jaccard_pairs(
     candidate
     is then verified EXACTLY by joining back to the full shingle sets,
     so reported jaccard values carry no approximation — only recall is
-    probabilistic, with per-pair miss p = (1-J^2)^16 (~8e-8 at the
-    fixtures' J >= 0.8; the DuckDB oracle is the pure exact-Jaccard
-    SQL, so the hash gate proves empirical 100% recall).
+    probabilistic, with per-pair miss p = (1-J^2)^16: ~8e-8 at J=0.8,
+    but ~0.5 at J=0.21. That boundary behavior is FUNDAMENTAL to
+    banded LSH — the (b=16, r=2) S-curve midpoint (1/b)^(1/r)=0.25
+    sits near the registered threshold, and pushing the midpoint far
+    below 0.2 either explodes the candidate stream (r=1, b=32
+    measured: 290,342 candidates at sf0.1, 150x worse, only 4x below
+    d4 — the hot-bucket pathology) or needs hundreds of hashes. So
+    the EFFECTIVE contract is: exact values, recall ~1 for the
+    high-J mass where real near-dup clusters live (fixtures are all
+    J >= 0.8; the DuckDB oracle is pure exact-Jaccard SQL, so the
+    hash gate proves empirical 100% recall on them), and
+    boundary-J pairs missed at the S-curve rate — the same trade
+    production systems (Lee et al.) accept. A corpus whose dup mass
+    sits at J ≈ t needs d4's exact blocking (t <= ~0.4) or d10's
+    prefix filter (t >= ~0.7) instead.
 
     The exploded shingle relation feeds FOUR consumers (signature agg,
     both verify sides, output sizes) — materialized once, same as
@@ -934,9 +946,12 @@ def d12_dup_groups_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     part of that contract); here the oracle is the PURE Jaccard >= 0.2
     pair graph over full shingle sets, which the hybrid reproduces
     whenever its prefilter recall is 100% — verified by the hash gate
-    at both fixture SFs, and the only probabilistic element (per-pair
-    miss p=(1-J^2)^16) vanishes toward the J >= 0.8 mass real
-    near-dup clusters have.
+    at both fixture SFs. The prefilter's boundary-J recall limit is
+    inherited (see minhash_verified_jaccard_pairs: miss ~0.5 at
+    J=0.21, fundamental to the LSH S-curve) and vanishes toward the
+    J >= 0.8 mass real near-dup clusters have; the closure also
+    softens it — a missed boundary edge a-b still lands both docs in
+    one group whenever any path a-…-b survives.
 
     Scale shape: d11's candidate stream (hundreds of pairs where
     blocking streams millions) + O(diameter) min-label closure with

@@ -887,8 +887,17 @@ def p14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics that migration must preserve: absent-in-file = NULL,
     never a default, never a shifted column.
     """
+    import hashlib
+
     o = load_tables(spark, sf_dir).orders
-    root = os.path.join(TMP_ROOT, "p14_orders_evolved")
+    # Keyed on the RESOLVED source path, same scheme as b4's bucketed
+    # tables: concurrent sessions at different sf_dirs must not
+    # interleave overwrite-writes with each other's read-back.
+    full = os.path.abspath(sf_dir)
+    root = os.path.join(
+        TMP_ROOT,
+        "p14_orders_evolved_" + hashlib.sha256(full.encode()).hexdigest()[:8],
+    )
     v1 = o.filter(F.year("o_orderdate") < 1998).select("o_orderkey", "o_totalprice", "o_orderdate")
     v2 = o.filter(F.year("o_orderdate") >= 1998).select(
         "o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"

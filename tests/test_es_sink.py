@@ -214,6 +214,10 @@ class MockES:
                         action = json.loads(lines[i])
                         doc = json.loads(lines[i + 1])
                         assert list(action) == ["index"], action
+                        # real ES rejects metadata fields inside the
+                        # source body — enforce it so the mock proves
+                        # the protocol, not a lenient imitation of it
+                        assert "_id" not in doc, "metadata field _id in source"
                         index = action["index"]["_index"]
                         _id = action["index"].get("_id")
                         if _id is None:

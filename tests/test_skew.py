@@ -3,6 +3,7 @@ join, with the hot key spread across salt partitions."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hive_to_es_spark.functions.skew import SALT_COL, explode_dim, salt_fact, salted_join
@@ -138,8 +139,16 @@ def test_salted_join_beats_plain_on_skewed_key_at_scale(spark):
     with scale, which is the whole point: one task owning 90% of the
     merge work caps the plain plan at single-task throughput while
     salting spreads it across n_salts tasks. Asserted with a 5%
-    margin at 4x only (1x is legitimately a wash)."""
+    margin at 4x only (1x is legitimately a wash).
+
+    Wall-clock assertions need real parallelism to mean anything:
+    salting spreads one hot task over n_salts=8 tasks, so on a <8-core
+    runner the spread tasks serialize and the measured gap is
+    scheduler noise — skip rather than flake."""
     import time
+
+    if spark.sparkContext.defaultParallelism < 8:
+        pytest.skip("salting win needs >=8 cores to manifest in wall-clock")
 
     tuned = {
         "spark.sql.adaptive.skewJoin.enabled": "false",

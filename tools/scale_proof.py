@@ -237,9 +237,12 @@ def main() -> int:
         fail = any(g > factor * SLACK for g in steps)
         low = steps[-1] < factor / SLACK
         floor = ts[-1] < NOISE_FLOOR_S
+        # Sub-floor rows are noise-suppressed CONSISTENTLY: a "step"
+        # on a ~20ms measurement is scheduling jitter, so it neither
+        # renders FAIL in the table nor fails the exit code.
         any_fail |= fail and not floor
         verdict = (
-            "LOW(floor)" if floor and not fail
+            "LOW(floor)" if floor
             else "FAIL" if fail
             else ("LOW" if low else "PASS")
         )
