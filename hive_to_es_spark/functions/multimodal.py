@@ -200,3 +200,67 @@ def sample_frames(df: DataFrame, every_nth: int = 10, id_col: str = "doc_id",
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums})
 
     return df.select(id_col, media_col).mapInPandas(sample, FRAMES_SCHEMA)
+
+
+# Output schema of extract_features: per-image pixel statistics.
+FEATURES_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, n_pixels BIGINT, "
+    "mean_px DOUBLE, n_zero_bytes BIGINT"
+)
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id",
+                     media_col: str = "media") -> DataFrame:
+    """Pixel-level feature extraction — the stage between decode and
+    model input: per-image channel statistics computed over the ACTUAL
+    pixel bytes, honoring each format's layout.
+
+    The layout handling is the point: BMP rows are padded to a 4-byte
+    stride, and the padding is NOT pixel data — a reader that slurps
+    the raw pixel area (including pad zeros) gets the wrong mean for
+    every width where 3*w % 4 != 0. PPM is tightly packed but its
+    header length varies with the dimensions' digit count. The m4
+    oracle predicts the statistics from table columns alone, so either
+    mistake breaks the hash.
+
+    Undecodable payloads yield a NULL-stats row (same quarantine
+    discipline as decode_media). A real pipeline would swap the stats
+    for a model-input tensor; batch shape and schema stay the same.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "media_type": [], "n_pixels": [],
+                "mean_px": [], "n_zero_bytes": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                raw = bytes(payload)
+                out["doc_id"].append(doc_id)
+                try:
+                    meta = _decode_bytes(raw)
+                    w, h = meta["width"], meta["height"]
+                    if meta["kind"] == "bmp":
+                        stride = (3 * w + 3) // 4 * 4
+                        body = raw[54:54 + stride * h]
+                        rows = np.frombuffer(body, dtype=np.uint8)
+                        # drop per-row padding: stride x h -> 3w x h
+                        px = rows.reshape(h, stride)[:, : 3 * w]
+                    else:  # P5/P6: tightly packed after the ASCII header
+                        per_px = 1 if meta["kind"] == "pgm" else 3
+                        header_len = len(raw) - per_px * w * h
+                        px = np.frombuffer(raw[header_len:], dtype=np.uint8)
+                    out["media_type"].append(meta["kind"])
+                    out["n_pixels"].append(w * h)
+                    out["mean_px"].append(round(float(px.mean()), 4))
+                    out["n_zero_bytes"].append(int((px == 0).sum()))
+                except (ValueError, IndexError):
+                    out["media_type"].append(None)
+                    out["n_pixels"].append(None)
+                    out["mean_px"].append(None)
+                    out["n_zero_bytes"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, media_col).mapInPandas(feats, FEATURES_SCHEMA)

@@ -337,3 +337,50 @@ def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(sample, schema)
+
+
+# The oracle predicts pixel STATISTICS from table columns alone: every
+# fixture image is a uniform fill of (doc_id % 256), so mean_px must
+# equal the fill exactly — but ONLY for a reader that strips BMP's
+# per-row stride padding (pad zeros drag the mean down whenever
+# 3*width % 4 != 0) and skips PPM's variable-length ASCII header.
+_M4_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         1 + n_chars % 60 AS w,
+         1 + doc_id % 40 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS media_type,
+         doc_id % 256 AS fill
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       round(CAST(fill AS DOUBLE), 4) AS mean_px,
+       CAST(CASE WHEN fill = 0 THEN 3 * w * h ELSE 0 END AS BIGINT)
+         AS n_zero_bytes
+FROM dims
+"""
+
+
+@register("m4_media_features", _M4_ORACLE)
+def m4_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level feature extraction over binary media — completes
+    the multimodal ladder (m1 assemble, m2 decode+resize, m3 frame
+    sample, m4 features): per-image channel statistics computed from
+    the actual pixel bytes via mapInPandas (functions/multimodal.
+    extract_features), value-verified because the fixture images are
+    uniform fills whose statistics the oracle re-derives from table
+    columns. Stride/header mishandling shifts mean_px and breaks the
+    hash — the same byte-real proof style as m2's header arithmetic.
+
+    Scale shape: embarrassingly parallel single pass (1 row in -> 1
+    row out, Arrow batches); the stats stand in for any per-image
+    featurizer (embedding model, perceptual hash) with identical
+    plumbing."""
+    from hive_to_es_spark.functions.multimodal import (
+        encode_fixture_media,
+        extract_features,
+    )
+
+    d = load_tables(spark, sf_dir).documents
+    return extract_features(encode_fixture_media(d))
