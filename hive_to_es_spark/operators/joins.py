@@ -739,3 +739,61 @@ def j13_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+_J14_ORACLE = """
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       max(c.ts) AS last_click_ts_30m,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks_30m
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts + INTERVAL 30 MINUTE > p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
+@register("j14_asof_tolerance", _J14_ORACLE)
+def j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE (pandas merge_asof's `tolerance`
+    semantic): for each purchase, the latest click in the half-open
+    window (ts - 30min, ts] — a stale click is NULL, not matched.
+
+    Same scale argument as j9: the pairwise LEFT JOIN the oracle
+    states is O(clicks x purchases) per user; the plan here is one
+    shuffle on user_id and a single RANGE-framed window pass. The
+    frame bound must honor the STRICT lower inequality
+    (c.ts > p.ts - 30min) exactly, so the order key is unix_micros —
+    integer microseconds, the native resolution of both engines'
+    timestamps — and the frame is [-(30*60*10^6 - 1), 0]: off-by-one
+    at the boundary or a float order key (epoch seconds as double)
+    would silently include/exclude boundary clicks and break the
+    hash. Purchase rows inside the frame carry NULL click_ts, so max/
+    count see clicks only; RANGE ties (click and purchase at the same
+    microsecond) are included, matching c.ts <= p.ts.
+    """
+    ev = load_tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tol_us = 30 * 60 * 1_000_000
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        (F.col("event_type") == "click").cast("long").alias("is_click"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-(tol_us - 1), 0)
+    )
+    return (
+        tagged.withColumn("last_click_ts_30m", F.max("click_ts").over(w))
+        .withColumn("n_clicks_30m", F.sum("is_click").over(w).cast("bigint"))
+        .filter(F.col("is_purchase"))
+        .select("event_id", "user_id", "last_click_ts_30m", "n_clicks_30m")
+    )
