@@ -120,3 +120,42 @@ def f5_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
+
+
+# NULL keys are manufactured on BOTH sides (nullif) so the null-safe
+# join's distinguishing behavior — NULL matches NULL — carries rows
+# that a plain equi join would drop.
+_F6_ORACLE = """
+SELECT coalesce(c.seg, 'NULL_SEG') AS seg_label,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer) c
+JOIN (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg FROM customer) s
+  ON c.seg IS NOT DISTINCT FROM s.seg
+GROUP BY c.seg
+"""
+
+
+@register("f6_null_safe_eq", _F6_ORACLE)
+def f6_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (HiveQL `<=>` / SQL IS NOT DISTINCT FROM):
+    NULL keys MATCH each other instead of vanishing — the semantics a
+    sync job needs when the join key is legitimately nullable (else
+    every NULL-keyed row silently drops from the output and the sink
+    under-counts). 'BUILDING' is nullif'd to NULL on both sides, so
+    the null-null bucket is the largest group and any engine that
+    planned a plain equi join loses it entirely.
+
+    Plan note: Spark plans eqNullSafe as a hash join on a
+    null-coalesced key (EqualNullSafe is still an equi predicate),
+    NOT a nested loop — same shuffle shape as j1 at any scale.
+    """
+    c = load_tables(spark, sf_dir).customer
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    left = c.select("c_custkey", seg)
+    right = c.select(seg).distinct()
+    return (
+        left.join(right, left.seg.eqNullSafe(right.seg))
+        .groupBy(left.seg)
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(F.coalesce(left.seg, F.lit("NULL_SEG")).alias("seg_label"), "n_pairs")
+    )
