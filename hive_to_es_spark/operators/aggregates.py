@@ -451,3 +451,48 @@ def a16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
     )
+
+
+# DuckDB has no width_bucket; the oracle restates it arithmetically.
+# With (lo, hi, n) = (0, 500000, 20) the bucket width 25000 is exact
+# in doubles (500000/20), so floor(x/25000)+1 is bit-identical to
+# Spark's WidthBucket((x-lo)/((hi-lo)/n)) — an independent derivation
+# checking the built-in, not an echo of it. Fixture prices all fall
+# inside (0, hi), so the under/overflow buckets 0 and n+1 are empty.
+_A17_ORACLE = """
+SELECT CAST(1 + floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo_val,
+       round(max(o_totalprice), 2) AS hi_val
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("a17_histogram", _A17_ORACLE)
+def a17_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over a numeric column via the ANSI
+    width_bucket built-in — the one-pass distribution profile every
+    data-quality report starts with (and the basis of CBO histogram
+    stats). 20 buckets over [0, 500000); per-bucket count plus the
+    observed min/max make the bucket boundaries themselves checkable.
+
+    Scale shape: pure map-side classification + a 20-group partial
+    aggregate — the shuffle carries at most n_buckets rows per task
+    regardless of input size. The streaming twin is e1 with
+    width_bucket in place of the time window."""
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.select(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0), F.lit(500000), F.lit(20))
+            .cast("bigint")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo_val"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_val"),
+        )
+    )

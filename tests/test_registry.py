@@ -33,7 +33,7 @@ EXPECTED_KEYS = {
     "a1_hash_agg", "a2_distinct_agg", "a3_global_agg", "a4_grouping_sets",
     "a5_rollup", "a6_cube", "a7_having", "a8_approx_distinct", "a9_stats_agg",
     "a10_collect", "a11_min_max_by", "a12_pivot", "a13_bool_agg", "a14_unpivot", "a15_count_min",
-    "a16_percentiles",
+    "a16_percentiles", "a17_histogram",
     # windows
     "w1_order_rank", "w2_running_sum", "w3_lag_lead", "w4_range_frame",
     "w5_ntile_cume", "w6_first_last", "w7_range_frame_highcard",

@@ -96,6 +96,9 @@ OPS = {
     # op is the CONSTANT (candidates << all shingle-block pairs), not
     # a different exponent.
     "d11_dedup_minhash_verified": (4.0, "banded MinHash candidate pairs; identical copies grow every band bucket. A LOW verdict here is the op WORKING: total runtime = 32-hash signatures (linear, dominant) + candidate verify (k², suppressed 245-494x vs d4 by design), so the quadratic term stays invisible until far larger scale"),
+    # round 6: d11's pairs + closure — inherits d11's linear-dominated
+    # profile plus a fixed number of propagation rounds
+    "d12_dup_groups_hybrid": (4.0, "d11 candidate pairs + min-label closure; same suppressed-quadratic profile as d11 with ~3 rounds of fixed join cost on top"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
@@ -111,6 +114,7 @@ EAGER_BUILD = {
     "d9_text_dup_groups",
     "d10_dedup_jaccard_prefix",
     "d11_dedup_minhash_verified",
+    "d12_dup_groups_hybrid",
 }
 
 # Two-sided slack per doubling step. Upper breach = superlinear creep
