@@ -916,3 +916,69 @@ def p14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+# The corrupt set is chosen by key (n_nationkey % 5 = 0), so the
+# oracle re-derives every output number from the source table alone.
+_B6_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE n_nationkey % 5 <> 0) AS BIGINT) AS n_good,
+       CAST(count(*) FILTER (WHERE n_nationkey % 5 = 0) AS BIGINT) AS n_corrupt,
+       CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END) AS BIGINT)
+         AS good_key_sum
+FROM nation
+"""
+
+
+@register("b6_corrupt_records", _B6_ORACLE)
+def b6_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record accounting — the ingestion reality a 100 TB
+    sync cannot avoid: some fraction of upstream JSON lines is
+    truncated/garbled, and the job must QUARANTINE them with exact
+    counts, not crash (FAILFAST) and not silently drop them
+    (DROPMALFORMED's default-mode footgun).
+
+    Every 5th nation row is written as a deliberately truncated JSON
+    line; the read declares the schema plus Spark's
+    columnNameOfCorruptRecord column and mode=PERMISSIVE, so bad
+    lines surface as rows whose corrupt column holds the raw text and
+    whose data columns are NULL. The aggregate proves the contract:
+    total lines, good rows, quarantined rows, and a checksum over the
+    good rows only — all re-derived by the oracle from the clean
+    source, so a reader that dropped, double-counted, or
+    NULL-poisoned either class breaks the hash.
+
+    Scale note: PERMISSIVE + corrupt-column is scan-side and
+    per-record — no driver involvement; the quarantined raw lines
+    would be written to a dead-letter path by the same job in
+    production (p7's sink machinery, different index).
+    """
+    n = load_tables(spark, sf_dir).nation
+    good = n.filter(F.col("n_nationkey") % 5 != 0).select(
+        F.to_json(F.struct("n_nationkey", "n_name", "n_regionkey")).alias("line")
+    )
+    bad = n.filter(F.col("n_nationkey") % 5 == 0).select(
+        F.concat(F.lit('{"n_nationkey": '), F.col("n_nationkey").cast("string")).alias(
+            "line"
+        )
+    )
+    path = os.path.join(TMP_ROOT, "b6_nation_jsonl")
+    good.unionByName(bad).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_bad_line", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_bad_line"
+    ).json(path)
+    is_bad = F.col("_bad_line").isNotNull()
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum((~is_bad).cast("bigint")).alias("n_good"),
+        F.sum(is_bad.cast("bigint")).alias("n_corrupt"),
+        F.sum(F.when(~is_bad, F.col("n_nationkey"))).cast("bigint").alias("good_key_sum"),
+    )

@@ -18,7 +18,7 @@ EXPECTED_KEYS = {
     "b5_dynamic_partition_pruning",
     # filters
     "f1_pred_basic", "f2_pred_null", "f3_pred_like", "f4_pred_between_in",
-    "f5_case_when", "f6_null_safe_eq",
+    "f5_case_when", "f6_null_safe_eq", "b6_corrupt_records",
     # joins
     "j1_inner_equi", "j2_left_right_outer", "j3_full_outer", "j4_semi", "j5_anti",
     "j6_broadcast", "j7_cross", "j8_theta_range", "j9_asof", "j10_interval_overlap",
