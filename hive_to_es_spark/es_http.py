@@ -31,6 +31,13 @@ from pyspark.sql import DataFrame
 _NDJSON = "application/x-ndjson"
 _JSON = "application/json"
 
+# Fields ES (>=6.x) treats as document metadata: none may appear in a
+# bulk source body ("Field [...] is a metadata field and cannot be
+# added inside a document").
+_ES_METADATA_FIELDS = frozenset(
+    {"_id", "_index", "_type", "_routing", "_version", "_version_type", "_source"}
+)
+
 
 def _jsonable(v):
     """JSON encoder default for Spark row values: ISO dates, float
@@ -113,6 +120,17 @@ def bulk_index(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown es_http mode {mode!r}")
+    # Real ES rejects ANY metadata field inside a source document, not
+    # just _id. _id has designed handling (popped below, value travels
+    # in the action line); every other collision is a config error the
+    # DRIVER should refuse up front — failing here beats a per-item
+    # bulk error storm on the first chunk.
+    meta_clash = sorted(set(df.columns) & _ES_METADATA_FIELDS - {"_id"})
+    if meta_clash:
+        raise ValueError(
+            f"column(s) {meta_clash} collide with Elasticsearch metadata "
+            "fields; rename them before sinking"
+        )
     if mode == "overwrite":
         _http("DELETE", f"{es_url}/{index}", ignore=(404,), timeout=timeout)
         _http("PUT", f"{es_url}/{index}", body=b"{}", timeout=timeout)

@@ -46,7 +46,11 @@ def materialize(
     object — `getCheckpointDir()` cannot be compared against the
     caller's path because Spark returns the qualified
     '<dir>/<uuid>' subdirectory it created, so a naive compare
-    re-points (and re-mkdirs a fresh uuid dir) on every call."""
+    re-points (and re-mkdirs a fresh uuid dir) on every call.
+    Caveat: the cache cannot see an external sc.setCheckpointDir()
+    made between materialize calls — if other code re-points the
+    context-global dir mid-job, pass a fresh checkpoint_dir (or keep
+    one dir per job, the discipline above)."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext

@@ -19,6 +19,7 @@ memory per task even when individual media objects are large.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 from collections.abc import Iterator
 
@@ -243,15 +244,32 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
                     meta = _decode_bytes(raw)
                     w, h = meta["width"], meta["height"]
                     if meta["kind"] == "bmp":
+                        # pixel data starts at the OFFSET FIELD (byte
+                        # 10), not a hardcoded 54 — BITMAPV4/V5 files
+                        # carry color-profile bytes before the pixels
+                        off = struct.unpack_from("<I", raw, 10)[0]
                         stride = (3 * w + 3) // 4 * 4
-                        body = raw[54:54 + stride * h]
+                        body = raw[off:off + stride * h]
+                        if len(body) < stride * h:
+                            raise ValueError("truncated BMP pixel data")
                         rows = np.frombuffer(body, dtype=np.uint8)
                         # drop per-row padding: stride x h -> 3w x h
                         px = rows.reshape(h, stride)[:, : 3 * w]
-                    else:  # P5/P6: tightly packed after the ASCII header
+                    else:
+                        # P5/P6: pixels start AFTER the parsed header
+                        # (magic + 3 ASCII tokens + 1 whitespace), not
+                        # at len-derived offsets — a payload with
+                        # trailing bytes must quarantine, not skew
+                        m = re.match(rb"^P[56]\s+\d+\s+\d+\s+\d+\s", raw)
+                        if m is None:
+                            raise ValueError("unparseable PNM header")
                         per_px = 1 if meta["kind"] == "pgm" else 3
-                        header_len = len(raw) - per_px * w * h
-                        px = np.frombuffer(raw[header_len:], dtype=np.uint8)
+                        body = raw[m.end():]
+                        if len(body) != per_px * w * h:
+                            raise ValueError(
+                                f"PNM body {len(body)}B != {per_px * w * h}B expected"
+                            )
+                        px = np.frombuffer(body, dtype=np.uint8)
                     out["media_type"].append(meta["kind"])
                     out["n_pixels"].append(w * h)
                     out["mean_px"].append(round(float(px.mean()), 4))

@@ -453,14 +453,20 @@ def a16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB has no width_bucket; the oracle restates it arithmetically.
-# With (lo, hi, n) = (0, 500000, 20) the bucket width 25000 is exact
-# in doubles (500000/20), so floor(x/25000)+1 is bit-identical to
-# Spark's WidthBucket((x-lo)/((hi-lo)/n)) — an independent derivation
-# checking the built-in, not an echo of it. Fixture prices all fall
-# inside (0, hi), so the under/overflow buckets 0 and n+1 are empty.
+# DuckDB has no width_bucket; the oracle restates the FULL ANSI
+# semantics arithmetically — including the under/overflow buckets 0
+# and n+1, so the formula holds for ANY input domain rather than
+# assuming prices stay inside [0, hi) (the fixture max clears the cap
+# by only 0.0014%; an unguarded 1+floor(x/w) would keep matching
+# width_bucket's overflow bucket coincidentally up to hi+w and then
+# break with no hint why). With (lo, hi, n) = (0, 500000, 20) the
+# bucket width 25000 is exact in doubles (500000/20), so
+# floor(x/25000)+1 is bit-identical to Spark's
+# WidthBucket((x-lo)/((hi-lo)/n)) inside the range.
 _A17_ORACLE = """
-SELECT CAST(1 + floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 500000 THEN 21
+            ELSE 1 + floor(o_totalprice / 25000.0) END AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n,
        round(min(o_totalprice), 2) AS lo_val,
        round(max(o_totalprice), 2) AS hi_val

@@ -887,17 +887,10 @@ def p14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics that migration must preserve: absent-in-file = NULL,
     never a default, never a shifted column.
     """
-    import hashlib
+    from hive_to_es_spark.pipeline import dataset_tmp_path
 
     o = load_tables(spark, sf_dir).orders
-    # Keyed on the RESOLVED source path, same scheme as b4's bucketed
-    # tables: concurrent sessions at different sf_dirs must not
-    # interleave overwrite-writes with each other's read-back.
-    full = os.path.abspath(sf_dir)
-    root = os.path.join(
-        TMP_ROOT,
-        "p14_orders_evolved_" + hashlib.sha256(full.encode()).hexdigest()[:8],
-    )
+    root = dataset_tmp_path("p14_orders_evolved", sf_dir)
     v1 = o.filter(F.year("o_orderdate") < 1998).select("o_orderkey", "o_totalprice", "o_orderdate")
     v2 = o.filter(F.year("o_orderdate") >= 1998).select(
         "o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"
@@ -962,7 +955,9 @@ def b6_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "line"
         )
     )
-    path = os.path.join(TMP_ROOT, "b6_nation_jsonl")
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+
+    path = dataset_tmp_path("b6_nation_jsonl", sf_dir)
     good.unionByName(bad).write.mode("overwrite").text(path)
     schema = T.StructType(
         [

@@ -31,6 +31,19 @@ from hive_to_es_spark.io import es_writer_options, load_tables
 TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
 
 
+def dataset_tmp_path(name: str, sf_dir: str) -> str:
+    """Scratch path for data DERIVED from a source dataset, keyed on
+    the RESOLVED source path (sha256 suffix): two sessions running the
+    same operator against different sf_dirs must never interleave one
+    directory's overwrite-write with the other's read-back. Same
+    scheme as b4's bucketed-table names; use this helper instead of a
+    bare TMP_ROOT join whenever the written bytes depend on sf_dir."""
+    import hashlib
+
+    digest = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(TMP_ROOT, f"{name}_{digest}")
+
+
 @dataclass(frozen=True)
 class Job:
     """One sync job, mirroring the reference's per-job config block."""

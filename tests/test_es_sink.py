@@ -217,7 +217,11 @@ class MockES:
                         # real ES rejects metadata fields inside the
                         # source body — enforce it so the mock proves
                         # the protocol, not a lenient imitation of it
-                        assert "_id" not in doc, "metadata field _id in source"
+                        meta_in_doc = {
+                            "_id", "_index", "_type", "_routing",
+                            "_version", "_version_type", "_source",
+                        } & set(doc)
+                        assert not meta_in_doc, f"metadata fields in source: {meta_in_doc}"
                         index = action["index"]["_index"]
                         _id = action["index"].get("_id")
                         if _id is None:
