@@ -977,3 +977,93 @@ def b6_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_bad.cast("bigint")).alias("n_corrupt"),
         F.sum(F.when(~is_bad, F.col("n_nationkey"))).cast("bigint").alias("good_key_sum"),
     )
+
+
+# Same derivation as b6 — the oracle only sees the clean source; the
+# Spark side must route through TWO physical sinks and read both back.
+_P15_ORACLE = """
+SELECT CAST(count(*) FILTER (WHERE n_nationkey % 5 <> 0) AS BIGINT) AS n_delivered,
+       CAST(count(*) FILTER (WHERE n_nationkey % 5 = 0) AS BIGINT) AS n_dead_letter,
+       CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END) AS BIGINT)
+         AS delivered_key_sum,
+       CAST(max(CASE WHEN n_nationkey % 5 = 0 THEN n_nationkey END) AS BIGINT)
+         AS max_quarantined_key
+FROM nation
+"""
+
+
+@register("p15_dead_letter", _P15_ORACLE)
+def p15_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing — the production continuation of b6: one
+    ingestion job, TWO sinks. Good rows continue to the main sink;
+    quarantined rows (with their raw line preserved) land in a
+    dead-letter path for replay after the upstream fix. Both counts
+    come from READING THE SINKS BACK, so a row lost between the split
+    and either write breaks the hash — the oracle only ever sees the
+    clean source.
+
+    The quarantined line keeps enough to replay: the raw text and the
+    extractable key (regexp from the corrupt line). At 100 TB the
+    dead-letter write is the same partitioned parquet/ES write as the
+    main one — two forked writes off one scan (Spark runs them as two
+    jobs over the cached split; a foreachBatch sink would fork inside
+    one epoch), and the dead-letter volume is the error rate, not the
+    corpus size.
+    """
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+
+    n = load_tables(spark, sf_dir).nation
+    good = n.filter(F.col("n_nationkey") % 5 != 0).select(
+        F.to_json(F.struct("n_nationkey", "n_name", "n_regionkey")).alias("line")
+    )
+    bad = n.filter(F.col("n_nationkey") % 5 == 0).select(
+        F.concat(F.lit('{"n_nationkey": '), F.col("n_nationkey").cast("string")).alias(
+            "line"
+        )
+    )
+    src = dataset_tmp_path("p15_jsonl", sf_dir)
+    good.unionByName(bad).write.mode("overwrite").text(src)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_bad_line", T.StringType()),
+        ]
+    )
+    # cache() is REQUIRED, not an optimization: Spark disallows a
+    # query whose referenced columns are only the internal corrupt
+    # record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    # COLUMN) — the dead-letter branch selects exactly that — and
+    # caching the parsed frame is the documented resolution. It also
+    # makes the two sink writes genuinely fork off ONE parse.
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad_line")
+        .json(src)
+        .cache()
+    )
+    main_path = dataset_tmp_path("p15_main", sf_dir)
+    dead_path = dataset_tmp_path("p15_dead", sf_dir)
+    back.filter(F.col("_bad_line").isNull()).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").parquet(main_path)
+    back.filter(F.col("_bad_line").isNotNull()).select(
+        F.col("_bad_line").alias("raw_line"),
+        F.regexp_extract("_bad_line", r"(\d+)", 1).cast("int").alias("extracted_key"),
+    ).write.mode("overwrite").parquet(dead_path)
+    back.unpersist()  # both sinks written; read-back below uses parquet
+    delivered = spark.read.parquet(main_path)
+    dead = spark.read.parquet(dead_path)
+    d_agg = delivered.agg(
+        F.count("*").cast("bigint").alias("n_delivered"),
+        F.sum("n_nationkey").cast("bigint").alias("delivered_key_sum"),
+    )
+    q_agg = dead.agg(
+        F.count("*").cast("bigint").alias("n_dead_letter"),
+        F.max("extracted_key").cast("bigint").alias("max_quarantined_key"),
+    )
+    return d_agg.crossJoin(q_agg).select(
+        "n_delivered", "n_dead_letter", "delivered_key_sum", "max_quarantined_key"
+    )

@@ -13,6 +13,7 @@ EXPECTED_KEYS = {
     "p5_type_to_json", "p6_batching", "p7_sink_es", "p8_job_config",
     "p9_incremental_upsert", "p10_corpus_pipeline", "p11_incremental_dedup",
     "p12_token_shards", "p13_partition_backfill", "p14_schema_evolution",
+    "p15_dead_letter",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
     "b5_dynamic_partition_pruning",
