@@ -406,3 +406,30 @@ def test_es_http_streaming_foreachbatch_sink(spark, sf_dir, mock_es, tmp_path):
 
     drain(str(tmp_path / "ckpt2"))  # full replay: replaced in place, no dupes
     assert len(mock_es.indices["events_stream_v1"]) == n_src
+
+
+def test_es_http_rejects_metadata_column_names(spark, sf_dir):
+    """Driver-side refusal for the metadata-field class: a column
+    named _index (or _routing, ...) would be rejected per-item by real
+    ES, so bulk_index must fail fast with a config error instead."""
+    import pytest as _pytest
+
+    from hive_to_es_spark.es_http import bulk_index
+    from hive_to_es_spark.io import read_table
+
+    df = read_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_name", "_index"
+    )
+    with _pytest.raises(ValueError, match="_index"):
+        bulk_index(df, "http://127.0.0.1:9", "x", mode="append")
+
+
+def test_dataset_tmp_path_keyed_on_source(tmp_path):
+    """Derived scratch dirs must differ per source dataset and be
+    stable for the same one (the b4/p14/b6 collision class)."""
+    from hive_to_es_spark.pipeline import TMP_ROOT, dataset_tmp_path
+
+    a = dataset_tmp_path("x", str(tmp_path / "sf0.01"))
+    b = dataset_tmp_path("x", str(tmp_path / "sf0.1"))
+    assert a != b and a.startswith(TMP_ROOT) and b.startswith(TMP_ROOT)
+    assert a == dataset_tmp_path("x", str(tmp_path / "sf0.01"))

@@ -104,3 +104,60 @@ def test_sample_frames_explodes(spark):
     assert all(n >= 1 for n in per_doc.values())
     idxs = [r.frame_idx for r in frames.filter(F.col("doc_id") == 19).collect()]
     assert idxs == sorted(idxs) and all(i % 10 == 0 for i in idxs)
+
+
+def test_extract_features_exact_stats_and_padding(spark):
+    """m4's worker: uniform-fill images must yield mean_px == fill
+    EXACTLY — the BMP widths here make 3*w % 4 != 0, so slurping the
+    stride padding (zeros) instead of stripping it would drag the
+    mean down and fail this."""
+    from hive_to_es_spark.functions.multimodal import extract_features
+
+    rows = [
+        (0, make_bmp(7, 3, 200)),   # 3*7=21, stride 24: 3 pad bytes/row
+        (1, make_ppm(7, 3, 123)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, media BINARY")
+    got = {r.doc_id: r for r in extract_features(df).collect()}
+    assert got[0].mean_px == 200.0 and got[0].n_pixels == 21
+    assert got[1].mean_px == 123.0 and got[1].n_pixels == 21
+    assert got[0].n_zero_bytes == 0 and got[1].n_zero_bytes == 0
+
+
+def test_extract_features_quarantines_malformed(spark):
+    """The quarantine contract the round-6 review enforced: trailing
+    bytes on a PNM, a truncated BMP body, and garbage all surface as
+    NULL-stats rows — never wrong numbers, never a crashed stage."""
+    from hive_to_es_spark.functions.multimodal import extract_features
+
+    rows = [
+        (0, make_ppm(4, 4, 9) + b"\n"),          # trailing byte: size mismatch
+        (1, make_bmp(6, 4, 9)[:-5]),              # truncated pixel data
+        (2, b"not media at all"),                  # undecodable magic
+        (3, make_ppm(4, 4, 7)),                    # control: clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, media BINARY")
+    got = {r.doc_id: r for r in extract_features(df).collect()}
+    for bad in (0, 1, 2):
+        assert got[bad].mean_px is None and got[bad].n_pixels is None, bad
+    assert got[3].mean_px == 7.0 and got[3].n_pixels == 16
+
+
+def test_extract_features_honors_bmp_pixel_offset(spark):
+    """A BMP whose header advertises extra bytes before the pixels
+    (BITMAPV4-style gap) must be read from the OFFSET FIELD, not a
+    hardcoded 54."""
+    from hive_to_es_spark.functions.multimodal import extract_features
+
+    base = make_bmp(5, 2, 50)
+    # splice 8 garbage bytes between header and pixels, bump the
+    # offset field (byte 10) and total size (byte 2) accordingly
+    gap = b"\xff" * 8
+    patched = bytearray(base[:54] + gap + base[54:])
+    struct.pack_into("<I", patched, 10, 54 + 8)
+    struct.pack_into("<I", patched, 2, len(patched))
+    df = spark.createDataFrame(
+        [(0, bytes(patched))], "doc_id LONG, media BINARY"
+    )
+    row = extract_features(df).collect()[0]
+    assert row.mean_px == 50.0 and row.n_pixels == 10
