@@ -9,6 +9,7 @@ nothing here collects to the driver.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -501,4 +502,80 @@ def a17_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("lo_val"),
             F.round(F.max("o_totalprice"), 2).alias("hi_val"),
         )
+    )
+
+
+# Misra-Gries heavy hitters: candidates from bounded memory, counts
+# from one exact pass over candidates only. The oracle is the direct
+# exact query — the sketch phase must produce a candidate superset,
+# so the final answer is exactly the frequent-item set.
+_A18_K = 30
+
+_A18_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+tot AS (SELECT count(*) AS n_total FROM toks)
+SELECT w,
+       count(*) AS cnt,
+       round(count(*) / (SELECT n_total FROM tot) , 6) AS freq
+FROM toks GROUP BY w
+HAVING count(*) * {_A18_K} > (SELECT n_total FROM tot)
+"""
+
+
+@register("a18_heavy_hitters", _A18_ORACLE)
+def a18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (frequency > n/k) via Misra-Gries + exact verify.
+
+    Two phases, the production shape for top-term mining over a corpus
+    too wide to groupBy every distinct term:
+    1. mapInPandas runs a k-counter Misra-Gries summary PER PARTITION
+       (state persists across the partition's Arrow batches inside the
+       generator). MG with k counters guarantees any item with local
+       count > n_i/(k+1) survives; an item with GLOBAL count > N/k
+       must exceed n_i/k on at least one partition (pigeonhole), so
+       the union of partition survivors is a certified candidate
+       superset. Each partition emits <= k candidate rows — the
+       shuffle carries k x n_partitions rows, never the term universe.
+    2. One exact count restricted to candidates (broadcast semi-join)
+       + the threshold filter turns the superset into the exact
+       answer, which is why a full value-level SQL oracle applies to a
+       sketch-based plan.
+
+    At 100 TB: phase 1 memory is O(k) per task regardless of skew;
+    phase 2's shuffle only carries candidate terms. Contrast a15
+    (Count-Min: per-key estimates, fixed counters) — MG answers "which
+    items are frequent" with certainty, CM answers "how frequent is
+    any key" approximately."""
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["w"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < _A18_K:
+                    counters[w] = 1
+                else:
+                    dead = [k for k, c in counters.items() if c == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"w": list(counters.keys())})
+
+    toks = (
+        load_tables(spark, sf_dir)
+        .documents.select(F.explode(F.split("text", " ")).alias("w"))
+    )
+    cands = toks.mapInPandas(mg_partition, "w STRING").distinct()
+    total = toks.agg(F.count("*").alias("n_total"))
+    return (
+        toks.join(F.broadcast(cands), "w")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _A18_K > F.col("n_total"))
+        .select("w", "cnt", F.round(F.col("cnt") / F.col("n_total"), 6).alias("freq"))
     )

@@ -1067,3 +1067,85 @@ def p15_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d_agg.crossJoin(q_agg).select(
         "n_delivered", "n_dead_letter", "delivered_key_sum", "max_quarantined_key"
     )
+
+
+# Snapshot diff (CDC): two snapshots simulated deterministically from
+# the orders fixture — snapshot A drops keys = 0 (mod 7) (later
+# inserts), snapshot B drops keys = 0 (mod 5) (deletes) and uplifts
+# price 10% on keys = 0 (mod 3) (updates). Row identity = md5 over the
+# compared payload, identical bytes in both engines.
+_P17_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|', CAST(o_totalprice AS VARCHAR), o_orderstatus)) AS row_hash
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+b AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|',
+             CAST(CASE WHEN o_orderkey % 3 = 0
+                       THEN round(o_totalprice * 1.1, 2)
+                       ELSE o_totalprice END AS VARCHAR),
+             o_orderstatus)) AS row_hash
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'deleted'
+            WHEN a.row_hash <> b.row_hash THEN 'updated'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n,
+       CAST(sum(coalesce(a.o_orderkey, b.o_orderkey)) AS BIGINT) AS key_sum
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+GROUP BY 1
+"""
+
+
+@register("p17_snapshot_diff", _P17_ORACLE)
+def p17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC table compare): classify every key across
+    two snapshot reads as added / deleted / updated / unchanged via a
+    full outer join on the key plus a row-payload hash compare —
+    the standard incremental-sync primitive (what feeds p9's upsert
+    and the reference tool class's incremental reindex decision).
+
+    Scale shape: ONE shuffle — both sides hash-partition on the join
+    key; the md5 row hash is computed map-side inside the scan
+    projection, so the shuffle carries (key, 16-byte hash), not the
+    row payload. Classification + count is a partial aggregate on top.
+    At 100 TB the hash compare is what makes diffing feasible: you
+    never move full rows, and with both snapshots bucketed on the key
+    the exchange disappears entirely (b4's layout). key_sum is a
+    content checksum over each class so the oracle pins membership,
+    not just counts."""
+    o = load_tables(spark, sf_dir).orders
+    snap_a = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws("|", F.col("o_totalprice").cast("string"), "o_orderstatus")
+        ).alias("row_hash"),
+    )
+    price_b = F.when(
+        F.col("o_orderkey") % 3 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+    ).otherwise(F.col("o_totalprice"))
+    snap_b = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws("|", price_b.cast("string"), "o_orderstatus")
+        ).alias("row_hash"),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "deleted")
+        .when(F.col("a.row_hash") != F.col("b.row_hash"), "updated")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            status.alias("status"),
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("k"),
+        )
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), F.sum("k").cast("bigint").alias("key_sum"))
+    )

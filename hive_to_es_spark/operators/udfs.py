@@ -193,3 +193,112 @@ def g5_arrow_batch_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInArrow(
         batch_norms, "vec_id BIGINT, l2_norm DOUBLE"
     )
+
+
+# Cogrouped-map: the last Pandas-UDF interface Spark offers (after
+# scalar g1, grouped-map g2, grouped-agg g3, UDTF g4, mapInArrow g5).
+# The oracle restates the as-of merge as one window pass (j9's shape):
+# clicks sort before purchases at equal ts, so max(click_ts) over the
+# preceding rows IS "latest click at ts <= purchase ts". Gap math runs
+# on integer epoch microseconds end to end — the only float op is the
+# final avg division, identical in both engines.
+_G6_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+         (event_type = 'purchase') AS is_purchase,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tie
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+asof_m AS (
+  SELECT user_id, is_purchase,
+         epoch_us(ts) AS tus,
+         epoch_us(max(click_ts) OVER (
+           PARTITION BY user_id ORDER BY ts, tie
+           ROWS UNBOUNDED PRECEDING)) AS click_us
+  FROM tagged
+)
+SELECT user_id,
+       count(*) AS n_purchases,
+       count(click_us) AS n_matched,
+       CASE WHEN count(click_us) > 0
+            THEN round(sum(tus - click_us) / count(click_us) / 1000000.0, 6)
+       END AS avg_gap_s
+FROM asof_m WHERE is_purchase GROUP BY user_id
+"""
+
+
+@register("g6_cogrouped_asof", _G6_ORACLE)
+def g6_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF: purchases and clicks cogrouped per
+    user, merged with pandas ``merge_asof`` (latest click at
+    ts <= purchase ts), reduced to per-user attribution stats.
+
+    This is the interface for per-key merges whose logic lives in a
+    Python library (backtesting joins, per-entity reconciliation):
+    ``dfA.groupBy(k).cogroup(dfB.groupBy(k))`` shuffles BOTH sides on
+    the same key once, then hands each key's pair of pandas frames to
+    one task — no pairwise join blow-up, parallel across keys, and at
+    100 TB the state per task is one user's events, not the table.
+    The timestamp math stays on integer epoch-microseconds (datetime64
+    ns // 1000) because float64 cannot represent epoch-nanoseconds
+    exactly (2^53 < 1.7e18); sums are exact ints, so the single
+    rounded division hash-matches the SQL oracle. j9 is the same
+    semantics as a pure JVM window plan — the pair pins this interface
+    against that oracle family."""
+
+    def asof_stats(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+        if purchases.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_purchases", "n_matched", "sum_gap_us"]
+            )
+        uid = int(purchases["user_id"].iloc[0])
+        # epoch micros as int64: exact integer arithmetic (see docstring)
+        p = pd.DataFrame(
+            {"tus": purchases["ts"].astype("int64") // 1000}
+        ).sort_values("tus", kind="mergesort", ignore_index=True)
+        if clicks.empty:
+            n_matched, sum_gap_us = 0, 0
+        else:
+            c = pd.DataFrame(
+                {"click_us": clicks["cts"].astype("int64") // 1000}
+            ).sort_values("click_us", kind="mergesort", ignore_index=True)
+            merged = pd.merge_asof(p, c, left_on="tus", right_on="click_us")
+            m = merged.dropna(subset=["click_us"])
+            n_matched = int(len(m))
+            sum_gap_us = int(
+                (m["tus"].astype("int64") - m["click_us"].astype("int64")).sum()
+            )
+        return pd.DataFrame(
+            [[uid, len(p), n_matched, sum_gap_us]],
+            columns=["user_id", "n_purchases", "n_matched", "sum_gap_us"],
+        )
+
+    ev = load_tables(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    # The click side renames ts -> cts: both cogroup inputs derive from
+    # the SAME events scan, so their columns carry identical attribute
+    # ids, and a projection above the cogroup makes Catalyst mis-prune
+    # the right child's ts (the left's ts "covers" it) — the worker
+    # then receives a click frame without its timestamp. Distinct names
+    # break the id collision; any self-cogroup needs this.
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    stats = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof_stats,
+            "user_id BIGINT, n_purchases BIGINT, n_matched BIGINT, sum_gap_us BIGINT",
+        )
+    )
+    return stats.select(
+        "user_id",
+        "n_purchases",
+        "n_matched",
+        F.when(
+            F.col("n_matched") > 0,
+            F.round(F.col("sum_gap_us") / F.col("n_matched") / 1000000.0, 6),
+        ).alias("avg_gap_s"),
+    )

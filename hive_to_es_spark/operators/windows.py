@@ -450,3 +450,65 @@ def w6_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(w).alias("last_price"),
     )
+
+
+# Batch sessionization: the classic lag-gap-cumsum idiom. All time
+# math on integer epoch-microseconds; session duration is an exact
+# BIGINT, so the whole result value-hashes cross-engine. (e3 is the
+# streaming twin via session_window — this is the backfill/batch form
+# every clickstream warehouse also needs.)
+_W9_GAP_US = 12 * 3600 * 1_000_000  # 12 h inactivity gap (fixture events
+# are sparse per user — mean inter-event gap ~9 h; 12 h yields a real
+# mix of multi-event sessions and splits)
+
+_W9_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+),
+g AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN lag(tus) OVER w IS NULL
+                OR tus - lag(tus) OVER w > {_W9_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s AS (
+  SELECT user_id, tus,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       max(tus) - min(tus) AS duration_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@register("w9_sessionize", _W9_ORACLE)
+def w9_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >12 h of
+    user inactivity; emit per-session event counts and exact duration.
+
+    The idiom is two stacked windows on the same (user_id, ts) sort:
+    lag() marks session starts, a running sum over the marks numbers
+    the sessions — Spark plans BOTH over one exchange + one sort
+    (the window specs share partitioning and ordering), then the
+    final groupBy reuses the same hash partitioning. One shuffle
+    total at any scale; per-user state never materializes anywhere.
+    Timestamps become integer epoch-micros up front so gap compare,
+    session numbering and duration are exact integer ops (no float
+    drift cross-engine)."""
+    ev = load_tables(spark, sf_dir).events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("tus").asc(), F.col("event_id").asc())
+    gap = F.col("tus") - F.lag("tus").over(w)
+    new_s = F.when(gap.isNull() | (gap > _W9_GAP_US), 1).otherwise(0)
+    sessions = ev.withColumn(
+        "session_id",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("tus") - F.min("tus")).alias("duration_us"),
+    )

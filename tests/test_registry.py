@@ -13,7 +13,7 @@ EXPECTED_KEYS = {
     "p5_type_to_json", "p6_batching", "p7_sink_es", "p8_job_config",
     "p9_incremental_upsert", "p10_corpus_pipeline", "p11_incremental_dedup",
     "p12_token_shards", "p13_partition_backfill", "p14_schema_evolution",
-    "p15_dead_letter",
+    "p15_dead_letter", "p17_snapshot_diff",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
     "b5_dynamic_partition_pruning",
@@ -34,11 +34,11 @@ EXPECTED_KEYS = {
     "a1_hash_agg", "a2_distinct_agg", "a3_global_agg", "a4_grouping_sets",
     "a5_rollup", "a6_cube", "a7_having", "a8_approx_distinct", "a9_stats_agg",
     "a10_collect", "a11_min_max_by", "a12_pivot", "a13_bool_agg", "a14_unpivot", "a15_count_min",
-    "a16_percentiles", "a17_histogram",
+    "a16_percentiles", "a17_histogram", "a18_heavy_hitters",
     # windows
     "w1_order_rank", "w2_running_sum", "w3_lag_lead", "w4_range_frame",
     "w5_ntile_cume", "w6_first_last", "w7_range_frame_highcard",
-    "w8_range_frame_scalable",
+    "w8_range_frame_scalable", "w9_sessionize",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
     "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap", "o8_corpus_shuffle",
@@ -68,7 +68,7 @@ EXPECTED_KEYS = {
     "t9_decontaminate", "t10_pii_redact",
     # UDF surface
     "g1_scalar_pandas_udf", "g2_grouped_map", "g3_grouped_agg_udaf", "g4_udtf",
-    "g5_arrow_batch_map",
+    "g5_arrow_batch_map", "g6_cogrouped_asof",
 }
 
 # Keys intentionally without a SQL oracle (nondeterministic cross-engine).
