@@ -396,3 +396,64 @@ def x10_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("mask_xor"),
         F.min(packed).cast("bigint").alias("min_packed"),
     )
+
+
+_X12_ORACLE = """
+WITH m AS (
+  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         count(*) AS n_orders
+  FROM orders WHERE o_custkey % 20 = 0 GROUP BY 1, 2
+),
+span AS (
+  SELECT o_custkey, min(month) AS lo, max(month) AS hi FROM m GROUP BY 1
+),
+cal AS (
+  SELECT o_custkey, CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+  FROM span
+)
+SELECT c.o_custkey, c.month, coalesce(m.n_orders, 0) AS n_orders
+FROM cal c LEFT JOIN m ON c.o_custkey = m.o_custkey AND c.month = m.month
+"""
+
+
+@register("x12_gapfill", _X12_ORACLE)
+def x12_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: densify each customer's order history to one
+    row per month between their first and last order, zero-filling the
+    silent months — the prerequisite for correct moving averages,
+    ARIMA-style features and "months since last activity" over sparse
+    event data (time_bucket_gapfill in TimescaleDB terms, expressed
+    with sequence + explode + left join).
+
+    Plan: the per-customer aggregate and span reuse one shuffle on
+    o_custkey; `sequence(lo, hi, interval 1 month)` generates the
+    calendar INSIDE each row (no driver-side calendar table, no cross
+    join against a date dimension), and the fill join is again
+    custkey-partitioned — co-partitioned end to end at any scale. The
+    %20 key filter bounds the demo output; production drops it. Row
+    explosion is bounded by span months per key (~84 here), the
+    documented worst case for monotonic skew: one ancient-and-active
+    key yields span_months rows, still O(1) per key-month."""
+    o = load_tables(spark, sf_dir).orders.filter(F.col("o_custkey") % 20 == 0)
+    m = (
+        o.select(
+            "o_custkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .groupBy("o_custkey", "month")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    span = m.groupBy("o_custkey").agg(
+        F.min("month").alias("lo"), F.max("month").alias("hi")
+    )
+    cal = span.select(
+        "o_custkey",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 month"))
+        ).alias("month"),
+    )
+    return cal.join(m, ["o_custkey", "month"], "left").select(
+        "o_custkey",
+        "month",
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+    )

@@ -380,3 +380,85 @@ def o8_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc())
         .limit(1000)
     )
+
+
+def _o9_oracle() -> str:
+    # Deferred import: text_ext imports dedup; keep sort_set leaf-free.
+    from hive_to_es_spark.operators.text_ext import QUALITY_CTE_SQL
+
+    return f"""
+WITH {QUALITY_CTE_SQL},
+drawn AS (
+  SELECT lang, quality,
+         (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 1000000) AS draw
+  FROM scored
+)
+SELECT lang,
+       count(*) AS n_total,
+       CAST(count(*) FILTER (draw < quality * 1000000) AS BIGINT) AS n_kept,
+       CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS avg_q6_all,
+       CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) FILTER (draw < quality * 1000000)
+             // (count(*) FILTER (draw < quality * 1000000)) AS BIGINT) AS avg_q6_kept
+FROM drawn GROUP BY lang
+"""
+
+
+@register("o9_weighted_sample", None)
+def o9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: keep each document with
+    probability equal to its t4 quality score, decided by a
+    DETERMINISTIC per-key hash draw (o4's md5 bucket at 1e-6
+    resolution) instead of a PRNG — the data-mixing primitive for
+    "sample better data more" (quality-proportional corpus thinning),
+    reproducible across engines, reruns, repartitioning and appends.
+
+    Per-language accounting shows the effect: avg quality of the kept
+    set exceeds the population average by construction. Pure
+    scan-side predicate — no shuffle for the sampling decision itself,
+    one partial agg for the report; at 100 TB this composes with any
+    downstream op as a free filter. Shares quality_expr/QUALITY_CTE_SQL
+    with t4 so the weight definition cannot drift from the scorer."""
+    from hive_to_es_spark.operators.text_ext import quality_expr
+
+    d = load_tables(spark, sf_dir).documents
+    quality, _ = quality_expr()
+    draw = hash_bucket("doc_id", 1_000_000)
+    kept = draw < quality * 1_000_000
+    return (
+        d.select("lang", quality.alias("quality"), kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if("kept").cast("bigint").alias("n_kept"),
+            # Averages reported in integer micro-units (floor of
+            # sum/n): the fr group's kept-average is EXACTLY 764760.5
+            # micro-units, i.e. a .5 rounding boundary at 6dp where
+            # Spark and DuckDB double-rounding legitimately split —
+            # integer floor division is the only representation both
+            # engines get bit-identical. (Consumers divide by 1e6.)
+            # Exactness bound: double division before the floor is
+            # exact while the group's micro-unit sum < 2^53 (~9e15 =
+            # 9e9 docs per group at avg quality); beyond that, move
+            # the division to an outer select with `a DIV b`.
+            (
+                F.sum(F.round(F.col("quality") * 1_000_000).cast("bigint"))
+                .cast("bigint") / F.count("*")
+            ).cast("bigint").alias("avg_q6_all"),
+            (
+                F.sum(F.when(F.col("kept"),
+                             F.round(F.col("quality") * 1_000_000).cast("bigint")))
+                .cast("bigint") / F.count_if("kept")
+            ).cast("bigint").alias("avg_q6_kept"),
+        )
+    )
+
+
+from hive_to_es_spark.registry import REGISTRY as _REG
+
+_REG["o9_weighted_sample"] = _REG["o9_weighted_sample"].__class__(
+    name="o9_weighted_sample",
+    fn=_REG["o9_weighted_sample"].fn,
+    oracle=_o9_oracle(),
+    doc=_REG["o9_weighted_sample"].doc,
+)

@@ -19,8 +19,10 @@ from hive_to_es_spark.registry import register
 # vocabulary where it does — the ratio is the feature, not the list).
 _STOPWORDS = ("a", "the", "of", "and", "in", "to", "is", "on", "for", "with")
 
-_T4_ORACLE = f"""
-WITH feats AS (
+# Shared CTE fragment: the t4 quality formula in SQL. o9's weighted
+# sampler composes the SAME text so the two oracles cannot drift from
+# each other (mirror of the shared quality_expr on the Spark side).
+QUALITY_CTE_SQL = f"""feats AS (
   SELECT doc_id, lang, n_chars,
          len(string_split(text, ' ')) AS n_tokens,
          round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token,
@@ -37,7 +39,10 @@ scored AS (
              + 0.3 * (1.0 - punct_ratio)
              + 0.3 * least(stopword_ratio * 5.0, 1.0), 6) AS quality
   FROM feats
-)
+)"""
+
+_T4_ORACLE = f"""
+WITH {QUALITY_CTE_SQL}
 SELECT lang,
        CASE WHEN quality >= 0.7 THEN 'high'
             WHEN quality >= 0.5 THEN 'mid' ELSE 'low' END AS tier,
@@ -441,4 +446,68 @@ def t10_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(raw, F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
         F.regexp_count(raw, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# Repetition filter (Gopher/MassiveText rule family, Rae et al. 2021,
+# arXiv:2112.11446 Table A1): drop documents dominated by one token.
+# The fixture's synthetic text has near-zero duplicate 3-gram mass, so
+# the discriminating member of the rule family here is the
+# top-unigram fraction; threshold 0.11 splits the corpus ~1:3.
+_T11_TOP_FRAC = 0.11
+
+_T11_ORACLE = f"""
+WITH t AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT lang,
+         round(CAST(list_max(list_transform(list_distinct(toks),
+                     w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+               / len(toks), 6) AS top_frac
+  FROM t
+)
+SELECT lang,
+       CASE WHEN top_frac > {_T11_TOP_FRAC} THEN 'drop' ELSE 'keep' END AS verdict,
+       count(*) AS n_docs,
+       round(avg(top_frac), 6) AS avg_top_frac
+FROM m GROUP BY 1, 2
+"""
+
+
+@register("t11_repetition_filter", _T11_ORACLE)
+def t11_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter: compute each document's
+    top-unigram fraction (share of the text taken by its most frequent
+    token) and gate on it — the Gopher repetition-rule family's
+    unigram member, the standard guard against template/boilerplate
+    and degenerate generations in corpus cleaning.
+
+    Plan shape: the per-document histogram is a pure array HOF
+    (transform over distinct tokens x filter-count), so the whole
+    operator is scan + project + 2-column aggregate — NO shuffle of
+    token rows, no explode. The HOF is O(distinct x len) per document,
+    the right trade while distinct-per-doc is bounded (vocab-limited
+    corpora, code); for huge free-vocab documents the explode +
+    groupBy(doc, token) + max form trades one shuffle for linear work
+    — same answer, pick by profile. Numerics: int/int division in
+    double, identical in both engines; round(6) before the threshold
+    compare keeps the gate stable."""
+    d = load_tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+    )
+    top_frac = F.round(top_cnt.cast("double") / F.size(toks), 6)
+    verdict = F.when(top_frac > _T11_TOP_FRAC, "drop").otherwise("keep")
+    return (
+        d.select("lang", top_frac.alias("top_frac"), verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("top_frac"), 6).alias("avg_top_frac"),
+        )
     )

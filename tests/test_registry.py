@@ -42,11 +42,12 @@ EXPECTED_KEYS = {
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
     "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap", "o8_corpus_shuffle",
+    "o9_weighted_sample",
     "u1_union_all", "u2_union_distinct", "u3_intersect", "u4_except", "u5_distinct",
     "u6_intersect_except_all",
     # scalar families
     "x1_string", "x2_date", "x3_math", "x4_array", "x5_map", "x6_json",
-    "x7_cast_coalesce", "x8_hash", "x9_recursive_cte", "x10_bitwise",
+    "x7_cast_coalesce", "x8_hash", "x9_recursive_cte", "x10_bitwise", "x12_gapfill",
     # streaming
     "e1_tumbling", "e2_sliding", "e3_session", "e4_watermark_late",
     "e5_stream_dedup", "e6_stream_static_join", "e7_stateful_custom",
@@ -65,7 +66,7 @@ EXPECTED_KEYS = {
     "s11_ann_ivf_nprobe",
     "t4_quality_score", "t5_token_count_bpe",
     "t6_fingerprint", "t7_langid_ngram", "t8_unigram_lm_score",
-    "t9_decontaminate", "t10_pii_redact",
+    "t9_decontaminate", "t10_pii_redact", "t11_repetition_filter",
     # UDF surface
     "g1_scalar_pandas_udf", "g2_grouped_map", "g3_grouped_agg_udaf", "g4_udtf",
     "g5_arrow_batch_map", "g6_cogrouped_asof",
