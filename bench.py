@@ -75,6 +75,11 @@ EXTENSION = [
     "d12_dup_groups_hybrid",
     "j13_interval_bin_join",
     "t9_decontaminate",
+    # round 6 batch 2: the cogrouped pandas as-of merge (heaviest
+    # Python-boundary shape) and batch sessionization (stacked windows
+    # + agg over one exchange)
+    "g6_cogrouped_asof",
+    "w9_sessionize",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -524,6 +524,26 @@ HAVING count(*) * {_A18_K} > (SELECT n_total FROM tot)
 """
 
 
+def misra_gries_survivors(words, k: int) -> set:
+    """k-counter Misra-Gries over one stream; returns the survivor
+    set. Pure function so the superset theorem is property-tested
+    directly (tests/test_property.py) against adversarial streams and
+    partitionings — the same code the executor runs."""
+    counters: dict = {}
+    for w in words:
+        if w in counters:
+            counters[w] += 1
+        elif len(counters) < k:
+            counters[w] = 1
+        else:
+            dead = [key for key, c in counters.items() if c == 1]
+            for key in counters:
+                counters[key] -= 1
+            for key in dead:
+                del counters[key]
+    return set(counters)
+
+
 @register("a18_heavy_hitters", _A18_ORACLE)
 def a18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters (frequency > n/k) via Misra-Gries + exact verify.
@@ -550,20 +570,11 @@ def a18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     any key" approximately."""
 
     def mg_partition(batches):
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for w in pdf["w"]:
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < _A18_K:
-                    counters[w] = 1
-                else:
-                    dead = [k for k, c in counters.items() if c == 1]
-                    for k in counters:
-                        counters[k] -= 1
-                    for k in dead:
-                        del counters[k]
-        yield pd.DataFrame({"w": list(counters.keys())})
+        def words():
+            for pdf in batches:
+                yield from pdf["w"]
+
+        yield pd.DataFrame({"w": list(misra_gries_survivors(words(), _A18_K))})
 
     toks = (
         load_tables(spark, sf_dir)

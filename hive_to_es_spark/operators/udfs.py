@@ -245,7 +245,23 @@ def g6_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (2^53 < 1.7e18); sums are exact ints, so the single
     rounded division hash-matches the SQL oracle. j9 is the same
     semantics as a pure JVM window plan — the pair pins this interface
-    against that oracle family."""
+    against that oracle family.
+
+    Two measured performance lessons baked in (scale_proof found the
+    first cut INVERSELY scaling, 9.4s at 1x -> 2.4s at 8x):
+    1. The per-group kernel is numpy searchsorted (the exact
+       merge_asof semantics: side='right' - 1 = last click <= each
+       purchase), not pd.merge_asof — building three pandas frames
+       per group cost ~6 ms x n_groups; the array kernel is ~10x less.
+    2. The cogroup inputs are explicitly repartition(n, key)'d:
+       AQE sizes shuffle partitions BY BYTES, and a few MB of events
+       coalesce to ONE partition — serializing all groups through one
+       Python worker. Byte-based sizing is blind to per-GROUP Python
+       cost; any pandas-cogroup stage over many small groups needs a
+       partition floor pinned by group count, not data size. The
+       user-specified repartition satisfies the cogroup's distribution
+       requirement (no extra exchange) and AQE does not coalesce it."""
+    import numpy as np
 
     def asof_stats(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
         if purchases.empty:
@@ -254,36 +270,37 @@ def g6_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         uid = int(purchases["user_id"].iloc[0])
         # epoch micros as int64: exact integer arithmetic (see docstring)
-        p = pd.DataFrame(
-            {"tus": purchases["ts"].astype("int64") // 1000}
-        ).sort_values("tus", kind="mergesort", ignore_index=True)
+        p = np.sort(purchases["ts"].to_numpy().astype("int64")) // 1000
         if clicks.empty:
             n_matched, sum_gap_us = 0, 0
         else:
-            c = pd.DataFrame(
-                {"click_us": clicks["cts"].astype("int64") // 1000}
-            ).sort_values("click_us", kind="mergesort", ignore_index=True)
-            merged = pd.merge_asof(p, c, left_on="tus", right_on="click_us")
-            m = merged.dropna(subset=["click_us"])
-            n_matched = int(len(m))
-            sum_gap_us = int(
-                (m["tus"].astype("int64") - m["click_us"].astype("int64")).sum()
-            )
+            c = np.sort(clicks["cts"].to_numpy().astype("int64")) // 1000
+            idx = np.searchsorted(c, p, side="right") - 1
+            m = idx >= 0
+            n_matched = int(m.sum())
+            sum_gap_us = int((p[m] - c[idx[m]]).sum())
         return pd.DataFrame(
             [[uid, len(p), n_matched, sum_gap_us]],
             columns=["user_id", "n_purchases", "n_matched", "sum_gap_us"],
         )
 
+    n_parts = spark.sparkContext.defaultParallelism
     ev = load_tables(spark, sf_dir).events
-    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .repartition(n_parts, "user_id")
+    )
     # The click side renames ts -> cts: both cogroup inputs derive from
     # the SAME events scan, so their columns carry identical attribute
     # ids, and a projection above the cogroup makes Catalyst mis-prune
     # the right child's ts (the left's ts "covers" it) — the worker
     # then receives a click frame without its timestamp. Distinct names
     # break the id collision; any self-cogroup needs this.
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("cts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("cts"))
+        .repartition(n_parts, "user_id")
     )
     stats = (
         purchases.groupBy("user_id")

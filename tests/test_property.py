@@ -497,3 +497,51 @@ def _ts(epoch_s: int):
     return datetime.datetime.fromtimestamp(epoch_s, datetime.timezone.utc).replace(
         tzinfo=None
     )
+
+
+# --- a18: Misra-Gries candidate-superset guarantee -------------------
+# The op's correctness rests on a theorem, so property-test the
+# theorem over adversarial streams: for ANY partitioning of ANY word
+# stream, the union of per-partition k-counter MG survivors must
+# contain every item with global count > N/k. (The Spark plan then
+# exact-counts candidates, so superset => exact final answer.)
+
+from hypothesis import given, settings as hyp_settings
+from hypothesis import strategies as st
+
+
+@given(
+    words=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=300),
+    k=st.integers(min_value=2, max_value=8),
+    n_parts=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+@hyp_settings(max_examples=200, deadline=None)
+def test_misra_gries_candidates_are_superset(words, k, n_parts, data):
+    from hive_to_es_spark.operators.aggregates import misra_gries_survivors
+
+    # adversarial partitioning: each word routed to a drawn partition
+    routes = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=n_parts - 1),
+            min_size=len(words),
+            max_size=len(words),
+        )
+    )
+    parts = [[] for _ in range(n_parts)]
+    for w, r in zip(words, routes):
+        parts[r].append(w)
+
+    candidates = set()
+    for part in parts:
+        survivors = misra_gries_survivors(part, k)
+        assert len(survivors) <= k  # bounded-memory invariant
+        candidates |= survivors
+
+    n = len(words)
+    from collections import Counter
+
+    heavy = {w for w, c in Counter(words).items() if c * k > n}
+    assert heavy <= candidates, (
+        f"MG lost heavy hitters {heavy - candidates} (n={n}, k={k})"
+    )

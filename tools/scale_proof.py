@@ -99,6 +99,12 @@ OPS = {
     # round 6: d11's pairs + closure — inherits d11's linear-dominated
     # profile plus a fixed number of propagation rounds
     "d12_dup_groups_hybrid": (4.0, "d11 candidate pairs + min-label closure; same suppressed-quadratic profile as d11 with ~3 rounds of fixed join cost on top"),
+    # round 6 batch 2: linear shapes for the new operators. events
+    # scale by event_id offset with user_id UNCHANGED, so per-user
+    # groups grow k-fold — exactly the stress these two need:
+    "w9_sessionize": (2.0, "one shuffle, two stacked windows sharing the sort + co-partitioned agg; per-user rows grow k-fold"),
+    "g6_cogrouped_asof": (2.0, "cogroup shuffle + per-user pandas as-of merge; per-task state is one user's events"),
+    "a18_heavy_hitters": (2.0, "MG sketch pass + candidate-restricted exact count, linear; candidate set fixed at k_counters x n_partitions"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
