@@ -103,7 +103,7 @@ OPS = {
     # scale by event_id offset with user_id UNCHANGED, so per-user
     # groups grow k-fold — exactly the stress these two need:
     "w9_sessionize": (2.0, "one shuffle, two stacked windows sharing the sort + co-partitioned agg; per-user rows grow k-fold"),
-    "g6_cogrouped_asof": (2.0, "cogroup shuffle + per-user pandas as-of merge; per-task state is one user's events"),
+    "g6_cogrouped_asof": (2.0, "cogroup shuffle + per-user numpy as-of kernel; cost is per-GROUP Python overhead x n_users (constant here — users do not scale with k), data term invisible: the flat curve IS the model. First cut inverted (9.4s->2.4s): AQE coalesced the byte-tiny shuffle to 1 partition, serializing all groups — fixed by a group-count partition floor"),
     "a18_heavy_hitters": (2.0, "MG sketch pass + candidate-restricted exact count, linear; candidate set fixed at k_counters x n_partitions"),
 }
 
