@@ -10,7 +10,7 @@ nothing here collects to the driver.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_to_es_spark.io import load_tables
@@ -589,4 +589,42 @@ def a18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * _A18_K > F.col("n_total"))
         .select("w", "cnt", F.round(F.col("cnt") / F.col("n_total"), 6).alias("freq"))
+    )
+
+
+_A19_ORACLE = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+FROM (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+WHERE rn = 1
+"""
+
+
+@register("a19_mode_per_group", _A19_ORACLE)
+def a19_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent order priority
+    per order status, ties broken by value order. Built-in `mode()`
+    is tie-nondeterministic in both engines, so the portable form is
+    count + one row_number over the tiny (group x value) aggregate —
+    the aggregate shrinks the data BEFORE the window, so the window
+    sorts |status x priority| rows (15 here), never the fact table.
+    At 100 TB: two map-side-combining aggregates and a window over
+    kilobytes."""
+    o = load_tables(spark, sf_dir).orders
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "cnt"
+        )
     )

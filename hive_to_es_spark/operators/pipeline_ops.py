@@ -1149,3 +1149,137 @@ def p17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n"), F.sum("k").cast("bigint").alias("key_sum"))
     )
+
+
+def _interleave_sql(xcol: str, ycol: str, bits: int = 16) -> str:
+    """Bit-interleave SQL for two normalized ints (x even bits, y odd
+    bits) — one expression string shared VERBATIM by the Spark plan
+    and the DuckDB oracle, so the z-value definition cannot drift."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def _b7_oracle() -> str:
+    z = _interleave_sql("x16", "y16")
+    return f"""
+WITH base AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // 86400000000 AS dayn
+  FROM orders
+),
+ext AS (
+  SELECT min(o_custkey) AS xmin, max(o_custkey) AS xmax,
+         min(dayn) AS ymin, max(dayn) AS ymax
+  FROM base
+),
+norm AS (
+  SELECT o_custkey, dayn,
+         CAST(((o_custkey - xmin) * 65535) // (xmax - xmin) AS BIGINT) AS x16,
+         CAST(((dayn - ymin) * 65535) // (ymax - ymin) AS BIGINT) AS y16
+  FROM base, ext
+),
+zed AS (
+  SELECT o_custkey, dayn, CAST({z} AS BIGINT) >> 26 AS zbucket FROM norm
+)
+SELECT zbucket, count(*) AS n,
+       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+       min(dayn) AS min_day, max(dayn) AS max_day
+FROM zed GROUP BY zbucket
+"""
+
+
+@register("b7_zorder_layout", _b7_oracle())
+def b7_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout for multi-dimensional data
+    skipping — the lakehouse OPTIMIZE ZORDER BY primitive: normalize
+    (o_custkey, order epoch-day) to 16 bits each, interleave to a
+    32-bit z-value, bucket on the top 6 z-bits (64 target files), and
+    emit each bucket's min/max span in BOTH dimensions. Measured on
+    the fixture: every bucket spans ~12% of the custkey range AND
+    ~12% of the date range — so min/max file stats prune scans on
+    EITHER predicate, where a 1-D sort gives perfect spans on its key
+    and useless spans on the other.
+
+    All arithmetic is integer (shift/mask/floor-div; `DIV`/`//` on
+    positive operands agree across engines — a plain `/`+CAST would
+    not, Spark truncates where DuckDB rounds). One scan + broadcast
+    extremes + 64-group agg: this is the planning query a table
+    optimizer runs before rewriting files (repartitionByRange(zbucket)
+    does the actual layout; b3/b5 then benefit from pruned scans)."""
+    o = load_tables(spark, sf_dir).orders
+    base = o.selectExpr(
+        "o_custkey",
+        # o_orderdate reads as TIMESTAMP_NTZ; session tz is pinned UTC, so
+        # the cast is an exact relabel and epoch-day matches the oracle
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS dayn"
+    )
+    ext = base.agg(
+        F.min("o_custkey").alias("xmin"),
+        F.max("o_custkey").alias("xmax"),
+        F.min("dayn").alias("ymin"),
+        F.max("dayn").alias("ymax"),
+    )
+    norm = base.crossJoin(F.broadcast(ext)).selectExpr(
+        "o_custkey",
+        "dayn",
+        "CAST(((o_custkey - xmin) * 65535) DIV (xmax - xmin) AS BIGINT) AS x16",
+        "CAST(((dayn - ymin) * 65535) DIV (ymax - ymin) AS BIGINT) AS y16",
+    )
+    zed = norm.selectExpr(
+        "o_custkey",
+        "dayn",
+        f"(CAST({_interleave_sql('x16', 'y16')} AS BIGINT) >> 26) AS zbucket",
+    )
+    return zed.groupBy("zbucket").agg(
+        F.count("*").alias("n"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.min("dayn").alias("min_day"),
+        F.max("dayn").alias("max_day"),
+    )
+
+
+_P18_ORACLE = """
+WITH per_key AS (
+  SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows
+  FROM per_key
+)
+SELECT month, n,
+       round(n * n_keys / CAST(n_rows AS DOUBLE), 6) AS skew_ratio,
+       n * n_keys > 2 * n_rows AS is_hot
+FROM per_key, tot
+"""
+
+
+@register("p18_skew_report", _P18_ORACLE)
+def p18_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew report: per-key row counts with each key's
+    ratio to the uniform share, flagging keys >2x uniform — the
+    planning query that decides WHICH keys j12's salted join salts
+    and what AQE's skewedPartitionFactor should be. One partial agg
+    plus a broadcast 1-row total; the report is |keys| rows at any
+    data size. The integer cross-multiplied flag (n*n_keys > 2*n_rows)
+    avoids any float threshold drift."""
+    o = load_tables(spark, sf_dir).orders
+    per_key = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count("*").alias("n")
+    )
+    tot = per_key.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    return per_key.crossJoin(F.broadcast(tot)).select(
+        "month",
+        "n",
+        F.round(
+            F.col("n") * F.col("n_keys") / F.col("n_rows").cast("double"), 6
+        ).alias("skew_ratio"),
+        (F.col("n") * F.col("n_keys") > 2 * F.col("n_rows")).alias("is_hot"),
+    )

@@ -13,10 +13,10 @@ EXPECTED_KEYS = {
     "p5_type_to_json", "p6_batching", "p7_sink_es", "p8_job_config",
     "p9_incremental_upsert", "p10_corpus_pipeline", "p11_incremental_dedup",
     "p12_token_shards", "p13_partition_backfill", "p14_schema_evolution",
-    "p15_dead_letter", "p17_snapshot_diff",
+    "p15_dead_letter", "p17_snapshot_diff", "p18_skew_report",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
-    "b5_dynamic_partition_pruning",
+    "b5_dynamic_partition_pruning", "b7_zorder_layout",
     # filters
     "f1_pred_basic", "f2_pred_null", "f3_pred_like", "f4_pred_between_in",
     "f5_case_when", "f6_null_safe_eq", "b6_corrupt_records",
@@ -34,7 +34,7 @@ EXPECTED_KEYS = {
     "a1_hash_agg", "a2_distinct_agg", "a3_global_agg", "a4_grouping_sets",
     "a5_rollup", "a6_cube", "a7_having", "a8_approx_distinct", "a9_stats_agg",
     "a10_collect", "a11_min_max_by", "a12_pivot", "a13_bool_agg", "a14_unpivot", "a15_count_min",
-    "a16_percentiles", "a17_histogram", "a18_heavy_hitters",
+    "a16_percentiles", "a17_histogram", "a18_heavy_hitters", "a19_mode_per_group",
     # windows
     "w1_order_rank", "w2_running_sum", "w3_lag_lead", "w4_range_frame",
     "w5_ntile_cume", "w6_first_last", "w7_range_frame_highcard",
