@@ -284,3 +284,81 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     corpus never shuffles for the join."""
     plan = _plan(spark, sf_dir, "t9_decontaminate")
     assert "BroadcastHashJoin" in plan
+
+
+def _simple_plan(spark, sf_dir, key):
+    """explain() simple mode: each operator printed once (formatted
+    mode lists tree + details and double-counts string matches)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        queries()[key](spark, sf_dir).explain()
+    return buf.getvalue()
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """w9's two stacked windows + the session aggregate must share ONE
+    shuffle on user_id — if the window specs or the aggregate stop
+    aligning on the same partitioning, extra Exchanges appear here
+    first."""
+    plan = _simple_plan(spark, sf_dir, "w9_sessionize")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_repetition_filter_has_no_token_shuffle(spark, sf_dir):
+    """t11's per-document histogram is an array HOF — the only
+    Exchange allowed is the final (lang, verdict) aggregate, and no
+    Generate (explode) may creep in."""
+    plan = _simple_plan(spark, sf_dir, "t11_repetition_filter")
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate" not in plan, plan
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):
+    """a18's exact pass must join the token stream against BROADCAST
+    candidates (bounded k x n_partitions rows) — a sort-merge join
+    here would shuffle the whole token universe, defeating the
+    sketch."""
+    plan = _simple_plan(spark, sf_dir, "a18_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cogrouped_asof_stays_group_parallel(spark, sf_dir):
+    """g6 pins exactly two REPARTITION_BY_NUM exchanges (one per
+    cogroup side; user-specified, so AQE cannot coalesce them). The
+    regression this guards: with plain ENSURE_REQUIREMENTS exchanges,
+    AQE sizes the byte-tiny shuffle to ONE partition and serializes
+    every group through a single Python worker (measured 9.4s -> 1.0s
+    on the sf0.1 fixture)."""
+    plan = _simple_plan(spark, sf_dir, "g6_cogrouped_asof")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert plan.count("REPARTITION_BY_NUM") == 2, plan
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_zorder_broadcasts_extremes_no_cartesian(spark, sf_dir):
+    """b7's extreme-values join must be a broadcast of the 1-row
+    aggregate (BroadcastNestedLoopJoin over O(1) rows is the right
+    plan for a scalar crossJoin), never a CartesianProduct."""
+    plan = _simple_plan(spark, sf_dir, "b7_zorder_layout")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_snapshot_diff_shuffles_hash_not_payload(spark, sf_dir):
+    """p17's full outer join must shuffle (key, md5) projections: the
+    md5 Project sits UNDER each side's Exchange (between the Exchange
+    line and its Scan), so the shuffle rows are 2 columns wide, not
+    the order payload."""
+    plan = _simple_plan(spark, sf_dir, "p17_snapshot_diff")
+    assert "FullOuter" in plan
+    lines = plan.splitlines()
+    join_exchanges = [
+        i for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(o_orderkey" in l
+    ]
+    assert len(join_exchanges) == 2, plan
+    for i in join_exchanges:
+        assert "md5" in lines[i + 1], (
+            "row hash must be computed scan-side, below the shuffle:\n" + plan
+        )
