@@ -25,20 +25,24 @@ def merge_upsert(
     existing: DataFrame,
     updates: DataFrame,
     key: str,
-    order_by: str | None = None,
+    order_by: str | list[str] | None = None,
 ) -> DataFrame:
     """Return existing ⟂ updates merged by `key`, updates winning.
 
-    If `order_by` is given, the row with the greatest (order_by, side)
-    wins — side breaks exact ties in favor of updates. Without it,
-    updates always replace existing rows with the same key.
-    """
+    If `order_by` is given (one column or a list, compared in order),
+    the row with the greatest (order_by..., side) wins — side breaks
+    exact ties in favor of updates. Without it, updates always replace
+    existing rows with the same key. A multi-column order matters for
+    out-of-order increments: streaming micro-batches arrive in FILE
+    order, not event-time order, so the winner must be decided by
+    (event_time, unique_id), never by arrival."""
     tagged_old = existing.withColumn(VERSION_COL, F.lit(0))
     tagged_new = updates.withColumn(VERSION_COL, F.lit(1))
     unioned = tagged_old.unionByName(tagged_new)
     order: list[Column] = []
     if order_by is not None:
-        order.append(F.col(order_by).desc())
+        cols = [order_by] if isinstance(order_by, str) else list(order_by)
+        order.extend(F.col(c).desc() for c in cols)
     order.append(F.col(VERSION_COL).desc())
     w = Window.partitionBy(key).orderBy(*order)
     return (
@@ -54,6 +58,7 @@ def merge_into_parquet(
     updates: DataFrame,
     key: str,
     scope: Column | None = None,
+    order_by: str | list[str] | None = None,
 ) -> None:
     """Upsert `updates` into the parquet dataset at `path`.
 
@@ -77,9 +82,9 @@ def merge_into_parquet(
     if scope is not None:
         in_scope = existing.filter(scope)
         out_scope = existing.filter(~scope)
-        merged = merge_upsert(in_scope, updates, key).unionByName(out_scope)
+        merged = merge_upsert(in_scope, updates, key, order_by).unionByName(out_scope)
     else:
-        merged = merge_upsert(existing, updates, key)
+        merged = merge_upsert(existing, updates, key, order_by)
     staging = path.rstrip("/") + "_staging_" + uuid.uuid4().hex
     merged.write.mode("overwrite").parquet(staging)
     # swap via the Hadoop FileSystem API (portable across local/HDFS)

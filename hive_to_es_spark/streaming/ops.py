@@ -352,3 +352,85 @@ def e8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+def tf_latest_per_user(events: DataFrame) -> DataFrame:
+    """Latest event per user, deterministically (ts desc, event_id
+    desc) — the materialized-view contract of a continuous upsert
+    sync: the sink must converge to exactly this regardless of how
+    the stream was micro-batched."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+def foreach_batch_upsert(spark: SparkSession, state_path: str):
+    """foreachBatch body for a streaming keyed upsert into a parquet
+    state dir — the file-sink twin of `es.write.operation=upsert` in
+    continuous sync mode. Each micro-batch merges its RAW rows into
+    the state, with the winner per user decided by (ts, event_id),
+    NOT by arrival order: micro-batches replay in file order, so an
+    arrival-ordered merge would diverge from the batch semantics
+    whenever a late file carries early events. State stays |keys|
+    rows; each merge is one window over |state| + |batch|.
+    """
+    import os
+
+    from hive_to_es_spark.functions.merge import merge_into_parquet, merge_upsert
+
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(*cols)
+        # reduce the batch to one row per key first: the state never
+        # holds more than |keys| rows, so merge cost is bounded
+        latest = merge_upsert(
+            batch.limit(0), batch, key="user_id", order_by=["ts", "event_id"]
+        )
+        if not os.path.isdir(state_path):
+            latest.write.mode("overwrite").parquet(state_path)
+        else:
+            merge_into_parquet(
+                batch_df.sparkSession,
+                state_path,
+                latest,
+                key="user_id",
+                order_by=["ts", "event_id"],
+            )
+
+    return body
+
+
+_E9_ORACLE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       round(value, 2) AS last_value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("e9_stream_upsert", _E9_ORACLE)
+def e9_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state materialization (tf_latest_per_user) on the batch
+    read — the convergence target of the streaming foreachBatch upsert
+    (foreach_batch_upsert); tests/test_streaming.py replays the events
+    as single-file micro-batches through the merge and asserts the
+    parquet state converges to exactly this DataFrame."""
+    return tf_latest_per_user(load_tables(spark, sf_dir).events)

@@ -539,3 +539,53 @@ def test_sliding_window_checkpoint_recovery(spark, events_dir, tmp_path):
     }
     missing = surely_final - set(got)
     assert not missing, sorted(missing)[:5]
+
+
+def test_stream_upsert_converges_to_batch_state(spark, events_dir, tmp_path):
+    """e9: replay events as MANY micro-batches (one file per trigger,
+    deliberately not in event-time order) through the foreachBatch
+    keyed merge; the parquet state must converge to exactly the batch
+    latest-per-user materialization — proving the upsert winner is
+    decided by (ts, event_id), not arrival order."""
+    import shutil as _sh
+
+    from hive_to_es_spark.streaming.ops import (
+        foreach_batch_upsert,
+        tf_latest_per_user,
+    )
+
+    batch_df = spark.read.parquet(events_dir)
+    expected = _canon(tf_latest_per_user(batch_df).collect())
+
+    # re-write as 8 files so AvailableNow + maxFilesPerTrigger=1
+    # yields 8 separate merges
+    multi = str(tmp_path / "events_multi")
+    batch_df.repartition(8).write.mode("overwrite").parquet(multi)
+
+    state = str(tmp_path / "state")
+    src = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    q = (
+        src.writeStream.foreachBatch(foreach_batch_upsert(spark, state))
+        .option("checkpointLocation", str(tmp_path / "ckpt_upsert"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    got = _canon(
+        spark.read.parquet(state)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+        .collect()
+    )
+    assert got == expected
+    _sh.rmtree(state, ignore_errors=True)
