@@ -797,3 +797,66 @@ def j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_purchase"))
         .select("event_id", "user_id", "last_click_ts_30m", "n_clicks_30m")
     )
+
+
+_J15_ORACLE = """
+WITH t AS (
+  SELECT user_id, ts, event_id, value, event_type,
+         CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS tie
+  FROM events WHERE event_type IN ('signup', 'purchase')
+),
+w AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, tie, event_id
+                 ROWS UNBOUNDED PRECEDING) AS signup_id,
+         last_value(CASE WHEN event_type = 'signup' THEN round(value, 2) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, tie, event_id
+                 ROWS UNBOUNDED PRECEDING) AS tier
+  FROM t
+)
+SELECT event_id, user_id, signup_id, tier
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+@register("j15_pit_scd2", _J15_ORACLE)
+def j15_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time join: attach the dimension VERSION valid at
+    each fact's timestamp. Signup events form the slowly-changing
+    dimension (each signup opens a validity period [ts, next signup));
+    every purchase picks up the id AND payload (tier) of the period
+    containing it — purchases before any signup keep NULLs, exactly
+    SCD2's "no version valid yet".
+
+    Same scalable shape as j9 (tagged union + one window pass, one
+    shuffle on the entity key, linear per partition) but carrying the
+    dimension PAYLOAD through last(..., ignorenulls) — the difference
+    between an as-of timestamp lookup and a real point-in-time
+    dimension join. The interval-join formulation (fact BETWEEN
+    valid_from AND valid_to) is what warehouses write; this window
+    form never materializes the validity intervals at all, so there
+    is no unbounded range predicate for the planner to mis-join on.
+    Versions-at-equal-ts resolve by event_id order, pinned in both
+    engines."""
+    ev = load_tables(spark, sf_dir).events
+    t = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("event_id")).alias("sid"),
+        F.when(F.col("event_type") == "signup", F.round("value", 2)).alias("sval"),
+        (F.col("event_type") == "signup").cast("int").alias("is_signup"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_signup").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("signup_id", F.last("sid", ignorenulls=True).over(w))
+        .withColumn("tier", F.last("sval", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "signup_id", "tier")
+    )
