@@ -1283,3 +1283,81 @@ def p18_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skew_ratio"),
         (F.col("n") * F.col("n_keys") > 2 * F.col("n_rows")).alias("is_hot"),
     )
+
+
+_B8_ORACLE = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+@register("b8_python_datasource", _B8_ORACLE)
+def b8_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API — the
+    interface a user implements to ingest from systems with no JVM
+    connector (internal REST services, bespoke formats, an ES scroll
+    reader). This one serves the documents table FROM PARQUET ROW
+    GROUPS: `partitions()` plans one InputPartition per row group
+    (real split-based parallelism — each task reads only its group),
+    and `read()` yields pyarrow RecordBatches, the vectorized path
+    (no per-row Python objects). The aggregate on top hash-verifies
+    that the connector delivers exactly the table.
+
+    Scale notes: partition planning runs on the driver and must be
+    METADATA-ONLY (here: parquet footer, one fetch) — listing or
+    reading data in partitions() is the classic custom-source mistake;
+    per-task state is one row group. Filter pushdown would implement
+    pushFilters() on the reader; without it Spark filters above, which
+    is correct but scans everything — same trade as any raw source."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class DocsReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def partitions(self):
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(self.path).metadata.num_row_groups
+            return [InputPartition(i) for i in range(n)]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(self.path)
+            yield from pf.iter_batches(
+                row_groups=[partition.value], batch_size=8192
+            )
+
+    class DocsSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pydocs"
+
+        def schema(self):
+            return (
+                "doc_id BIGINT, text STRING, lang STRING, "
+                "source STRING, n_chars BIGINT"
+            )
+
+        def reader(self, schema):
+            return DocsReader(self.options)
+
+    from hive_to_es_spark.io import CATALOG_PREFIX
+
+    if sf_dir.startswith(CATALOG_PREFIX):
+        raise ValueError(
+            "b8 demonstrates a path-backed custom source; catalog-routed "
+            "warehouses read documents via spark.table (p1) instead"
+        )
+    spark.dataSource.register(DocsSource)
+    docs = (
+        spark.read.format("pydocs")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .load()
+    )
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -16,7 +16,7 @@ EXPECTED_KEYS = {
     "p15_dead_letter", "p17_snapshot_diff", "p18_skew_report",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
-    "b5_dynamic_partition_pruning", "b7_zorder_layout",
+    "b5_dynamic_partition_pruning", "b7_zorder_layout", "b8_python_datasource",
     # filters
     "f1_pred_basic", "f2_pred_null", "f3_pred_like", "f4_pred_between_in",
     "f5_case_when", "f6_null_safe_eq", "b6_corrupt_records",
