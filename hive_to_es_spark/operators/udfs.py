@@ -208,7 +208,7 @@ WITH tagged AS (
          CASE WHEN event_type = 'click' THEN ts END AS click_ts,
          (event_type = 'purchase') AS is_purchase,
          CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tie
-  FROM events WHERE event_type IN ('click', 'purchase')
+  FROM events WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
 ),
 asof_m AS (
   SELECT user_id, is_purchase,
@@ -286,8 +286,11 @@ def g6_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_parts = spark.sparkContext.defaultParallelism
     ev = load_tables(spark, sf_dir).events
+    # ts IS NOT NULL on both sides (mirrored in the oracle): a NaT
+    # reaching the numpy kernel would cast to int64 garbage instead of
+    # being skipped the way the oracle's window skips SQL NULLs.
     purchases = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
         .select("user_id", "ts")
         .repartition(n_parts, "user_id")
     )
@@ -298,7 +301,7 @@ def g6_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then receives a click frame without its timestamp. Distinct names
     # break the id collision; any self-cogroup needs this.
     clicks = (
-        ev.filter(F.col("event_type") == "click")
+        ev.filter((F.col("event_type") == "click") & F.col("ts").isNotNull())
         .select("user_id", F.col("ts").alias("cts"))
         .repartition(n_parts, "user_id")
     )
