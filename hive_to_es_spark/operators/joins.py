@@ -803,7 +803,7 @@ _J15_ORACLE = """
 WITH t AS (
   SELECT user_id, ts, event_id, value, event_type,
          CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS tie
-  FROM events WHERE event_type IN ('signup', 'purchase')
+  FROM events WHERE event_type IN ('signup', 'purchase') AND ts IS NOT NULL
 ),
 w AS (
   SELECT user_id, ts, event_id, event_type,
@@ -840,7 +840,13 @@ def j15_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Versions-at-equal-ts resolve by event_id order, pinned in both
     engines."""
     ev = load_tables(spark, sf_dir).events
-    t = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+    # NULL-ts guard mirrored in the oracle: Spark sorts NULLS FIRST
+    # ascending, DuckDB nulls_last — an unfiltered NULL-ts signup
+    # would be "earliest version" in one engine and "latest row" in
+    # the other (same divergence class g6/w9 guard against)
+    t = ev.filter(
+        F.col("event_type").isin("signup", "purchase") & F.col("ts").isNotNull()
+    ).select(
         "user_id",
         "ts",
         "event_id",

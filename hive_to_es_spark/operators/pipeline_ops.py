@@ -1077,15 +1077,18 @@ def p15_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P17_ORACLE = """
 WITH a AS (
   SELECT o_orderkey,
-         md5(concat_ws('|', CAST(o_totalprice AS VARCHAR), o_orderstatus)) AS row_hash
+         md5(concat_ws('|',
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+             o_orderstatus)) AS row_hash
   FROM orders WHERE o_orderkey % 7 <> 0
 ),
 b AS (
   SELECT o_orderkey,
          md5(concat_ws('|',
-             CAST(CASE WHEN o_orderkey % 3 = 0
-                       THEN round(o_totalprice * 1.1, 2)
-                       ELSE o_totalprice END AS VARCHAR),
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                  + CASE WHEN o_orderkey % 3 = 0
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) // 10
+                         ELSE 0 END AS VARCHAR),
              o_orderstatus)) AS row_hash
   FROM orders WHERE o_orderkey % 5 <> 0
 )
@@ -1118,19 +1121,27 @@ def p17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     content checksum over each class so the oracle pins membership,
     not just counts."""
     o = load_tables(spark, sf_dir).orders
+    # Row identity hashes INTEGER CENTS, never a double-to-string
+    # rendering: engines format doubles differently (Spark flips to
+    # 1.23E7 notation at >=1e7; rounding a x.xx5 uplift to cents can
+    # split by one ulp), and any one-row disagreement silently
+    # reclassifies the diff. round(price*100) is >=1 ulp from any .5
+    # boundary for 2-dp money, and the 10% uplift is cents + cents DIV
+    # 10 — pure integers end to end.
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     snap_a = o.filter(F.col("o_orderkey") % 7 != 0).select(
         "o_orderkey",
         F.md5(
-            F.concat_ws("|", F.col("o_totalprice").cast("string"), "o_orderstatus")
+            F.concat_ws("|", cents.cast("string"), "o_orderstatus")
         ).alias("row_hash"),
     )
-    price_b = F.when(
-        F.col("o_orderkey") % 3 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
-    ).otherwise(F.col("o_totalprice"))
+    cents_b = cents + F.when(
+        F.col("o_orderkey") % 3 == 0, (cents / 10).cast("bigint")
+    ).otherwise(F.lit(0))
     snap_b = o.filter(F.col("o_orderkey") % 5 != 0).select(
         "o_orderkey",
         F.md5(
-            F.concat_ws("|", price_b.cast("string"), "o_orderstatus")
+            F.concat_ws("|", cents_b.cast("string"), "o_orderstatus")
         ).alias("row_hash"),
     )
     a, b = snap_a.alias("a"), snap_b.alias("b")

@@ -383,7 +383,6 @@ def o8_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o9_oracle() -> str:
-    # Deferred import: text_ext imports dedup; keep sort_set leaf-free.
     from hive_to_es_spark.operators.text_ext import QUALITY_CTE_SQL
 
     return f"""
@@ -404,7 +403,7 @@ FROM drawn GROUP BY lang
 """
 
 
-@register("o9_weighted_sample", None)
+@register("o9_weighted_sample", _o9_oracle())
 def o9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted downsampling: keep each document with
     probability equal to its t4 quality score, decided by a
@@ -453,12 +452,3 @@ def o9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-from hive_to_es_spark.registry import REGISTRY as _REG
-
-_REG["o9_weighted_sample"] = _REG["o9_weighted_sample"].__class__(
-    name="o9_weighted_sample",
-    fn=_REG["o9_weighted_sample"].fn,
-    oracle=_o9_oracle(),
-    doc=_REG["o9_weighted_sample"].doc,
-)

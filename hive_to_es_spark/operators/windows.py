@@ -464,6 +464,7 @@ _W9_GAP_US = 12 * 3600 * 1_000_000  # 12 h inactivity gap (fixture events
 _W9_ORACLE = f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+  WHERE ts IS NOT NULL
 ),
 g AS (
   SELECT user_id, event_id, tus,
@@ -498,8 +499,14 @@ def w9_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Timestamps become integer epoch-micros up front so gap compare,
     session numbering and duration are exact integer ops (no float
     drift cross-engine)."""
-    ev = load_tables(spark, sf_dir).events.select(
-        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    # ts IS NOT NULL on both sides: Spark asc sorts NULLS FIRST,
+    # DuckDB defaults nulls_last — unfiltered NULL timestamps would
+    # session-number the two engines differently (g6 carries the same
+    # guard for the same reason)
+    ev = (
+        load_tables(spark, sf_dir)
+        .events.filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("tus"))
     )
     w = Window.partitionBy("user_id").orderBy(F.col("tus").asc(), F.col("event_id").asc())
     gap = F.col("tus") - F.lag("tus").over(w)

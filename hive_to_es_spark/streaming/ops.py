@@ -376,7 +376,7 @@ def tf_latest_per_user(events: DataFrame) -> DataFrame:
     )
 
 
-def foreach_batch_upsert(spark: SparkSession, state_path: str):
+def foreach_batch_upsert(state_path: str):
     """foreachBatch body for a streaming keyed upsert into a parquet
     state dir — the file-sink twin of `es.write.operation=upsert` in
     continuous sync mode. Each micro-batch merges its RAW rows into
@@ -386,24 +386,30 @@ def foreach_batch_upsert(spark: SparkSession, state_path: str):
     whenever a late file carries early events. State stays |keys|
     rows; each merge is one window over |state| + |batch|.
     """
-    import os
-
     from hive_to_es_spark.functions.merge import merge_into_parquet, merge_upsert
 
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         batch = batch_df.select(*cols)
         # reduce the batch to one row per key first: the state never
         # holds more than |keys| rows, so merge cost is bounded
         latest = merge_upsert(
             batch.limit(0), batch, key="user_id", order_by=["ts", "event_id"]
         )
-        if not os.path.isdir(state_path):
+        # existence via the Hadoop FileSystem API, like merge.py's
+        # swap: os.path.isdir is driver-local and always False for
+        # hdfs://-S3A/file:-URI sinks, which would silently turn every
+        # merge into an overwrite of the accumulated state
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        target = jvm_path(state_path)
+        fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(target):
             latest.write.mode("overwrite").parquet(state_path)
         else:
             merge_into_parquet(
-                batch_df.sparkSession,
+                spark,
                 state_path,
                 latest,
                 key="user_id",

@@ -569,7 +569,7 @@ def test_stream_upsert_converges_to_batch_state(spark, events_dir, tmp_path):
         .parquet(multi)
     )
     q = (
-        src.writeStream.foreachBatch(foreach_batch_upsert(spark, state))
+        src.writeStream.foreachBatch(foreach_batch_upsert(state))
         .option("checkpointLocation", str(tmp_path / "ckpt_upsert"))
         .trigger(availableNow=True)
         .start()
