@@ -766,24 +766,14 @@ WHERE ({' + '.join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in ran
 """
 
 
-@register("d8_dedup_minhash_portable", _D8_ORACLE)
-def d8_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates with salted md5-prefix hashes —
-    the d2 algorithm (shingle -> minhash signature -> banded bucket
-    join) rebuilt from engine-portable primitives so the WHOLE path,
-    signatures included, hash-verifies against DuckDB.
-
-    Plan shape (identical cost model to d2): one explode + 8-way min
-    aggregate per doc (map-side partial), an 8x1-banded self equi-join
-    on (band, minhash) — candidates only ever come from shared
-    buckets, never all-pairs — and a signature re-join to estimate
-    Jaccard as the matching-component fraction. At 100 TB you raise
-    the hash count / rows-per-band to move the S-curve; the plan is
-    unchanged."""
-    d = load_tables(spark, sf_dir).documents
+def portable_minhash_candidates(d: DataFrame):
+    """Shared d8/d13 pipeline head: (shingles, signatures, banded
+    candidate pairs) with the salted md5-prefix hash family the DuckDB
+    oracle can recompute term-for-term."""
     shingles = d.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("w")
     )
+
     def h(i):
         return F.conv(
             F.substring(F.md5(F.concat(F.lit(f"s{i}|"), F.col("w"))), 1, 15), 16, 10
@@ -812,6 +802,24 @@ def d8_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+    return shingles, mh, cand
+
+
+@register("d8_dedup_minhash_portable", _D8_ORACLE)
+def d8_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates with salted md5-prefix hashes —
+    the d2 algorithm (shingle -> minhash signature -> banded bucket
+    join) rebuilt from engine-portable primitives so the WHOLE path,
+    signatures included, hash-verifies against DuckDB.
+
+    Plan shape (identical cost model to d2): one explode + 8-way min
+    aggregate per doc (map-side partial), an 8x1-banded self equi-join
+    on (band, minhash) — candidates only ever come from shared
+    buckets, never all-pairs — and a signature re-join to estimate
+    Jaccard as the matching-component fraction. At 100 TB you raise
+    the hash count / rows-per-band to move the S-curve; the plan is
+    unchanged."""
+    _, mh, cand = portable_minhash_candidates(load_tables(spark, sf_dir).documents)
     a = mh.select(F.col("doc_id").alias("a_id"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_D8_N_HASHES)])
     b = mh.select(F.col("doc_id").alias("b_id"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_D8_N_HASHES)])
     matches = sum(
@@ -970,4 +978,115 @@ def d12_dup_groups_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("component").alias("group_id"),
         (F.col("component") == F.col("doc_id")).cast("int").alias("is_canonical"),
+    )
+
+
+# d13 — sketch-accuracy report: the estimator audited against ground
+# truth, pair by pair. est/exact/err per candidate, ALL candidates
+# (no est threshold — the low-est tail is exactly where accuracy
+# reporting matters).
+_D13_ORACLE = f"""
+WITH shingles AS ({_D8_SHINGLE_SQL}),
+mh AS (
+  SELECT doc_id,
+    {', '.join(f"min(CAST(concat('0x', substr(md5(concat('s{i}|', w)), 1, 15)) AS BIGINT)) AS mh{i}" for i in range(_D8_N_HASHES))}
+  FROM shingles GROUP BY doc_id
+),
+bands AS ({' UNION ALL '.join(f"SELECT doc_id, {i} AS band, mh{i} AS mh FROM mh" for i in range(_D8_N_HASHES))}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.mh = y.mh AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.id_a
+  JOIN shingles y ON y.doc_id = c.id_b AND y.w = x.w
+  GROUP BY c.id_a, c.id_b
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(({' + '.join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(_D8_N_HASHES))}) / {_D8_N_HASHES}.0, 6) AS est_jaccard,
+         round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+               / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS exact_jaccard
+  FROM cand c
+  JOIN mh a ON c.id_a = a.doc_id
+  JOIN mh b ON c.id_b = b.doc_id
+  JOIN sizes sa ON c.id_a = sa.doc_id
+  JOIN sizes sb ON c.id_b = sb.doc_id
+  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+)
+SELECT id_a, id_b, est_jaccard, exact_jaccard,
+       round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+FROM scored
+"""
+
+
+@register("d13_sketch_accuracy", _D13_ORACLE)
+def d13_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every banded-MinHash candidate pair,
+    the signature's Jaccard ESTIMATE next to the exact shingle-set
+    Jaccard and the absolute error — the measurement every
+    sketch-tuned dedup pipeline owes its operator ("are 8 hashes
+    enough at our threshold?"). d8's candidates and signatures are
+    reused verbatim (portable_minhash_candidates), so this op is the
+    ACCURACY COLUMN for d8's production decisions: E[|err|] ~
+    sqrt(J(1-J)/k) at k hashes; raising k moves it as 1/sqrt(k) with
+    no plan change.
+
+    Cost shape: the exact verify joins each candidate pair back to
+    its two shingle sets — |candidates| x |doc| work, bounded by the
+    banded blocking exactly as in d11's verify stage; the estimate
+    itself is one 8-column compare on the already-joined signatures.
+    At 100 TB you run this on a hash-sampled slice (o4) — accuracy
+    is a population statistic, not a per-corpus scan obligation."""
+    shingles, mh, cand = portable_minhash_candidates(
+        load_tables(spark, sf_dir).documents
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sx = shingles.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    sy = shingles.select(F.col("doc_id").alias("id_b2"), F.col("w").alias("wb"))
+    inter = (
+        cand.join(sx, "id_a")
+        .join(sy, (F.col("wb") == F.col("wa")) & (F.col("id_b2") == F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    a = mh.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_D8_N_HASHES)],
+    )
+    b = mh.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_D8_N_HASHES)],
+    )
+    matches = sum(
+        (
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(_D8_N_HASHES)
+        ),
+        F.lit(0),
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    est = F.round(matches / float(_D8_N_HASHES), 6)
+    exact = F.round(
+        n_common.cast("double") / (F.col("na") + F.col("nb") - n_common), 6
+    )
+    return (
+        cand.join(a, cand.id_a == a.a_id)
+        .join(b, cand.id_b == b.b_id)
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
     )
