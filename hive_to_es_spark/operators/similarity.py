@@ -850,3 +850,116 @@ def ivf_recall(
     hits = exact.join(approx, ["qid", "vec_id"]).count()
     total = exact.count()
     return hits / total if total else 0.0
+
+
+# s12 — ANN recall report: the LSH path (s4's sign buckets) measured
+# against exact brute force (s7's batch kNN), per query, value-level.
+# Recall floors are already pinned in tests; this op makes the same
+# measurement a first-class, oracle-verified query an operator can
+# run on production samples.
+_S12_K = 10
+
+_S12_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+         CAST(list_aggregate(
+           list_transform(range(1, 9),
+             j -> CASE WHEN embedding[j] > 0 THEN 2 ** (j - 1) ELSE 0 END),
+           'sum') AS INTEGER) AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, ev AS qv, bucket AS qbucket
+  FROM b WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id, ev, bucket FROM b WHERE vec_id % 50 <> 0
+),
+brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(c.ev, q.qv), 6) DESC,
+                      c.vec_id ASC) AS rn
+    FROM c CROSS JOIN q
+  ) WHERE rn <= {_S12_K}
+),
+lsh AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(c.ev, q.qv), 6) DESC,
+                      c.vec_id ASC) AS rn
+    FROM c JOIN q ON c.bucket = q.qbucket
+  ) WHERE rn <= {_S12_K}
+)
+SELECT b.query_id,
+       CAST(count(l.vec_id) AS BIGINT) AS n_overlap,
+       round(count(l.vec_id) / {_S12_K}.0, 4) AS recall_at_k
+FROM brute b
+LEFT JOIN lsh l ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+GROUP BY b.query_id
+"""
+
+
+@register("s12_recall_report", _S12_ORACLE)
+def s12_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit: recall@10 of the sign-LSH bucket search (s4)
+    against exact brute-force top-10 (s7), per query — the number an
+    ANN deployment tunes bits/probes by, computed as a query instead
+    of trusted from a paper. Deterministic because both top-k sets
+    break ties by (rounded cos_sim, vec_id).
+
+    Plan: ONE corpus scan feeds both arms (brute: broadcast-q cross
+    join + WindowGroupLimit top-k; LSH: bucket equi-join + the same
+    top-k), then a key-overlap count per query. At 100 TB the brute
+    arm is the expensive one — run the audit on a hash-sampled query
+    batch (o4) at a fixed cadence; the LSH arm alone is the serving
+    path. Low recall here = raise bits or switch to s10's multiprobe;
+    the op turns that decision into data."""
+    e = load_tables(spark, sf_dir).embeddings
+    b = e.select(
+        "vec_id",
+        _dbl("embedding").alias("ev"),
+        _norm(_dbl("embedding")).alias("nrm"),
+        sign_bucket("embedding").alias("bucket"),
+    )
+    q = b.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ev").alias("qv"),
+        F.col("nrm").alias("nq"),
+        F.col("bucket").alias("qbucket"),
+    )
+    c = b.filter(F.col("vec_id") % 50 != 0)
+    cos = F.round(_dot(F.col("ev"), F.col("qv")) / (F.col("nrm") * F.col("nq")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _S12_K)
+            .select("query_id", "vec_id")
+        )
+
+    brute = topk(
+        c.crossJoin(F.broadcast(q)).select(
+            "query_id", "vec_id", cos.alias("cos_sim")
+        )
+    )
+    lsh = topk(
+        c.join(F.broadcast(q), c.bucket == q.qbucket).select(
+            "query_id", "vec_id", cos.alias("cos_sim")
+        )
+    )
+    hit = lsh.withColumn("hit", F.lit(1))
+    return (
+        brute.join(hit, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_overlap"),
+            F.round(F.count("hit") / float(_S12_K), 4).alias("recall_at_k"),
+        )
+    )
