@@ -1372,3 +1372,106 @@ def b8_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+_P19_ORACLE = """
+SELECT 'orders_price_positive' AS constraint_name,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(count(*) FILTER (NOT (o_totalprice > 0)) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_date_in_range',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (NOT (o_orderdate >= TIMESTAMP '1992-01-01'
+                                  AND o_orderdate < TIMESTAMP '2003-01-01')) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_references_customer',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_orderkey_references_orders',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem_quantity_1_to_50',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (NOT (l_quantity BETWEEN 1 AND 50)) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'customer_acctbal_not_null',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (c_acctbal IS NULL) AS BIGINT)
+FROM customer
+"""
+
+
+@register("p19_data_quality", _P19_ORACLE)
+def p19_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/dbt-test shape): a
+    constraint suite — range checks, null checks, referential
+    integrity across tables — evaluated in one job, one result row
+    per constraint with checked/violation counts. The gate a sync
+    pipeline runs BEFORE p7 ships documents anywhere.
+
+    Plan shape: predicate constraints compile to count_if inside each
+    table's single aggregate scan (no per-constraint pass — adding a
+    constraint adds a column, not a job); referential checks are
+    LEFT ANTI joins, broadcast when the referenced key side fits
+    (customer at any realistic dim size), shuffle otherwise. All
+    outputs are exact integers. Violation rows themselves (not just
+    counts) are one filter away — the same expressions route bad rows
+    to b6's quarantine or p15's dead-letter sink."""
+    t = load_tables(spark, sf_dir)
+    o, c, li = t.orders, t.customer, t.lineitem
+
+    def check(df, name, bad_cond, n_rows_df=None):
+        agg = df.agg(
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.count_if(bad_cond).cast("bigint").alias("n_violations"),
+        )
+        return agg.select(
+            F.lit(name).alias("constraint_name"), "n_checked", "n_violations"
+        )
+
+    price = check(o, "orders_price_positive", ~(F.col("o_totalprice") > 0))
+    date = check(
+        o,
+        "orders_date_in_range",
+        ~(
+            (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2003-01-01").cast("timestamp"))
+        ),
+    )
+    qty = check(li, "lineitem_quantity_1_to_50", ~F.col("l_quantity").between(1, 50))
+    nn = check(c, "customer_acctbal_not_null", F.col("c_acctbal").isNull())
+
+    def ref_check(fact, fk, dim, pk, name, broadcast_dim):
+        # the broadcast hint is FORCED when given, so only hint true
+        # dimensions; fact-sized reference sides (orders under
+        # lineitem) must stay with Catalyst/AQE's size-based choice
+        keys = dim.select(pk)
+        if broadcast_dim:
+            keys = F.broadcast(keys)
+        n_total = fact.agg(F.count("*").cast("bigint").alias("n_checked"))
+        orphans = (
+            fact.join(keys, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count("*").cast("bigint").alias("n_violations"))
+        )
+        return n_total.crossJoin(orphans).select(
+            F.lit(name).alias("constraint_name"), "n_checked", "n_violations"
+        )
+
+    fk1 = ref_check(
+        o, "o_custkey", c, "c_custkey",
+        "orders_custkey_references_customer", broadcast_dim=True,
+    )
+    fk2 = ref_check(
+        li, "l_orderkey", o, "o_orderkey",
+        "lineitem_orderkey_references_orders", broadcast_dim=False,
+    )
+    return price.unionByName(date).unionByName(fk1).unionByName(fk2).unionByName(
+        qty
+    ).unionByName(nn)

@@ -457,3 +457,63 @@ def x12_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
     )
+
+
+_X13_ORACLE = """
+WITH blocked AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         substr(c_name, length(c_name) - 1, 2) AS blk
+  FROM customer
+)
+SELECT a.c_nationkey AS nation,
+       CAST(count(*) AS BIGINT) AS n_match_pairs,
+       CAST(min(levenshtein(a.c_name, b.c_name)) AS BIGINT) AS min_lev,
+       CAST(max(levenshtein(a.c_name, b.c_name)) AS BIGINT) AS max_lev
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+GROUP BY 1
+"""
+
+
+@register("x13_fuzzy_match", _X13_ORACLE)
+def x13_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: near-identical customer names found via
+    edit distance <= 2 under a cheap blocking key — the entity-
+    resolution primitive (dedupe "Jon Smith"/"John Smith" across
+    CRMs). Both engines ship the same Wagner-Fischer levenshtein, so
+    the whole match set value-verifies.
+
+    The blocking key (name suffix) is what makes this scale: edit
+    distance is O(len²) per pair and cannot be indexed directly, so
+    NEVER all-pairs — candidates come from a block equi-join
+    (Σ|block|² pairs, the d4/d5 discipline), and the quadratic
+    predicate runs only inside blocks. Production blocks on phonetic
+    codes (soundex — also a built-in in both engines) or q-gram
+    prefixes (d10's filter); a suffix block is the fixture-honest
+    choice because these names differ in trailing digits. The
+    WHERE-side distance keeps the filter ABOVE the join (not in the
+    join condition) so the planner still sees a hash-joinable equi
+    key."""
+    c = load_tables(spark, sf_dir).customer.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring(F.col("c_name"), -2, 2).alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(lev <= 2)
+        .groupBy(F.col("a.c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_match_pairs"),
+            F.min(lev).cast("bigint").alias("min_lev"),
+            F.max(lev).cast("bigint").alias("max_lev"),
+        )
+    )

@@ -13,7 +13,7 @@ EXPECTED_KEYS = {
     "p5_type_to_json", "p6_batching", "p7_sink_es", "p8_job_config",
     "p9_incremental_upsert", "p10_corpus_pipeline", "p11_incremental_dedup",
     "p12_token_shards", "p13_partition_backfill", "p14_schema_evolution",
-    "p15_dead_letter", "p17_snapshot_diff", "p18_skew_report",
+    "p15_dead_letter", "p17_snapshot_diff", "p18_skew_report", "p19_data_quality",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
     "b5_dynamic_partition_pruning", "b7_zorder_layout", "b8_python_datasource",
@@ -48,6 +48,7 @@ EXPECTED_KEYS = {
     # scalar families
     "x1_string", "x2_date", "x3_math", "x4_array", "x5_map", "x6_json",
     "x7_cast_coalesce", "x8_hash", "x9_recursive_cte", "x10_bitwise", "x12_gapfill",
+    "x13_fuzzy_match",
     # streaming
     "e1_tumbling", "e2_sliding", "e3_session", "e4_watermark_late",
     "e5_stream_dedup", "e6_stream_static_join", "e7_stateful_custom",
