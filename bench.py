@@ -80,6 +80,10 @@ EXTENSION = [
     # + agg over one exchange)
     "g6_cogrouped_asof",
     "w9_sessionize",
+    # round 6 batch 3: sketch-accuracy audit (banded candidates +
+    # exact verify) and the ANN recall audit's brute-force arm
+    "d13_sketch_accuracy",
+    "s12_recall_report",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -635,3 +635,41 @@ def test_shard_assign_packing_semantics(spark):
 
     empty = spark.createDataFrame([], "k LONG, w LONG")
     assert shard_assign(empty, "k", "w", 100, 4).count() == 0
+
+
+def test_sketch_accuracy_error_bound(spark, sf_dir):
+    """d13's reported |est - exact| must respect the MinHash variance
+    bound: with k=8 hashes the standard error is sqrt(J(1-J)/8) <=
+    0.177, so the MEAN absolute error across candidate pairs should
+    sit well under 2 sigma and the estimate must not be biased (mean
+    signed error near zero would need the signed column; here we pin
+    the mean |err| and that exact==1 pairs estimate 1 exactly)."""
+    from hive_to_es_spark.registry import queries
+
+    rows = queries()["d13_sketch_accuracy"](spark, sf_dir).collect()
+    assert rows, "banded candidates must exist on the fixture"
+    mean_abs = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_abs <= 0.35, f"mean |err| {mean_abs:.3f} breaches 2-sigma-ish bound"
+    for r in rows:
+        if r.exact_jaccard == 1.0:
+            assert r.est_jaccard == 1.0, (
+                "identical shingle sets must produce identical signatures"
+            )
+
+
+def test_recall_report_exposes_bucket_occupancy_ceiling(spark, sf_dir):
+    """s12 is an AUDIT: at sf0.01 a single 8-bit bucket holds ~2 of
+    500 vectors, so recall@10 is occupancy-bounded near 0.2/query max
+    (measured avg 0.04) — the op's value is reporting that honestly.
+    Pin: nonzero (the bucket join does find true neighbors), within
+    [0,1], one row per query, and every per-query recall is a
+    multiple of 1/k (it counts set overlap)."""
+    from hive_to_es_spark.registry import queries
+
+    rows = queries()["s12_recall_report"](spark, sf_dir).collect()
+    assert len(rows) == 10  # one per query vector (vec_id % 50 == 0)
+    avg = sum(r.recall_at_k for r in rows) / len(rows)
+    assert avg > 0.0, "LSH bucket search found no true neighbor at all"
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert abs(r.recall_at_k * 10 - r.n_overlap) < 1e-9

@@ -105,6 +105,17 @@ OPS = {
     "w9_sessionize": (2.0, "one shuffle, two stacked windows sharing the sort + co-partitioned agg; per-user rows grow k-fold"),
     "g6_cogrouped_asof": (2.0, "cogroup shuffle + per-user numpy as-of kernel; cost is per-GROUP Python overhead x n_users (constant here — users do not scale with k), data term invisible: the flat curve IS the model. First cut inverted (9.4s->2.4s): AQE coalesced the byte-tiny shuffle to 1 partition, serializing all groups — fixed by a group-count partition floor"),
     "a18_heavy_hitters": (2.0, "MG sketch pass + candidate-restricted exact count, linear; candidate set fixed at k_counters x n_partitions"),
+    # round 6 batch 3+: d13 inherits d8's banded-candidate model
+    # (identical copies grow every band bucket k-fold -> pairs k²,
+    # then an exact verify join per pair); s12's brute arm is corpus x
+    # query-batch and BOTH grow k-fold with offset vec_ids -> k²;
+    # x13's suffix blocks are fixed in number so copies grow every
+    # block k-fold -> pairs k²; p19 is one aggregate scan per table +
+    # two anti-joins, linear.
+    "d13_sketch_accuracy": (4.0, "d8's banded candidates (k² with identical copies) + per-pair exact shingle verify"),
+    "s12_recall_report": (4.0, "brute arm corpus x queries, both k-fold under offset-id scaling"),
+    "x13_fuzzy_match": (4.0, "fixed suffix-block count, k-fold block size -> Σ|block|² pairs"),
+    "p19_data_quality": (2.0, "count_if aggregate scans + two anti-joins, linear"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
