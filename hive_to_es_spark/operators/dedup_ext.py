@@ -802,7 +802,30 @@ def portable_minhash_candidates(d: DataFrame):
         .select("id_a", "id_b")
         .distinct()
     )
-    return shingles, mh, cand
+    a = mh.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_D8_N_HASHES)],
+    )
+    b = mh.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_D8_N_HASHES)],
+    )
+    matches = sum(
+        (
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(_D8_N_HASHES)
+        ),
+        F.lit(0),
+    )
+    # every candidate pair with its signature-match estimate — the one
+    # place the estimator formula lives; d8 thresholds it, d13 audits
+    # it against exact Jaccard
+    scored = (
+        cand.join(a, cand.id_a == a.a_id)
+        .join(b, cand.id_b == b.b_id)
+        .select("id_a", "id_b", (matches / float(_D8_N_HASHES)).alias("est_jaccard"))
+    )
+    return shingles, mh, cand, scored
 
 
 @register("d8_dedup_minhash_portable", _D8_ORACLE)
@@ -819,19 +842,10 @@ def d8_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard as the matching-component fraction. At 100 TB you raise
     the hash count / rows-per-band to move the S-curve; the plan is
     unchanged."""
-    _, mh, cand = portable_minhash_candidates(load_tables(spark, sf_dir).documents)
-    a = mh.select(F.col("doc_id").alias("a_id"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_D8_N_HASHES)])
-    b = mh.select(F.col("doc_id").alias("b_id"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_D8_N_HASHES)])
-    matches = sum(
-        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_D8_N_HASHES)),
-        F.lit(0),
+    _, _, _, scored = portable_minhash_candidates(
+        load_tables(spark, sf_dir).documents
     )
-    return (
-        cand.join(a, cand.id_a == a.a_id)
-        .join(b, cand.id_b == b.b_id)
-        .select("id_a", "id_b", (matches / float(_D8_N_HASHES)).alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= 0.25)
-    )
+    return scored.filter(F.col("est_jaccard") >= 0.25)
 
 
 # d9 — the TEXT-side dedup endgame (d7 is the embedding-side twin):
@@ -1042,7 +1056,7 @@ def d13_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is one 8-column compare on the already-joined signatures.
     At 100 TB you run this on a hash-sampled slice (o4) — accuracy
     is a population statistic, not a per-corpus scan obligation."""
-    shingles, mh, cand = portable_minhash_candidates(
+    shingles, _, cand, scored = portable_minhash_candidates(
         load_tables(spark, sf_dir).documents
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -1054,32 +1068,15 @@ def d13_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
-    a = mh.select(
-        F.col("doc_id").alias("a_id"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_D8_N_HASHES)],
-    )
-    b = mh.select(
-        F.col("doc_id").alias("b_id"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_D8_N_HASHES)],
-    )
-    matches = sum(
-        (
-            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-            for i in range(_D8_N_HASHES)
-        ),
-        F.lit(0),
-    )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     n_common = F.coalesce(F.col("n_common"), F.lit(0))
-    est = F.round(matches / float(_D8_N_HASHES), 6)
+    est = F.round(F.col("est_jaccard"), 6)
     exact = F.round(
         n_common.cast("double") / (F.col("na") + F.col("nb") - n_common), 6
     )
     return (
-        cand.join(a, cand.id_a == a.a_id)
-        .join(b, cand.id_b == b.b_id)
-        .join(sa, "id_a")
+        scored.join(sa, "id_a")
         .join(sb, "id_b")
         .join(inter, ["id_a", "id_b"], "left")
         .select(

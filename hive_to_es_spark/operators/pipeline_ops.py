@@ -1377,13 +1377,14 @@ def b8_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P19_ORACLE = """
 SELECT 'orders_price_positive' AS constraint_name,
        CAST(count(*) AS BIGINT) AS n_checked,
-       CAST(count(*) FILTER (NOT (o_totalprice > 0)) AS BIGINT) AS n_violations
+       CAST(count(*) FILTER (NOT (o_totalprice > 0) OR o_totalprice IS NULL) AS BIGINT) AS n_violations
 FROM orders
 UNION ALL
 SELECT 'orders_date_in_range',
        CAST(count(*) AS BIGINT),
        CAST(count(*) FILTER (NOT (o_orderdate >= TIMESTAMP '1992-01-01'
-                                  AND o_orderdate < TIMESTAMP '2003-01-01')) AS BIGINT)
+                                  AND o_orderdate < TIMESTAMP '2003-01-01')
+                             OR o_orderdate IS NULL) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'orders_custkey_references_customer',
@@ -1398,7 +1399,7 @@ SELECT 'lineitem_orderkey_references_orders',
 UNION ALL
 SELECT 'lineitem_quantity_1_to_50',
        CAST(count(*) AS BIGINT),
-       CAST(count(*) FILTER (NOT (l_quantity BETWEEN 1 AND 50)) AS BIGINT)
+       CAST(count(*) FILTER (NOT (l_quantity BETWEEN 1 AND 50) OR l_quantity IS NULL) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'customer_acctbal_not_null',
@@ -1416,42 +1417,85 @@ def p19_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per constraint with checked/violation counts. The gate a sync
     pipeline runs BEFORE p7 ships documents anywhere.
 
-    Plan shape: predicate constraints compile to count_if inside each
-    table's single aggregate scan (no per-constraint pass — adding a
-    constraint adds a column, not a job); referential checks are
-    LEFT ANTI joins, broadcast when the referenced key side fits
-    (customer at any realistic dim size), shuffle otherwise. All
+    Plan shape: ALL predicate constraints on a table compile to
+    count_if columns of ONE aggregate scan (stacked_checks — adding a
+    constraint adds a column, not a scan; the single agg row explodes
+    into per-constraint result rows). Referential checks each need
+    their own anti-join pass over the fact — broadcast when the
+    referenced key side fits (customer at any realistic dim size),
+    Catalyst/AQE-chosen otherwise. All
     outputs are exact integers. Violation rows themselves (not just
     counts) are one filter away — the same expressions route bad rows
     to b6's quarantine or p15's dead-letter sink."""
     t = load_tables(spark, sf_dir)
     o, c, li = t.orders, t.customer, t.lineitem
 
-    def check(df, name, bad_cond, n_rows_df=None):
+    def stacked_checks(df, checks):
+        """ONE aggregate scan per table: every predicate constraint is
+        a count_if column of the same agg; the single result row then
+        explodes into one row per constraint. NULL never passes a
+        check silently: each bad-condition ORs in the column's
+        nullness (NOT(NULL > 0) is NULL, which count_if would skip —
+        the exact dirty-data case an audit exists for)."""
         agg = df.agg(
             F.count("*").cast("bigint").alias("n_checked"),
-            F.count_if(bad_cond).cast("bigint").alias("n_violations"),
+            *[
+                F.count_if(bad).cast("bigint").alias(f"v{i}")
+                for i, (_, bad) in enumerate(checks)
+            ],
         )
         return agg.select(
-            F.lit(name).alias("constraint_name"), "n_checked", "n_violations"
-        )
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("constraint_name"),
+                            F.col("n_checked").alias("n_checked"),
+                            F.col(f"v{i}").alias("n_violations"),
+                        )
+                        for i, (name, _) in enumerate(checks)
+                    ]
+                )
+            ).alias("c")
+        ).select("c.*")
 
-    price = check(o, "orders_price_positive", ~(F.col("o_totalprice") > 0))
-    date = check(
+    o_checks = stacked_checks(
         o,
-        "orders_date_in_range",
-        ~(
-            (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("2003-01-01").cast("timestamp"))
-        ),
+        [
+            (
+                "orders_price_positive",
+                ~(F.col("o_totalprice") > 0) | F.col("o_totalprice").isNull(),
+            ),
+            (
+                "orders_date_in_range",
+                ~(
+                    (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("2003-01-01").cast("timestamp"))
+                )
+                | F.col("o_orderdate").isNull(),
+            ),
+        ],
     )
-    qty = check(li, "lineitem_quantity_1_to_50", ~F.col("l_quantity").between(1, 50))
-    nn = check(c, "customer_acctbal_not_null", F.col("c_acctbal").isNull())
+    li_checks = stacked_checks(
+        li,
+        [
+            (
+                "lineitem_quantity_1_to_50",
+                ~F.col("l_quantity").between(1, 50) | F.col("l_quantity").isNull(),
+            )
+        ],
+    )
+    c_checks = stacked_checks(
+        c, [("customer_acctbal_not_null", F.col("c_acctbal").isNull())]
+    )
 
     def ref_check(fact, fk, dim, pk, name, broadcast_dim):
-        # the broadcast hint is FORCED when given, so only hint true
+        # referential integrity needs its own pass (an anti-join
+        # cannot fold into the aggregate scan); NULL fks never match
+        # and so count as orphans, consistent with NOT EXISTS. The
+        # broadcast hint is FORCED when given, so only hint true
         # dimensions; fact-sized reference sides (orders under
-        # lineitem) must stay with Catalyst/AQE's size-based choice
+        # lineitem) stay with Catalyst/AQE's size-based choice.
         keys = dim.select(pk)
         if broadcast_dim:
             keys = F.broadcast(keys)
@@ -1472,6 +1516,9 @@ def p19_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_orderkey", o, "o_orderkey",
         "lineitem_orderkey_references_orders", broadcast_dim=False,
     )
-    return price.unionByName(date).unionByName(fk1).unionByName(fk2).unionByName(
-        qty
-    ).unionByName(nn)
+    return (
+        o_checks.unionByName(fk1)
+        .unionByName(fk2)
+        .unionByName(li_checks)
+        .unionByName(c_checks)
+    )

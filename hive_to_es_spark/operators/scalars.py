@@ -462,7 +462,7 @@ def x12_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X13_ORACLE = """
 WITH blocked AS (
   SELECT c_custkey, c_name, c_nationkey,
-         substr(c_name, length(c_name) - 1, 2) AS blk
+         substr(c_name, greatest(length(c_name) - 1, 1), 2) AS blk
   FROM customer
 )
 SELECT a.c_nationkey AS nation,
@@ -499,7 +499,10 @@ def x13_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_name",
         "c_nationkey",
-        F.substring(F.col("c_name"), -2, 2).alias("blk"),
+        # greatest(len-1, 1) in BOTH engines: Spark's substring(s,-2,2)
+        # returns '' for 1-char strings while DuckDB substr clips the
+        # start — the shared positive-start form cannot diverge
+        F.expr("substring(c_name, greatest(length(c_name) - 1, 1), 2)").alias("blk"),
     )
     a, b = c.alias("a"), c.alias("b")
     lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))

@@ -327,6 +327,22 @@ def s10_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cosine_topk_arm(cands, k: int):
+    """Shared top-k arm of every recall audit (ann_recall, s12): from
+    (qid, vec_id, ev, qv) candidate rows, the k nearest by the ONE
+    tie-break contract — round(cos, 6) DESC, vec_id ASC. Encoding the
+    contract once keeps the audits from silently drifting apart."""
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cands.select(
+            "qid", "vec_id", F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+
+
 def ann_recall(
     spark: SparkSession,
     sf_dir: str,
@@ -353,25 +369,14 @@ def ann_recall(
         F.col("bucket").alias("qbucket"),
     )
 
-    def topk(cands: DataFrame) -> DataFrame:
-        w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-        return (
-            cands.select(
-                "qid", "vec_id", F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cos")
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select("qid", "vec_id")
-        )
-
-    exact = topk(base.crossJoin(F.broadcast(qs.select("qid", "qv"))))
+    exact = cosine_topk_arm(base.crossJoin(F.broadcast(qs.select("qid", "qv"))), k)
     probe = (
         F.explode(probe_buckets(F.col("qbucket")))
         if multiprobe
         else F.col("qbucket")
     )
     qp = qs.select("qid", "qv", probe.alias("bucket"))
-    approx = topk(base.join(F.broadcast(qp), "bucket"))
+    approx = cosine_topk_arm(base.join(F.broadcast(qp), "bucket"), k)
     hits = exact.join(approx, ["qid", "vec_id"]).count()
     total = exact.count()
     return hits / total if total else 0.0
@@ -922,42 +927,22 @@ def s12_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(
         "vec_id",
         _dbl("embedding").alias("ev"),
-        _norm(_dbl("embedding")).alias("nrm"),
         sign_bucket("embedding").alias("bucket"),
     )
     q = b.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
+        F.col("vec_id").alias("qid"),
         F.col("ev").alias("qv"),
-        F.col("nrm").alias("nq"),
         F.col("bucket").alias("qbucket"),
     )
     c = b.filter(F.col("vec_id") % 50 != 0)
-    cos = F.round(_dot(F.col("ev"), F.col("qv")) / (F.col("nrm") * F.col("nq")), 6)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-
-    def topk(pairs: DataFrame) -> DataFrame:
-        return (
-            pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _S12_K)
-            .select("query_id", "vec_id")
-        )
-
-    brute = topk(
-        c.crossJoin(F.broadcast(q)).select(
-            "query_id", "vec_id", cos.alias("cos_sim")
-        )
-    )
-    lsh = topk(
-        c.join(F.broadcast(q), c.bucket == q.qbucket).select(
-            "query_id", "vec_id", cos.alias("cos_sim")
-        )
+    brute = cosine_topk_arm(c.crossJoin(F.broadcast(q)), _S12_K)
+    lsh = cosine_topk_arm(
+        c.join(F.broadcast(q), c.bucket == q.qbucket), _S12_K
     )
     hit = lsh.withColumn("hit", F.lit(1))
     return (
-        brute.join(hit, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
+        brute.join(hit, ["qid", "vec_id"], "left")
+        .groupBy(F.col("qid").alias("query_id"))
         .agg(
             F.count("hit").cast("bigint").alias("n_overlap"),
             F.round(F.count("hit") / float(_S12_K), 4).alias("recall_at_k"),

@@ -11,6 +11,10 @@ Scaling strategy (k copies written to .tmp/scale{k}x as parquet):
   every blocking key's block grows k-fold, so blocked-pair operators
   (d4, s2, d6) should grow ~k² (Σ|block|² with k-fold blocks),
   validating that runtime tracks Σ|block|², not corpus size alone.
+- customer: k copies with offset c_custkey, names UNCHANGED — x13's
+  fixed suffix blocks each grow k-fold (pairs ~k²), and the scaled
+  orders' offset custkeys keep matching customers (q8/p19 joins stay
+  honest instead of dangling).
 - orders: k copies with offset o_orderkey AND o_custkey — the block
   COUNT grows k-fold instead, so j10 should grow ~k (linear).
 - lineitem / events: offset keys, linear shapes (t2, w4) ~k.
@@ -114,7 +118,7 @@ OPS = {
     # two anti-joins, linear.
     "d13_sketch_accuracy": (4.0, "d8's banded candidates (k² with identical copies) + per-pair exact shingle verify"),
     "s12_recall_report": (4.0, "brute arm corpus x queries, both k-fold under offset-id scaling"),
-    "x13_fuzzy_match": (4.0, "fixed suffix-block count, k-fold block size -> Σ|block|² pairs"),
+    "x13_fuzzy_match": (4.0, "identical-name copies grow every fixed suffix block k-fold -> Σ|block|² pairs"),
     "p19_data_quality": (2.0, "count_if aggregate scans + two anti-joins, linear"),
 }
 
@@ -154,6 +158,7 @@ def build_scaled(spark, k: int) -> None:
     key_cols = {
         "documents": ["doc_id"],
         "embeddings": ["vec_id"],
+        "customer": ["c_custkey"],
         "orders": ["o_orderkey", "o_custkey"],
         "lineitem": ["l_orderkey"],
         "events": ["event_id"],
