@@ -130,6 +130,10 @@ OPS = {
 # which made d10's first published growth curve flip between LOW and
 # FAIL run to run. Rebuilding per timed run recomputes everything.
 EAGER_BUILD = {
+    # x13: not build-eager, but its only heavy stage is one shuffle
+    # join that repeated collect() of a built DataFrame reuses (the
+    # d10 pitfall) — rebuild per timed run to price the whole join
+    "x13_fuzzy_match",
     "d4_dedup_ngram_jaccard",
     "d7_dedup_components",
     "d9_text_dup_groups",
