@@ -40,3 +40,42 @@ def test_scoped_merge_leaves_other_partitions(spark, tmp_path):
     merge_into_parquet(spark, path, updates, "k", scope=F.col("y") == "2024")
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "A", 2: "b", 3: "c"}
+
+
+def test_multi_column_order_breaks_ts_ties_by_id(spark):
+    """e9's contract: the winner per key is decided by (ts, event_id),
+    so at equal ts the higher id wins regardless of which side (or
+    micro-batch) carried it."""
+    old = spark.createDataFrame([(1, "low-id", 10, 3)], "k INT, v STRING, ts INT, id INT")
+    new = spark.createDataFrame([(1, "high-id", 10, 7)], "k INT, v STRING, ts INT, id INT")
+    got = {r.k: r.v for r in merge_upsert(old, new, "k", order_by=["ts", "id"]).collect()}
+    assert got == {1: "high-id"}
+    # and symmetric: the high-id row wins even when it is the OLD side
+    got = {r.k: r.v for r in merge_upsert(new, old, "k", order_by=["ts", "id"]).collect()}
+    assert got == {1: "high-id"}
+
+
+def test_merge_order_is_batch_order_invariant(spark):
+    """Replaying the same updates in any batch order converges to the
+    same state — the property the e9 streaming test relies on, pinned
+    here at the merge level with three permutations."""
+    import itertools
+
+    batches = [
+        [(1, "v1", 10, 1), (2, "w1", 10, 1)],
+        [(1, "v2", 30, 2)],
+        [(1, "v-late", 20, 3), (2, "w2", 40, 2)],
+    ]
+    schema = "k INT, v STRING, ts INT, id INT"
+    expected = None
+    for perm in itertools.permutations(batches):
+        state = spark.createDataFrame([], schema)
+        for b in perm:
+            state = merge_upsert(
+                state, spark.createDataFrame(b, schema), "k", order_by=["ts", "id"]
+            )
+        got = {r.k: (r.v, r.ts) for r in state.collect()}
+        if expected is None:
+            expected = got
+        assert got == expected, f"order-dependent merge under {perm}"
+    assert expected == {1: ("v2", 30), 2: ("w2", 40)}
