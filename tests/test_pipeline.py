@@ -224,3 +224,34 @@ def test_incremental_sink_schema_evolution(spark, sf_dir, tmp_path):
     # a plain (non-merge) read still works off the union footer —
     # whichever footer wins, the row COUNT is never wrong
     assert spark.read.parquet(sink).count() == n1 + n2
+
+
+def test_python_datasource_plans_one_partition_per_row_group(spark, sf_dir, tmp_path):
+    """b8's custom source must turn parquet ROW GROUPS into Spark
+    input partitions (metadata-only planning). The fixtures are
+    single-group files, so write a 4-group copy and prove: partition
+    count == row-group count, and the content round-trips exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet")
+    multi = str(tmp_path / "docs_multi.parquet")
+    pq.write_table(src, multi, row_group_size=max(1, src.num_rows // 4))
+    n_groups = pq.ParquetFile(multi).metadata.num_row_groups
+    assert n_groups >= 4
+
+    from hive_to_es_spark.registry import queries
+
+    # register the source by building the registered op once
+    queries()["b8_python_datasource"](spark, sf_dir)
+    df = (
+        spark.read.format("pydocs")
+        .option("path", multi)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == n_groups
+    got = sorted((r.doc_id, r.n_chars) for r in df.collect())
+    want = sorted(
+        zip(src.column("doc_id").to_pylist(), src.column("n_chars").to_pylist())
+    )
+    assert got == want
