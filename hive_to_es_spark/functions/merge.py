@@ -21,6 +21,25 @@ from pyspark.sql import functions as F
 VERSION_COL = "__version"
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for `path` via the Hadoop API.
+
+    The one place the package touches py4j internals: `spark._jvm` /
+    `spark._jsc` are classic-Spark-only (absent under Spark Connect).
+    Driver-local `os.path` checks are wrong for hdfs://S3A/file:-URI
+    sinks, so every path-existence or rename decision about a SINK
+    must route through here."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    target = jvm_path(path)
+    return target.getFileSystem(spark._jsc.hadoopConfiguration()), target
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Sink-filesystem existence check (see _hadoop_fs)."""
+    fs, target = _hadoop_fs(spark, path)
+    return bool(fs.exists(target))
+
+
 def merge_upsert(
     existing: DataFrame,
     updates: DataFrame,
@@ -88,9 +107,8 @@ def merge_into_parquet(
     staging = path.rstrip("/") + "_staging_" + uuid.uuid4().hex
     merged.write.mode("overwrite").parquet(staging)
     # swap via the Hadoop FileSystem API (portable across local/HDFS)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    target_p, staging_p = jvm_path(path), jvm_path(staging)
-    fs = target_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, target_p = _hadoop_fs(spark, path)
+    _, staging_p = _hadoop_fs(spark, staging)  # sibling => same filesystem
     fs.delete(target_p, True)
     if not fs.rename(staging_p, target_p):
         raise IOError(

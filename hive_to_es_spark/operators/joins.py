@@ -807,15 +807,16 @@ WITH t AS (
 ),
 w AS (
   SELECT user_id, ts, event_id, event_type,
-         last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+         last_value(CASE WHEN event_type = 'signup'
+                         THEN {'sid': event_id, 'sval': round(value, 2)}
+                    END IGNORE NULLS)
            OVER (PARTITION BY user_id ORDER BY ts, tie, event_id
-                 ROWS UNBOUNDED PRECEDING) AS signup_id,
-         last_value(CASE WHEN event_type = 'signup' THEN round(value, 2) END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, tie, event_id
-                 ROWS UNBOUNDED PRECEDING) AS tier
+                 ROWS UNBOUNDED PRECEDING) AS ver
   FROM t
 )
-SELECT event_id, user_id, signup_id, tier
+SELECT event_id, user_id,
+       struct_extract(ver, 'sid') AS signup_id,
+       struct_extract(ver, 'sval') AS tier
 FROM w WHERE event_type = 'purchase'
 """
 
@@ -844,6 +845,10 @@ def j15_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ascending, DuckDB nulls_last — an unfiltered NULL-ts signup
     # would be "earliest version" in one engine and "latest row" in
     # the other (same divergence class g6/w9 guard against)
+    # the version travels as ONE struct: a signup with NULL value
+    # still advances BOTH fields together (sid=new id, sval=NULL) —
+    # two independent last(..., ignorenulls) columns would let the
+    # version id and its payload disagree on such a row
     t = ev.filter(
         F.col("event_type").isin("signup", "purchase") & F.col("ts").isNotNull()
     ).select(
@@ -851,8 +856,13 @@ def j15_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "event_type",
-        F.when(F.col("event_type") == "signup", F.col("event_id")).alias("sid"),
-        F.when(F.col("event_type") == "signup", F.round("value", 2)).alias("sval"),
+        F.when(
+            F.col("event_type") == "signup",
+            F.struct(
+                F.col("event_id").alias("sid"),
+                F.round("value", 2).alias("sval"),
+            ),
+        ).alias("ver"),
         (F.col("event_type") == "signup").cast("int").alias("is_signup"),
     )
     w = (
@@ -861,8 +871,12 @@ def j15_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        t.withColumn("signup_id", F.last("sid", ignorenulls=True).over(w))
-        .withColumn("tier", F.last("sval", ignorenulls=True).over(w))
+        t.withColumn("v", F.last("ver", ignorenulls=True).over(w))
         .filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "signup_id", "tier")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("v.sid").alias("signup_id"),
+            F.col("v.sval").alias("tier"),
+        )
     )

@@ -1128,15 +1128,18 @@ def p17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reclassifies the diff. round(price*100) is >=1 ulp from any .5
     # boundary for 2-dp money, and the 10% uplift is cents + cents DIV
     # 10 — pure integers end to end.
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cents_sql = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    cents = F.expr(cents_sql)
     snap_a = o.filter(F.col("o_orderkey") % 7 != 0).select(
         "o_orderkey",
         F.md5(
             F.concat_ws("|", cents.cast("string"), "o_orderstatus")
         ).alias("row_hash"),
     )
+    # true integer division (Spark DIV == DuckDB // for non-negative
+    # cents), so the uplift never routes through a double
     cents_b = cents + F.when(
-        F.col("o_orderkey") % 3 == 0, (cents / 10).cast("bigint")
+        F.col("o_orderkey") % 3 == 0, F.expr(f"({cents_sql}) DIV 10")
     ).otherwise(F.lit(0))
     snap_b = o.filter(F.col("o_orderkey") % 5 != 0).select(
         "o_orderkey",

@@ -386,7 +386,11 @@ def foreach_batch_upsert(state_path: str):
     whenever a late file carries early events. State stays |keys|
     rows; each merge is one window over |state| + |batch|.
     """
-    from hive_to_es_spark.functions.merge import merge_into_parquet, merge_upsert
+    from hive_to_es_spark.functions.merge import (
+        fs_exists,
+        merge_into_parquet,
+        merge_upsert,
+    )
 
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
 
@@ -398,14 +402,11 @@ def foreach_batch_upsert(state_path: str):
         latest = merge_upsert(
             batch.limit(0), batch, key="user_id", order_by=["ts", "event_id"]
         )
-        # existence via the Hadoop FileSystem API, like merge.py's
-        # swap: os.path.isdir is driver-local and always False for
+        # existence via the sink's FileSystem (merge.fs_exists):
+        # os.path.isdir is driver-local and always False for
         # hdfs://-S3A/file:-URI sinks, which would silently turn every
         # merge into an overwrite of the accumulated state
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-        target = jvm_path(state_path)
-        fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(target):
+        if not fs_exists(spark, state_path):
             latest.write.mode("overwrite").parquet(state_path)
         else:
             merge_into_parquet(
