@@ -58,10 +58,10 @@ EXTENSION = [
     "p10_corpus_pipeline",
     "d8_dedup_minhash_portable",
     "d9_text_dup_groups",
-    # round 4: the high-cardinality RANGE-frame fallback path
-    "w7_range_frame_highcard",
-    # round 5: the bucketed-donor plan on the same shape (should beat
-    # w7's 3-task ceiling wall-clock-wise at equal semantics), and the
+    # round 7: w7 (the plain-window 3-task ceiling) is deprecated out
+    # of the public registry; its value pin lives in test_plans.py
+    # round 5: the bucketed-donor plan on the w7 shape (beats the
+    # 3-task ceiling at equal semantics), and the
     # production-threshold prefix-filtered Jaccard
     "w8_range_frame_scalable",
     "d10_dedup_jaccard_prefix",
@@ -98,9 +98,7 @@ N_RUNS = 3
 # These rebuild inside the timed section — the whole computation is
 # what the number means.
 # - w4/w8 run a one-scan approx-distinct gate job at build (w8 adds
-#   the min/max bucket-bounds scan); w7 pins plan="window" (no gate)
-#   but stays eager so repeated collects recompute the whole window
-#   instead of reusing its materialized shuffle.
+#   the min/max bucket-bounds scan).
 # - d10 has no checkpoint, but repeated collect() of one DataFrame
 #   reuses materialized shuffle stages and times only the tail;
 #   rebuilding per run prices the whole candidate + verify pipeline.
@@ -109,7 +107,6 @@ EAGER_BUILD = {
     "d7_dedup_components",
     "d9_text_dup_groups",
     "w4_range_frame",
-    "w7_range_frame_highcard",
     "w8_range_frame_scalable",
     "d10_dedup_jaccard_prefix",
     # d11 materializes its shingle table (localCheckpoint) at build

@@ -356,7 +356,7 @@ FROM lineitem
 """
 
 
-@register("w7_range_frame_highcard", _W7_ORACLE)
+@register("w7_range_frame_highcard", _W7_ORACLE, deprecated=True)
 def w7_range_frame_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEPRECATED verification pin — do NOT call at scale; use w8 (or
     range_frame_sum's default auto gate, the only supported entry).

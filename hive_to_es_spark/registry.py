@@ -29,18 +29,34 @@ class Op:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB, or None -> rows-only check
     doc: str = ""
+    # Deprecated ops are verification pins kept next to their
+    # replacement (e.g. w7's 3-task plain-window branch vs w8's
+    # bucketed-donor plan). They are EXCLUDED from the public
+    # queries()/oracles() views — the driver, bench and the operator
+    # index never see them — but remain reachable with
+    # include_deprecated=True so tests/tools can keep them
+    # hash-verified against the oracle.
+    deprecated: bool = False
 
 
 REGISTRY: dict[str, Op] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: str | None = None, deprecated: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     """Register an operator's query function (and its DuckDB oracle)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate operator key {name!r}")
-        REGISTRY[name] = Op(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = Op(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            deprecated=deprecated,
+        )
         return fn
 
     return deco
@@ -51,11 +67,24 @@ def _ensure_loaded() -> None:
     from hive_to_es_spark import operators, streaming  # noqa: F401
 
 
-def queries() -> dict[str, QueryFn]:
+def queries(include_deprecated: bool = False) -> dict[str, QueryFn]:
     _ensure_loaded()
-    return {k: op.fn for k, op in sorted(REGISTRY.items())}
+    return {
+        k: op.fn
+        for k, op in sorted(REGISTRY.items())
+        if include_deprecated or not op.deprecated
+    }
 
 
-def oracles() -> dict[str, str]:
+def oracles(include_deprecated: bool = False) -> dict[str, str]:
     _ensure_loaded()
-    return {k: op.oracle for k, op in sorted(REGISTRY.items()) if op.oracle is not None}
+    return {
+        k: op.oracle
+        for k, op in sorted(REGISTRY.items())
+        if op.oracle is not None and (include_deprecated or not op.deprecated)
+    }
+
+
+def deprecated_keys() -> set[str]:
+    _ensure_loaded()
+    return {k for k, op in REGISTRY.items() if op.deprecated}

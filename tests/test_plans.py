@@ -25,7 +25,9 @@ SKIP = {"d2_dedup_minhash", "s6_kmeans_refine"}
 def _plan(spark, sf_dir, key):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        queries()[key](spark, sf_dir).explain("formatted")
+        # include_deprecated: plan pins cover the deprecated w7 branch
+        # (quarantined from the public registry view) too
+        queries(include_deprecated=True)[key](spark, sf_dir).explain("formatted")
     return buf.getvalue()
 
 
@@ -221,6 +223,20 @@ def test_range_frame_gate_picks_the_right_plan(spark, sf_dir):
     w7 = _plan(spark, sf_dir, "w7_range_frame_highcard")
     assert "windowspecdefinition" in w7
     assert "Join" not in w7
+
+
+def test_deprecated_w7_pin_stays_hash_verified(spark, sf_dir, duck):
+    """w7 is quarantined from the public registry view (deprecated=
+    True), so the CHECK sweep no longer covers it — this test is now
+    the value pin that keeps the plain-window branch hash-verified
+    against the same DuckDB oracle its replacement (w8) carries."""
+    from hive_to_es_spark.registry import oracles, queries
+    from tests.conftest import assert_parity
+
+    key = "w7_range_frame_highcard"
+    sdf = queries(include_deprecated=True)[key](spark, sf_dir).toPandas()
+    ddf = duck.execute(oracles(include_deprecated=True)[key]).fetchdf()
+    assert_parity(sdf, ddf)
 
 
 def test_range_plan_gate_at_synthetic_parallelism():

@@ -95,7 +95,10 @@ def compare(name: str, spark_df, duck_df) -> list[str]:
 
 def run_sweep(spark, keys: list[str], sf_dir: str) -> dict:
     """Check every key at one scale factor; returns {key: result}."""
-    qs, os_ = queries(), oracles()
+    # include_deprecated: explicitly-named deprecated pins (w7) stay
+    # checkable here; the DEFAULT sweep list below comes from the
+    # public queries() view, which excludes them.
+    qs, os_ = queries(include_deprecated=True), oracles(include_deprecated=True)
     con = duck_connect(sf_dir)
     results: dict[str, dict] = {}
     for k in keys:

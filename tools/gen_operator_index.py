@@ -31,17 +31,29 @@ def render() -> str:
     WHOLE document (key set, oracle kinds AND summaries), not just
     the key list."""
     queries()  # force registration
+    public = {k: op for k, op in REGISTRY.items() if not op.deprecated}
     lines = [HEADER]
-    for key in sorted(REGISTRY):
-        op = REGISTRY[key]
+    for key in sorted(public):
+        op = public[key]
         summary = " ".join((op.doc.strip().splitlines() or [""])[0].split())
         kind = "sql" if op.oracle else "rows"
         lines.append(f"| `{key}` | {kind} | {summary} |\n")
-    n_sql = sum(1 for op in REGISTRY.values() if op.oracle)
+    n_sql = sum(1 for op in public.values() if op.oracle)
     lines.append(
-        f"\n**{len(REGISTRY)} operators: {n_sql} sql-oracle, "
-        f"{len(REGISTRY) - n_sql} rows-only.**\n"
+        f"\n**{len(public)} operators: {n_sql} sql-oracle, "
+        f"{len(public) - n_sql} rows-only.**\n"
     )
+    deprecated = {k: op for k, op in REGISTRY.items() if op.deprecated}
+    if deprecated:
+        lines.append(
+            "\n## Deprecated verification pins (not in the public "
+            "registry view; reachable only via "
+            "`queries(include_deprecated=True)`)\n\n"
+        )
+        for key in sorted(deprecated):
+            op = deprecated[key]
+            summary = " ".join((op.doc.strip().splitlines() or [""])[0].split())
+            lines.append(f"- `{key}` — {summary}\n")
     return "".join(lines)
 
 
@@ -50,7 +62,8 @@ def main() -> int:
                        "docs", "OPERATORS.md")
     with open(out, "w") as f:
         f.write(render())
-    print(f"wrote {out}: {len(REGISTRY)} operators")
+    n_dep = sum(1 for op in REGISTRY.values() if op.deprecated)
+    print(f"wrote {out}: {len(REGISTRY) - n_dep} operators (+{n_dep} deprecated pins)")
     return 0
 
 

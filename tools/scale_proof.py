@@ -222,7 +222,9 @@ def main() -> int:
     for k in SCALES[1:]:
         build_scaled(spark, k)
         dirs[k] = scaled_dir(k)
-    qs = queries()
+    # include_deprecated: SCALE.md deliberately charts the deprecated
+    # w7 ceiling next to its replacement (w8)
+    qs = queries(include_deprecated=True)
     scale_list = "/".join(f"{k}x" for k in SCALES)
     t_heads = " | ".join(f"t({k}x) s" for k in SCALES)
     step_heads = " | ".join(
