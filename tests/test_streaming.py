@@ -589,3 +589,81 @@ def test_stream_upsert_converges_to_batch_state(spark, events_dir, tmp_path):
     )
     assert got == expected
     _sh.rmtree(state, ignore_errors=True)
+
+
+def test_watermark_drops_exactly_the_beyond_horizon_rows(spark, tmp_path):
+    """Exact late-drop accounting for e4 (its oracle is rows-only by
+    design — watermark semantics exist only in stream mode). Three
+    AvailableNow runs share one checkpoint, so the event-time
+    watermark PERSISTS and advances between micro-batches:
+
+      run 1 (on-time file): rows at 10:05, 10:45, 11:05, 12:05 ->
+        watermark ends at 11:05 (max ts - 1h).
+      run 2 (late file): 09:30 is BEYOND the horizon (its window
+        [09:00, 10:00) closed below the 11:05 watermark) -> must be
+        DROPPED; 11:30 is late in arrival order but within the
+        horizon -> must be COUNTED.
+      run 3 (fresh 14:05 row): advances the watermark to 13:05 so the
+        11:00 and 12:00 windows finalize and append-emit.
+
+    The accounting is exact, not a row-count smoke: the 09:00 window
+    must NEVER appear anywhere (the dropped row would be its only
+    member), while the 11:00 window must count BOTH the on-time 11:05
+    row and the late-but-in-horizon 11:30 row."""
+    import datetime as dt
+
+    src = str(tmp_path / "e4_src")
+    ckpt = str(tmp_path / "e4_ckpt")
+    schema = "ts timestamp, event_type string, value double"
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    def add_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "e4_out")
+
+    def run():
+        # memory sink refuses checkpoint recovery, so the emitted
+        # windows append to parquet via foreachBatch (the e9 pattern)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def emit(batch_df, batch_id):
+            if batch_df.count() > 0:
+                batch_df.write.mode("append").parquet(out)
+
+        q = (
+            tf_watermark_tumbling(stream)
+            .writeStream.foreachBatch(emit)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    add_file([
+        (t(10, 5), "click", 1.0),
+        (t(10, 45), "click", 1.0),
+        (t(11, 5), "click", 1.0),
+        (t(12, 5), "click", 1.0),
+    ])
+    run()
+    add_file([(t(9, 30), "click", 1.0), (t(11, 30), "click", 1.0)])
+    run()
+    add_file([(t(14, 5), "click", 1.0)])
+    run()
+
+    emitted = spark.read.parquet(out).collect()
+    assert len(emitted) == len({r.window_start for r in emitted}), (
+        "append mode must emit each finalized window exactly once"
+    )
+    final = {r.window_start: r.n for r in emitted}
+    assert t(9, 0) not in final, "beyond-horizon late row was NOT dropped"
+    assert final[t(10, 0)] == 2  # the two on-time rows only
+    assert final[t(11, 0)] == 2  # on-time 11:05 + within-horizon late 11:30
+    assert final[t(12, 0)] == 1
