@@ -95,8 +95,6 @@ def merge_into_parquet(
     atomicity needs a transactional table format; rename is atomic on
     HDFS/local, best-effort on S3.)
     """
-    import uuid
-
     existing = spark.read.parquet(path)
     if scope is not None:
         in_scope = existing.filter(scope)
@@ -104,8 +102,20 @@ def merge_into_parquet(
         merged = merge_upsert(in_scope, updates, key, order_by).unionByName(out_scope)
     else:
         merged = merge_upsert(existing, updates, key, order_by)
+    write_replace_parquet(spark, path, merged)
+
+
+def write_replace_parquet(spark: SparkSession, path: str, df: DataFrame) -> None:
+    """Replace the parquet dataset at `path` with `df`, safely even
+    when `df`'s plan READS from `path`: write once to a sibling
+    staging dir, then swap via FileSystem.rename (atomic on HDFS/
+    local, best-effort on S3). If the staging write fails the target
+    is untouched; if the swap fails the staging copy survives for
+    manual recovery — at no point do both copies cease to exist."""
+    import uuid
+
     staging = path.rstrip("/") + "_staging_" + uuid.uuid4().hex
-    merged.write.mode("overwrite").parquet(staging)
+    df.write.mode("overwrite").parquet(staging)
     # swap via the Hadoop FileSystem API (portable across local/HDFS)
     fs, target_p = _hadoop_fs(spark, path)
     _, staging_p = _hadoop_fs(spark, staging)  # sibling => same filesystem

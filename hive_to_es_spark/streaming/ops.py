@@ -420,6 +420,58 @@ def foreach_batch_upsert(state_path: str):
     return body
 
 
+def foreach_batch_dedup_ingest(state_path: str):
+    """foreachBatch body for streaming corpus ingestion with
+    cross-batch exact content dedup — the production LLM-ingest shape
+    (p11's persisted-hash-index pattern run per micro-batch): each
+    batch reduces to one candidate per content hash, merges into the
+    accepted state, and the state keeps the MIN doc_id per hash.
+
+    Min-winner (not first-arrived-wins) is what makes the state a pure
+    function of the KEY SET: under at-least-once redelivery and
+    arbitrary micro-batching, the final state is identical to the
+    batch dedup answer (d1's keep-min-id semantics) no matter how
+    often or in what order files replay — first-wins would instead
+    depend on arrival order. tests/test_streaming.py replays a
+    duplicated file sequence and asserts exact convergence.
+
+    Scale posture: the state holds (16-byte digest, doc_id), never
+    document text — ~1/1000th of corpus bytes at 100 TB; each merge
+    shuffles digests only. The state rewrite per batch uses the
+    staging swap (write_replace_parquet); on a real cluster the state
+    would be hash-partitioned by digest prefix so each batch rewrites
+    only the partitions it touches (merge_into_parquet's `scope`).
+    """
+    from pyspark.sql import Window
+
+    from hive_to_es_spark.functions.merge import fs_exists, write_replace_parquet
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            "doc_id", F.md5(F.lower("text")).alias("content_hash")
+        )
+        w = Window.partitionBy("content_hash").orderBy("doc_id")
+        first = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not fs_exists(spark, state_path):
+            first.write.mode("overwrite").parquet(state_path)
+            return
+        state = spark.read.parquet(state_path)
+        merged = (
+            state.unionByName(first)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        write_replace_parquet(spark, state_path, merged)
+
+    return body
+
+
 _E9_ORACLE = """
 SELECT user_id, event_id AS last_event_id, event_type AS last_type,
        round(value, 2) AS last_value

@@ -667,3 +667,65 @@ def test_watermark_drops_exactly_the_beyond_horizon_rows(spark, tmp_path):
     assert final[t(10, 0)] == 2  # the two on-time rows only
     assert final[t(11, 0)] == 2  # on-time 11:05 + within-horizon late 11:30
     assert final[t(12, 0)] == 1
+
+
+def test_stream_dedup_ingest_converges_to_batch_answer(spark, sf_dir, tmp_path):
+    """Streaming corpus ingestion with cross-batch content-hash dedup
+    must converge to the BATCH dedup answer (d1's keep-min-doc_id
+    semantics) under at-least-once redelivery (VERDICT r6 task 5).
+
+    The documents table is re-written as 5 files, then 3 of them are
+    COPIED BACK IN under new names — a replayed, duplicated file
+    sequence (8 micro-batches at maxFilesPerTrigger=1, ~60% of the
+    corpus delivered twice). The final accepted state must equal,
+    row for row, the batch answer computed directly from the unique
+    source: one row per distinct md5(lower(text)) carrying the MIN
+    doc_id — a pure function of the key set, so redelivery count and
+    batch order cannot perturb it."""
+    import os
+
+    from pyspark.sql import Window
+
+    from hive_to_es_spark.io import read_table
+    from hive_to_es_spark.streaming.ops import foreach_batch_dedup_ingest
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(5).write.mode("overwrite").parquet(src)
+    parts = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(parts) == 5
+    for f in parts[:3]:  # at-least-once: redeliver 3 of the 5 files
+        shutil.copy(os.path.join(src, f), os.path.join(src, f"redelivered_{f}"))
+
+    state = str(tmp_path / "dedup_state")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_dedup_ingest(state))
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    expected = _canon(
+        docs.select("doc_id", F.md5(F.lower("text")).alias("content_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("content_hash", "doc_id")
+        .collect()
+    )
+    got = _canon(spark.read.parquet(state).select("content_hash", "doc_id").collect())
+    assert got == expected
+    # and the dedup really had work to do: the redelivered files mean
+    # more rows were DELIVERED than distinct hashes survive (at sf0.01
+    # the corpus itself is dup-free, so the duplicate mass is exactly
+    # the replayed ~60%)
+    n_delivered = spark.read.parquet(src).count()
+    assert n_delivered > docs.count() >= len(expected)
