@@ -1055,10 +1055,40 @@ def d13_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded blocking exactly as in d11's verify stage; the estimate
     itself is one 8-column compare on the already-joined signatures.
     At 100 TB you run this on a hash-sampled slice (o4) — accuracy
-    is a population statistic, not a per-corpus scan obligation."""
-    shingles, _, cand, scored = portable_minhash_candidates(
-        load_tables(spark, sf_dir).documents
-    )
+    is a population statistic, not a per-corpus scan obligation;
+    d13_sketch_accuracy_sampled below is that posture, and SCALE.md's
+    audit-pair section proves its cost stays ~constant while this full
+    form grows with the candidate stream."""
+    return sketch_accuracy_frame(load_tables(spark, sf_dir).documents)
+
+
+def d13_sketch_accuracy_sampled(
+    spark: SparkSession, sf_dir: str, n_docs: int = 500
+) -> DataFrame:
+    """d13's documented production posture: the same audit on a
+    DETERMINISTIC fixed-size hash-sampled slice. Sketch accuracy is a
+    population statistic — E[|err|] per candidate pair does not depend
+    on corpus size — so a fixed-size slice answers the tuning question
+    ("are 8 hashes enough at our threshold?") at fixed cost no matter
+    how large the corpus grows. The slice is the first `n_docs` docs
+    in md5(doc_id) order (o8's deterministic-shuffle trick), so the
+    audit population is reproducible across reruns and engines; at
+    real scale you'd use o4's rate predicate (bucket < rate, pure
+    scan-side, no sort) with the rate chosen to land the same absolute
+    sample size. Unregistered: this is a harness/ops entry point, not
+    a distinct query contract (the registered d13 pins the values)."""
+    d = load_tables(spark, sf_dir).documents
+    slice_ = d.orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ).limit(n_docs)
+    return sketch_accuracy_frame(slice_)
+
+
+def sketch_accuracy_frame(docs: DataFrame) -> DataFrame:
+    """The d13 audit plan over an arbitrary documents frame (full
+    corpus for the registered oracle key, a hash-sampled slice for the
+    production posture / SCALE harness)."""
+    shingles, _, cand, scored = portable_minhash_candidates(docs)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     sx = shingles.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
     sy = shingles.select(F.col("doc_id").alias("id_b2"), F.col("w").alias("wb"))
