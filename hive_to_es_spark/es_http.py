@@ -12,11 +12,16 @@ verified against a real HTTP round-trip in tests/test_es_sink.py.
 Scale posture: the driver issues only O(1) index-lifecycle calls
 (DELETE / PUT / _refresh); every document flows executor-side through
 ``foreachPartition``, one POST per ``batch_entries`` chunk, so sink
-throughput scales with executors exactly like the connector's. A
-failed chunk raises, failing the Spark task; task retry then gives
-at-least-once delivery, which the ``_id`` mapping upgrades to
-effectively-once (same ``_id`` re-index = replace — the es-hadoop
-"upsert" analogue). Rows never touch the driver.
+throughput scales with executors exactly like the connector's.
+Transient back-pressure (HTTP 429 bulk-queue rejection, 503) retries
+the same chunk in place with exponential backoff (the es-hadoop
+``es.batch.write.retry.count``/``.wait`` analogue); a permanent
+failure or exhausted retries raises, failing the Spark task. Task/job
+retry then gives at-least-once delivery, which the ``_id`` mapping
+upgrades to effectively-once (same ``_id`` re-index = replace — the
+es-hadoop "upsert" analogue): re-delivered chunks overwrite their own
+documents, proven by tests/test_es_sink.py's mid-stream-failure
+replay. Rows never touch the driver.
 """
 
 from __future__ import annotations
@@ -77,13 +82,51 @@ def _http(
         raise
 
 
-def _post_bulk(es_url: str, body: bytes, timeout: float) -> None:
+# HTTP statuses ES sends for TRANSIENT pressure: 429 = bulk queue
+# rejection (the back-pressure signal), 503 = shard/cluster not ready.
+# Both mean "same request, later" — the es-hadoop writer retries them
+# (es.batch.write.retry.count / .wait); anything else is permanent.
+_RETRYABLE_STATUSES = (429, 503)
+
+
+def _post_bulk(
+    es_url: str,
+    body: bytes,
+    timeout: float,
+    max_retries: int = 4,
+    retry_backoff_s: float = 0.5,
+) -> None:
     """POST one chunk to /_bulk and fail LOUDLY on per-item errors:
     ES returns 200 with {"errors": true} when individual actions fail,
-    and a sink that swallows that ships silent data loss."""
-    status, resp = _http(
-        "POST", f"{es_url}/_bulk", body, content_type=_NDJSON, timeout=timeout
-    )
+    and a sink that swallows that ships silent data loss.
+
+    429/503 responses back off exponentially (retry_backoff_s * 2^k)
+    and re-POST the SAME chunk up to max_retries times — re-sending is
+    safe because the index action is create-or-replace by _id. Retries
+    exhausted -> raise -> the Spark task fails, same as any permanent
+    error."""
+    import time
+
+    attempt = 0
+    while True:
+        status, resp = _http(
+            "POST",
+            f"{es_url}/_bulk",
+            body,
+            content_type=_NDJSON,
+            timeout=timeout,
+            ignore=_RETRYABLE_STATUSES,
+        )
+        if status in _RETRYABLE_STATUSES:
+            if attempt >= max_retries:
+                raise RuntimeError(
+                    f"bulk rejected with HTTP {status} after "
+                    f"{attempt + 1} attempts (back-pressure did not clear)"
+                )
+            time.sleep(retry_backoff_s * (2**attempt))
+            attempt += 1
+            continue
+        break
     parsed = json.loads(resp) if resp else {}
     if parsed.get("errors"):
         first = next(
@@ -107,6 +150,8 @@ def bulk_index(
     batch_entries: int = 1000,
     mode: str = "overwrite",
     timeout: float = 30.0,
+    max_retries: int = 4,
+    retry_backoff_s: float = 0.5,
 ) -> None:
     """Bulk-index `df` into `index` at `es_url` (scheme-qualified,
     e.g. ``http://localhost:9200``).
@@ -137,6 +182,7 @@ def bulk_index(
 
     url, idx, idc = es_url, index, id_column
     n, to = int(batch_entries), float(timeout)
+    retries, backoff = int(max_retries), float(retry_backoff_s)
 
     def send_partition(rows) -> None:
         # Executor-side: chunk rows into NDJSON bulk bodies. Only
@@ -149,7 +195,7 @@ def bulk_index(
             nonlocal buf, pending
             if not buf:
                 return
-            _post_bulk(url, ("\n".join(buf) + "\n").encode(), to)
+            _post_bulk(url, ("\n".join(buf) + "\n").encode(), to, retries, backoff)
             buf, pending = [], 0
 
         for row in rows:

@@ -150,13 +150,25 @@ class MockES:
     can assert lifecycle order and chunk sizing. Thread-safe: the
     foreachPartition senders POST concurrently."""
 
-    def __init__(self, fail_bulk: bool = False):
+    def __init__(
+        self,
+        fail_bulk: bool = False,
+        reject_429_first_n: int = 0,
+        fail_400_once_at: int | None = None,
+    ):
         self.lock = threading.Lock()
         self.indices: dict[str, dict[str, dict]] = {}
         self.events: list[str] = []
-        self.bulk_doc_counts: list[int] = []
+        self.bulk_doc_counts: list[int] = []  # successful bulks only
+        self.bulk_attempts = 0  # every bulk POST, incl. rejected ones
         self.auto_id = 0
         self.fail_bulk = fail_bulk
+        # back-pressure simulation: reject the first N bulk attempts
+        # with HTTP 429 (ES's bulk-queue rejection), then recover
+        self.reject_429_first_n = reject_429_first_n
+        # mid-stream permanent failure: the k-th bulk attempt (1-based)
+        # gets HTTP 400 ONCE — a partial delivery the job must surface
+        self.fail_400_once_at = fail_400_once_at
         store = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -196,6 +208,13 @@ class MockES:
                     return self._reply(200, {"_shards": {"failed": 0}})
                 if not self.path.endswith("/_bulk"):
                     return self._reply(400, {"error": f"unsupported {self.path}"})
+                with store.lock:
+                    store.bulk_attempts += 1
+                    attempt_no = store.bulk_attempts
+                if attempt_no <= store.reject_429_first_n:
+                    return self._reply(429, {"error": "es_rejected_execution"})
+                if store.fail_400_once_at == attempt_no:
+                    return self._reply(400, {"error": "injected mid-stream failure"})
                 if store.fail_bulk:
                     return self._reply(
                         200,
@@ -342,6 +361,101 @@ def test_es_http_bulk_error_fails_the_job(spark, sf_dir):
         with pytest.raises(Py4JJavaError) as err:
             run_job(spark, sf_dir, _http_job(s.url))
         assert "bulk indexing reported errors" in str(err.value)
+    finally:
+        s.stop()
+
+
+def test_es_http_429_backpressure_backs_off_then_delivers(spark, sf_dir):
+    """ES signals bulk-queue pressure with HTTP 429; the sink must
+    back off and re-POST the SAME chunk rather than fail the task or
+    drop the chunk. The mock rejects the first 3 bulk attempts, then
+    recovers: every document must still arrive exactly once per _id,
+    and the attempt count must exceed the success count by exactly the
+    3 rejections (each rejected chunk was re-sent, none abandoned)."""
+    from hive_to_es_spark.es_http import bulk_index
+    from hive_to_es_spark.io import read_table
+
+    s = MockES(reject_429_first_n=3)
+    try:
+        df = (
+            read_table(spark, sf_dir, "orders")
+            .orderBy("o_orderkey")
+            .limit(100)
+            .select("o_orderkey", "o_orderstatus")
+        )
+        bulk_index(
+            df,
+            s.url,
+            "orders_429_v1",
+            id_column="o_orderkey",
+            batch_entries=7,
+            mode="overwrite",
+            retry_backoff_s=0.05,  # keep the test fast; prod default 0.5s
+        )
+        docs = s.indices["orders_429_v1"]
+        assert len(docs) == 100
+        assert sum(s.bulk_doc_counts) == 100
+        assert s.bulk_attempts == len(s.bulk_doc_counts) + 3
+    finally:
+        s.stop()
+
+
+def test_es_http_429_exhausted_retries_fail_the_job(spark, sf_dir):
+    """Back-pressure that never clears must surface as a job failure
+    (with the 429 in the message), not an infinite retry loop."""
+    from py4j.protocol import Py4JJavaError
+
+    from hive_to_es_spark.es_http import bulk_index
+    from hive_to_es_spark.io import read_table
+
+    s = MockES(reject_429_first_n=10_000)  # never recovers
+    try:
+        df = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        with pytest.raises(Py4JJavaError) as err:
+            bulk_index(
+                df,
+                s.url,
+                "nation_429_v1",
+                id_column="n_nationkey",
+                mode="append",
+                max_retries=2,
+                retry_backoff_s=0.01,
+            )
+        assert "HTTP 429" in str(err.value)
+    finally:
+        s.stop()
+
+
+def test_es_http_midstream_failure_then_replay_is_effectively_once(spark, sf_dir):
+    """The at-least-once -> effectively-once claim, exercised: a chunk
+    fails PERMANENTLY mid-stream (HTTP 400 on the 4th bulk, after
+    earlier chunks of the same job already indexed), the job fails
+    loudly leaving a partial index, and the production retry — a full
+    job re-run in append mode, i.e. duplicate delivery of every
+    already-stored document — must converge to exactly one document
+    per _id, byte-identical membership to a clean run."""
+    from py4j.protocol import Py4JJavaError
+
+    from hive_to_es_spark.pipeline import run_job
+
+    s = MockES(fail_400_once_at=4)
+    try:
+        job = _http_job(s.url, mode="append")  # retry must not need a recreate
+        with pytest.raises(Py4JJavaError):
+            run_job(spark, sf_dir, job)
+        partial = dict(s.indices.get("orders_http_v1", {}))
+        assert 0 < len(partial) < 100, "failure must strike mid-stream"
+
+        df = run_job(spark, sf_dir, job)  # the retry: full re-delivery
+        expected_ids = {str(r["_id"]) for r in df.collect()}
+        docs = s.indices["orders_http_v1"]
+        assert set(docs) == expected_ids and len(docs) == 100
+        # duplicates really were DELIVERED (partial + full replay)...
+        assert sum(s.bulk_doc_counts) == len(partial) + 100
+        # ...and the replay REPLACED the partial docs in place rather
+        # than duplicating or skipping them
+        for _id in partial:
+            assert _id in docs
     finally:
         s.stop()
 
