@@ -100,12 +100,30 @@ def _post_bulk(
     ES returns 200 with {"errors": true} when individual actions fail,
     and a sink that swallows that ships silent data loss.
 
-    429/503 responses back off exponentially (retry_backoff_s * 2^k)
-    and re-POST the SAME chunk up to max_retries times — re-sending is
-    safe because the index action is create-or-replace by _id. Retries
-    exhausted -> raise -> the Spark task fails, same as any permanent
-    error."""
+    Back-pressure comes in TWO shapes, and both back off exponentially
+    (retry_backoff_s * 2^k) and re-POST the SAME chunk up to
+    max_retries times:
+
+    - whole-request HTTP 429/503 (coordinating node refused the bulk);
+    - HTTP 200 with ``errors: true`` where EVERY failed item carries
+      status 429 — the per-item ``es_rejected_execution_exception``
+      form real ES uses when the bulk queue overflows mid-request.
+      This is the case es-hadoop's ``es.batch.write.retry.count``
+      exists for. Re-sending the whole chunk (not just rejected items)
+      is safe because the index action is create-or-replace by _id;
+      the amplification is bounded by max_retries.
+
+    Any non-retryable item error raises immediately; retries exhausted
+    -> raise -> the Spark task fails, same as any permanent error."""
     import time
+
+    def _sleep_or_raise(attempt: int, what: str) -> None:
+        if attempt >= max_retries:
+            raise RuntimeError(
+                f"bulk rejected with {what} after {attempt + 1} attempts "
+                "(back-pressure did not clear)"
+            )
+        time.sleep(retry_backoff_s * (2**attempt))
 
     attempt = 0
     while True:
@@ -118,26 +136,23 @@ def _post_bulk(
             ignore=_RETRYABLE_STATUSES,
         )
         if status in _RETRYABLE_STATUSES:
-            if attempt >= max_retries:
-                raise RuntimeError(
-                    f"bulk rejected with HTTP {status} after "
-                    f"{attempt + 1} attempts (back-pressure did not clear)"
-                )
-            time.sleep(retry_backoff_s * (2**attempt))
+            _sleep_or_raise(attempt, f"HTTP {status}")
             attempt += 1
             continue
-        break
-    parsed = json.loads(resp) if resp else {}
-    if parsed.get("errors"):
-        first = next(
-            (
-                item[op]
-                for item in parsed.get("items", [])
-                for op in item
-                if item[op].get("error")
-            ),
-            None,
-        )
+        parsed = json.loads(resp) if resp else {}
+        if not parsed.get("errors"):
+            return
+        failed = [
+            item[op]
+            for item in parsed.get("items", [])
+            for op in item
+            if item[op].get("error")
+        ]
+        if failed and all(item.get("status") == 429 for item in failed):
+            _sleep_or_raise(attempt, "per-item HTTP 429 (bulk queue rejection)")
+            attempt += 1
+            continue
+        first = failed[0] if failed else None
         raise RuntimeError(f"bulk indexing reported errors: first={first}")
 
 

@@ -390,6 +390,7 @@ def foreach_batch_upsert(state_path: str):
         fs_exists,
         merge_into_parquet,
         merge_upsert,
+        write_replace_parquet,
     )
 
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
@@ -407,7 +408,10 @@ def foreach_batch_upsert(state_path: str):
         # hdfs://-S3A/file:-URI sinks, which would silently turn every
         # merge into an overwrite of the accumulated state
         if not fs_exists(spark, state_path):
-            latest.write.mode("overwrite").parquet(state_path)
+            # staging-swap bootstrap (same rationale as the dedup
+            # ingest body): a crashed first write must not leave a
+            # partial dir that makes every replay take the merge path
+            write_replace_parquet(spark, state_path, latest)
         else:
             merge_into_parquet(
                 spark,
@@ -458,7 +462,12 @@ def foreach_batch_dedup_ingest(state_path: str):
             .drop("__rn")
         )
         if not fs_exists(spark, state_path):
-            first.write.mode("overwrite").parquet(state_path)
+            # bootstrap through the SAME staging swap as every later
+            # merge: a crash mid-write must leave state_path absent
+            # (so the replayed batch bootstraps again), never a
+            # half-written dir that flips fs_exists and wedges the
+            # merge path on every restart
+            write_replace_parquet(spark, state_path, first)
             return
         state = spark.read.parquet(state_path)
         merged = (

@@ -154,6 +154,7 @@ class MockES:
         self,
         fail_bulk: bool = False,
         reject_429_first_n: int = 0,
+        reject_items_429_first_n: int = 0,
         fail_400_once_at: int | None = None,
     ):
         self.lock = threading.Lock()
@@ -166,6 +167,9 @@ class MockES:
         # back-pressure simulation: reject the first N bulk attempts
         # with HTTP 429 (ES's bulk-queue rejection), then recover
         self.reject_429_first_n = reject_429_first_n
+        # the OTHER 429 shape real ES uses under load: HTTP 200 with
+        # errors:true and per-item status 429 (es_rejected_execution)
+        self.reject_items_429_first_n = reject_items_429_first_n
         # mid-stream permanent failure: the k-th bulk attempt (1-based)
         # gets HTTP 400 ONCE — a partial delivery the job must surface
         self.fail_400_once_at = fail_400_once_at
@@ -213,6 +217,23 @@ class MockES:
                     attempt_no = store.bulk_attempts
                 if attempt_no <= store.reject_429_first_n:
                     return self._reply(429, {"error": "es_rejected_execution"})
+                if attempt_no <= store.reject_items_429_first_n:
+                    return self._reply(
+                        200,
+                        {
+                            "errors": True,
+                            "items": [
+                                {
+                                    "index": {
+                                        "status": 429,
+                                        "error": {
+                                            "type": "es_rejected_execution_exception"
+                                        },
+                                    }
+                                }
+                            ],
+                        },
+                    )
                 if store.fail_400_once_at == attempt_no:
                     return self._reply(400, {"error": "injected mid-stream failure"})
                 if store.fail_bulk:
@@ -396,6 +417,32 @@ def test_es_http_429_backpressure_backs_off_then_delivers(spark, sf_dir):
         assert len(docs) == 100
         assert sum(s.bulk_doc_counts) == 100
         assert s.bulk_attempts == len(s.bulk_doc_counts) + 3
+    finally:
+        s.stop()
+
+
+def test_es_http_per_item_429_is_retried_as_backpressure(spark, sf_dir):
+    """Real ES usually signals bulk-queue overflow as HTTP 200 +
+    errors:true with per-item status 429 (es_rejected_execution), not
+    a whole-request 429 — the exact case es-hadoop's
+    es.batch.write.retry.count exists for. The sink must back off and
+    re-POST, not fail the task on the first rejection."""
+    from hive_to_es_spark.es_http import bulk_index
+    from hive_to_es_spark.io import read_table
+
+    s = MockES(reject_items_429_first_n=2)
+    try:
+        df = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        bulk_index(
+            df,
+            s.url,
+            "nation_item429_v1",
+            id_column="n_nationkey",
+            mode="append",
+            retry_backoff_s=0.05,
+        )
+        assert len(s.indices["nation_item429_v1"]) == 25
+        assert s.bulk_attempts == len(s.bulk_doc_counts) + 2
     finally:
         s.stop()
 
