@@ -1525,3 +1525,101 @@ def p19_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(li_checks)
         .unionByName(c_checks)
     )
+
+
+# p20 — post-sync reconciliation: the audit every sync pipeline owes
+# its consumers ("did everything arrive?"), run as a query instead of
+# trusted from job logs. A real incremental sync (year >= 1997 — the
+# reference's incremental mode) is executed through run_job into a
+# parquet sink; the reconcile then compares source vs sink PER YEAR —
+# row counts and integer-cents checksums — and classifies every
+# partition ok / never_synced / stale. The oracle re-derives the sink
+# side from the clean source + the job's own predicate, so a sink
+# write that dropped or duplicated rows breaks the hash.
+_P20_ORACLE = """
+WITH src AS (
+  SELECT year(o_orderdate) AS yr, CAST(count(*) AS BIGINT) AS n_src,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_src
+  FROM orders GROUP BY 1
+),
+sink AS (
+  SELECT year(o_orderdate) AS yr, CAST(count(*) AS BIGINT) AS n_sink,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sink
+  FROM orders WHERE year(o_orderdate) >= 1997 GROUP BY 1
+)
+SELECT s.yr,
+       s.n_src,
+       CAST(coalesce(k.n_sink, 0) AS BIGINT) AS n_sink,
+       CAST(s.n_src - coalesce(k.n_sink, 0) AS BIGINT) AS missing_rows,
+       CASE WHEN k.n_sink = s.n_src AND k.cents_sink = s.cents_src THEN 'ok'
+            WHEN k.n_sink IS NULL THEN 'never_synced'
+            ELSE 'stale' END AS sync_status
+FROM src s LEFT JOIN sink k ON s.yr = k.yr
+"""
+
+
+@register("p20_sync_reconcile", _P20_ORACLE)
+def p20_sync_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-sink reconciliation after a real incremental sync:
+    run_job ships `year(o_orderdate) >= 1997` to a parquet sink (the
+    reference's incremental mode), then ONE query classifies every
+    source year as ok / never_synced / stale from (count, integer-
+    cents checksum) pairs.
+
+    Scale shape: two partial-combined aggregates — each scan reduces
+    to |years| rows map-side — plus a |years|-row join; the sink is
+    never joined row-for-row against the source (a naive full-outer
+    row diff is p17's job and twice the I/O; count+checksum per
+    partition is how warehouse reconciliation actually runs at 100 TB,
+    and the checksum makes silent row corruption visible, not just
+    missing rows). Integer cents, never float sums, so the checksum
+    compare is exact on both engines."""
+    from hive_to_es_spark.pipeline import Job, dataset_tmp_path, run_job
+
+    sink_path = dataset_tmp_path("p20_sink", sf_dir)
+    job = Job(
+        name="p20_incremental_sync",
+        source_table="orders",
+        incremental_filter="year(o_orderdate) >= 1997",
+        columns={
+            "o_orderkey": "o_orderkey",
+            "o_orderstatus": "o_orderstatus",
+            "o_totalprice": "o_totalprice",
+            "o_orderdate": "o_orderdate",
+        },
+        sink_format="parquet",
+        sink_path=sink_path,
+        mode="overwrite",
+    )
+    run_job(spark, sf_dir, job)
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    src = (
+        load_tables(spark, sf_dir)
+        .orders.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.count("*").alias("n_src"), F.sum(cents).alias("cents_src"))
+    )
+    sink = (
+        spark.read.parquet(sink_path)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.count("*").alias("n_sink_raw"), F.sum(cents).alias("cents_sink"))
+    )
+    joined = src.join(sink, "yr", "left")
+    status = (
+        F.when(
+            (F.col("n_sink_raw") == F.col("n_src"))
+            & (F.col("cents_sink") == F.col("cents_src")),
+            "ok",
+        )
+        .when(F.col("n_sink_raw").isNull(), "never_synced")
+        .otherwise("stale")
+    )
+    return joined.select(
+        "yr",
+        "n_src",
+        F.coalesce(F.col("n_sink_raw"), F.lit(0)).cast("bigint").alias("n_sink"),
+        (F.col("n_src") - F.coalesce(F.col("n_sink_raw"), F.lit(0)))
+        .cast("bigint")
+        .alias("missing_rows"),
+        status.alias("sync_status"),
+    )

@@ -520,3 +520,117 @@ def x13_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(lev).cast("bigint").alias("max_lev"),
         )
     )
+
+
+# x14 — URL canonicalization + dedup. The fixture documents carry no
+# URL column, so one is SYNTHESIZED deterministically per doc (t10's
+# synthetic-PII pattern): four surface variants of the same logical
+# URL — plain, uppercased host with an explicit default port, utm_*
+# tracking params, trailing slash + fragment — all derived from
+# doc_id, so docs in the same path class canonicalize to one URL.
+# The normalize chain is the standard crawl-dedup recipe: strip
+# fragment, lowercase scheme+host, drop :443, drop utm_* params,
+# strip the trailing slash. Every step is a codegen'd regexp on both
+# engines (patterns held to the Java∩RE2 subset, t10's rule; group
+# refs differ — $1 Java, \1 RE2 — so the two SQL dialects are written
+# independently and the hash gate proves they agree byte-for-byte).
+_X14_ORACLE = r"""
+WITH synth AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://cdn.example.com/Data/' || (doc_id % 200)
+                       || '?id=' || (doc_id % 200 % 7)
+           WHEN 1 THEN 'HTTPS://CDN.EXAMPLE.COM:443/Data/' || (doc_id % 200)
+                       || '?id=' || (doc_id % 200 % 7)
+           WHEN 2 THEN 'https://cdn.example.com/Data/' || (doc_id % 200)
+                       || '?utm_source=feed&utm_campaign=sync&id=' || (doc_id % 200 % 7)
+           ELSE 'https://cdn.example.com/Data/' || (doc_id % 200)
+                       || '/?id=' || (doc_id % 200 % 7) || '#section-2'
+         END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/]+'))
+                 || substr(regexp_replace(url, '#.*$', ''),
+                           length(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/]+')) + 1),
+               '^(https://[^/:]+):443/', '\1/'),
+             'utm_[a-z]+=[^&#]*&', '', 'g'),
+           '/\?', '?') AS canonical_url
+  FROM synth
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_surface_forms,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@register("x14_url_normalize", _X14_ORACLE)
+def x14_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup — the crawl-corpus
+    primitive (CommonCrawl-style pipelines dedup by canonical URL
+    before any content hash): normalize scheme/host case, strip the
+    default port, tracking params (utm_*), fragments and trailing
+    slashes, then group by the canonical form keeping the min doc_id.
+
+    Pure scan-side regexp chain (codegen'd, no Python) + one hash
+    aggregate on the canonical string — the same linear shape as d1
+    with a richer key function. The synthesized variants guarantee
+    the gate is non-vacuous: every canonical group collapses ~4
+    surface forms (asserted via n_surface_forms in the output)."""
+    d = load_tables(spark, sf_dir).documents
+    pid = F.col("doc_id") % 200
+    qid = pid % 7
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://cdn.example.com/Data/"), pid, F.lit("?id="), qid),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://CDN.EXAMPLE.COM:443/Data/"), pid, F.lit("?id="), qid
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://cdn.example.com/Data/"),
+                pid,
+                F.lit("?utm_source=feed&utm_campaign=sync&id="),
+                qid,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn.example.com/Data/"),
+                pid,
+                F.lit("/?id="),
+                qid,
+                F.lit("#section-2"),
+            )
+        )
+    )
+    defrag = F.regexp_replace(url, "#.*$", "")
+    prefix = F.regexp_extract(defrag, "^[A-Za-z]+://[^/]+", 0)
+    lowered = F.concat(
+        F.lower(prefix), F.substring(defrag, F.length(prefix) + 1, F.lit(1_000_000))
+    )
+    no_port = F.regexp_replace(lowered, "^(https://[^/:]+):443/", "$1/")
+    no_utm = F.regexp_replace(no_port, "utm_[a-z]+=[^&#]*&", "")
+    canonical = F.regexp_replace(no_utm, "/\\?", "?")
+    return (
+        d.select(F.col("doc_id"), url.alias("url"), canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url").alias("n_surface_forms"),
+            F.min("doc_id").cast("bigint").alias("keep_doc"),
+        )
+    )

@@ -519,3 +519,58 @@ def w9_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.max("tus") - F.min("tus")).alias("duration_us"),
     )
+
+
+# w10 — cumulative distinct customers by month (the MAU-growth query).
+# The naive form — count(DISTINCT key) OVER (ORDER BY month) — is
+# either unsupported (Spark refuses DISTINCT in windows) or O(months x
+# keys) state in engines that allow it. The scalable identity: a key
+# contributes to the cumulative count exactly once, at its FIRST
+# bucket — so cumulative distinct = running sum of first-appearance
+# counts. Orders (not events) because o_orderdate spans 7 years, so
+# first appearances actually spread across ~80 buckets; the fixture
+# events all start in week 1. month is emitted as DATE on both
+# engines (timestamp subtypes differ: NTZ vs ns).
+_W10_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS month
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY o_custkey
+),
+monthly AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS new_custs
+  FROM firsts GROUP BY month
+)
+SELECT month, new_custs,
+       CAST(sum(new_custs) OVER (ORDER BY month
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_custs
+FROM monthly
+"""
+
+
+@register("w10_cumulative_distinct", _W10_ORACLE)
+def w10_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct customers by month — the growth-accounting
+    query (monthly new + all-time-to-date uniques) that tempts
+    everyone into count(DISTINCT) over an expanding window.
+
+    Plan: one shuffle on the key (min-date agg: each customer's FIRST
+    month), a partial-combined month agg (|months| rows), then the
+    running sum over an unpartitioned window — safe ONLY because its
+    input is already reduced to |months| rows, never the fact table
+    (the same tiny-input justification as a19's mode window). At
+    100 TB: the key agg is the only data-sized stage and it is a
+    map-side-combinable two-phase hash aggregate; cumulative state
+    never exists anywhere — the identity "cumulative distinct =
+    running sum of first appearances" removes it algebraically."""
+    o = load_tables(spark, sf_dir).orders.filter(F.col("o_orderdate").isNotNull())
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("month")
+    )
+    monthly = firsts.groupBy("month").agg(F.count("*").alias("new_custs"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "month",
+        "new_custs",
+        F.sum("new_custs").over(w).cast("bigint").alias("cum_custs"),
+    )

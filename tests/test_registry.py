@@ -14,6 +14,7 @@ EXPECTED_KEYS = {
     "p9_incremental_upsert", "p10_corpus_pipeline", "p11_incremental_dedup",
     "p12_token_shards", "p13_partition_backfill", "p14_schema_evolution",
     "p15_dead_letter", "p17_snapshot_diff", "p18_skew_report", "p19_data_quality",
+    "p20_sync_reconcile",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
     "b5_dynamic_partition_pruning", "b7_zorder_layout", "b8_python_datasource",
@@ -39,7 +40,7 @@ EXPECTED_KEYS = {
     # the public registry view, pinned via DEPRECATED_KEYS below)
     "w1_order_rank", "w2_running_sum", "w3_lag_lead", "w4_range_frame",
     "w5_ntile_cume", "w6_first_last",
-    "w8_range_frame_scalable", "w9_sessionize",
+    "w8_range_frame_scalable", "w9_sessionize", "w10_cumulative_distinct",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
     "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap", "o8_corpus_shuffle",
@@ -49,7 +50,7 @@ EXPECTED_KEYS = {
     # scalar families
     "x1_string", "x2_date", "x3_math", "x4_array", "x5_map", "x6_json",
     "x7_cast_coalesce", "x8_hash", "x9_recursive_cte", "x10_bitwise", "x12_gapfill",
-    "x13_fuzzy_match",
+    "x13_fuzzy_match", "x14_url_normalize",
     # streaming
     "e1_tumbling", "e2_sliding", "e3_session", "e4_watermark_late",
     "e5_stream_dedup", "e6_stream_static_join", "e7_stateful_custom",
@@ -65,13 +66,13 @@ EXPECTED_KEYS = {
     "d11_dedup_minhash_verified", "d12_dup_groups_hybrid", "d13_sketch_accuracy",
     "s4_ann_lsh", "s5_ann_ivf", "s6_kmeans_refine", "s7_knn_batch",
     "s8_knn_quantized", "s9_pairwise_topk_lsh", "s10_ann_multiprobe",
-    "s11_ann_ivf_nprobe", "s12_recall_report",
+    "s11_ann_ivf_nprobe", "s12_recall_report", "s13_two_stage_rerank",
     "t4_quality_score", "t5_token_count_bpe",
     "t6_fingerprint", "t7_langid_ngram", "t8_unigram_lm_score",
     "t9_decontaminate", "t10_pii_redact", "t11_repetition_filter",
     # UDF surface
     "g1_scalar_pandas_udf", "g2_grouped_map", "g3_grouped_agg_udaf", "g4_udtf",
-    "g5_arrow_batch_map", "g6_cogrouped_asof",
+    "g5_arrow_batch_map", "g6_cogrouped_asof", "g7_scalar_iter_udf",
 }
 
 # Keys intentionally without a SQL oracle (nondeterministic cross-engine).

@@ -716,3 +716,24 @@ def test_o3_sample_is_seed_deterministic_and_rate_bounded(spark, sf_dir):
     )
     over = {k: c for k, c in Counter(got1).items() if c > src[k]}
     assert not over, f"sampled rows exceed source multiplicity: {over}"
+
+
+def test_s13_two_stage_rerank_recall_vs_exact(spark, sf_dir):
+    """The quantize-then-rerank pipeline must recover (nearly) the
+    exact answer: the int8 stage only risks dropping a true top-3
+    neighbor if quantization error pushes it below the top-20 cut.
+    Measured recall@3 vs the exact single-stage s7 is 1.0 at both
+    fixture SFs; pin a floor of 0.9 to keep headroom for fixture
+    regeneration while still catching a broken candidate cut."""
+    from hive_to_es_spark.registry import queries
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in queries()["s7_knn_batch"](spark, sf_dir).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in queries()["s13_two_stage_rerank"](spark, sf_dir).collect()
+    }
+    assert exact, "exact baseline must be non-empty"
+    assert len(exact & got) / len(exact) >= 0.9
