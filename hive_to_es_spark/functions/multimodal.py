@@ -282,3 +282,98 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(out)
 
     return df.select(id_col, media_col).mapInPandas(feats, FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: real RIFF/WAV container, deterministic synthetic PCM
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = "doc_id long, audio binary"
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, duration_ms int, "
+    "peak int, sum_amp long, energy long"
+)
+_WAV_RATE = 8000
+
+
+def make_wav(samples: bytes, sample_rate: int = _WAV_RATE) -> bytes:
+    """A real, minimal WAV file: 12-byte RIFF header + 24-byte fmt
+    chunk (PCM, mono, 8-bit) + data chunk. Any audio player opens
+    these; total size = 44 + len(samples)."""
+    n = len(samples)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + n, b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 1, 1, 8
+        )
+        + struct.pack("<4sI", b"data", n)
+        + samples
+    )
+
+
+def encode_fixture_audio(docs: DataFrame, id_col: str = "doc_id",
+                         chars_col: str = "n_chars") -> DataFrame:
+    """Deterministic REAL audio payloads: 8-bit mono 8 kHz PCM in a
+    spec-conformant WAV container, sample i = (doc_id*31 + i*17) % 256
+    and n_samples = 1 + n_chars % 400 — pure functions of the row, so
+    a SQL oracle can independently re-derive every statistic the
+    byte-level decode must recover (the m2/m4 trick, audio edition).
+    No audio libraries exist in this environment; the container is
+    built by header arithmetic, which is exactly what makes the
+    decode testable rather than stubbed."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf[id_col], pdf[chars_col]):
+                n = 1 + int(n_chars) % 400
+                s = ((int(doc_id) * 31 + np.arange(n, dtype=np.int64) * 17) % 256)
+                payloads.append(make_wav(s.astype(np.uint8).tobytes()))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "audio": payloads})
+
+    return docs.select(id_col, chars_col).mapInPandas(enc, AUDIO_SCHEMA)
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id",
+                   audio_col: str = "audio") -> DataFrame:
+    """Decode the WAV container (sample rate from the fmt chunk at
+    byte 24, PCM data after the 44-byte canonical header) and compute
+    waveform statistics over the ACTUAL bytes: peak amplitude, exact
+    integer amplitude sum and energy (sum of squares) — the loudness/
+    silence features an audio-corpus pipeline gates on. All-integer
+    outputs, so the whole stage value-verifies cross-engine."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[audio_col]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
+                rate = int.from_bytes(b[24:28], "little")
+                n_data = int.from_bytes(b[40:44], "little")
+                arr = np.frombuffer(b[44 : 44 + n_data], dtype=np.uint8)
+                rows.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        int(arr.size),
+                        int(arr.size) * 1000 // rate,
+                        int(arr.max()),
+                        int(arr.sum()),
+                        int((arr.astype(np.int64) ** 2).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_ms",
+                    "peak", "sum_amp", "energy",
+                ],
+            )
+
+    return df.mapInPandas(feats, AUDIO_FEATURES_SCHEMA)

@@ -628,3 +628,44 @@ def a19_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "cnt"
         )
     )
+
+
+# a20 — exact DECIMAL money aggregation: the HiveQL DECIMAL surface
+# (ledger semantics) as its own registered op. Everywhere else the
+# engine prices money as double + round-to-cents, which is fine for
+# analytics but NOT ledger-grade: a double sum's error grows with row
+# count and partition order. DECIMAL(18,2) sums are exact at any
+# scale and any aggregation order — Spark widens sum to DECIMAL(28,2)
+# (so ~10^26 cents before overflow) and keeps Tungsten's codegen'd
+# long-backed decimal path. Results are emitted as exact decimal
+# STRINGS: the oracle harness renders floats at fixed 6dp, so a
+# decimal-vs-float dtype difference between engines would break the
+# compare even when values agree; the string form is representation-
+# free. avg is deliberately absent — Spark and DuckDB assign
+# different result scales to decimal division, so an exact-avg
+# contract would pin engine-specific scale rules, not semantics.
+_A20_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total_exact,
+       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_exact,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_exact
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("a20_decimal_money", _A20_ORACLE)
+def a20_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL(18,2) money aggregation per order status — the
+    Hive ledger path (sum is exact and order-independent, unlike the
+    double sums the analytics ops use). Same two-phase hash-agg plan
+    as a1; the decimal arithmetic stays inside whole-stage codegen
+    (Spark backs DECIMAL(<=18) partials with longs)."""
+    o = load_tables(spark, sf_dir).orders
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(d).cast("string").alias("total_exact"),
+        F.min(d).cast("string").alias("min_exact"),
+        F.max(d).cast("string").alias("max_exact"),
+    )

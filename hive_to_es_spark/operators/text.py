@@ -384,3 +384,51 @@ def m4_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir).documents
     return extract_features(encode_fixture_media(d))
+
+
+# m5 — the audio rung of the multimodal ladder (m2/m4 are images,
+# m3 video-shaped frames): real WAV container decode + waveform
+# statistics over the actual PCM bytes. The payload is synthesized
+# deterministically from row columns (functions/multimodal.
+# encode_fixture_audio docstring), so the oracle re-derives every
+# statistic from the GENERATOR FORMULA while the Spark path computes
+# them from the decoded BYTES — independent derivations that can only
+# agree if container build, header parse and byte math are all exact.
+_M5_ORACLE = """
+WITH spec AS (
+  SELECT doc_id, 1 + n_chars % 400 AS n_samples FROM documents
+),
+wave AS (
+  SELECT doc_id, n_samples,
+         list_transform(range(0, n_samples), i -> (doc_id * 31 + i * 17) % 256) AS s
+  FROM spec
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(n_samples AS INTEGER) AS n_samples,
+       CAST(n_samples * 1000 // 8000 AS INTEGER) AS duration_ms,
+       CAST(list_max(s) AS INTEGER) AS peak,
+       CAST(list_aggregate(s, 'sum') AS BIGINT) AS sum_amp,
+       CAST(list_aggregate(list_transform(s, x -> x * x), 'sum') AS BIGINT) AS energy
+FROM wave
+"""
+
+
+@register("m5_audio_features", _M5_ORACLE)
+def m5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over binary waveform columns: every
+    document gets a real 8-bit-PCM WAV payload (header arithmetic, no
+    audio libs — the m2 approach applied to RIFF), the mapInPandas
+    stage parses the fmt chunk and computes peak / amplitude-sum /
+    energy over the decoded samples. Arrow-batched end to end; at
+    100 TB the binary column scans in parallel and features are a
+    narrow projection — the same plumbing a real (librosa-backed)
+    extractor would ride, with the codec swapped in behind the same
+    mapInPandas signature."""
+    from hive_to_es_spark.functions.multimodal import (
+        audio_features,
+        encode_fixture_audio,
+    )
+
+    d = load_tables(spark, sf_dir).documents
+    return audio_features(encode_fixture_audio(d))

@@ -574,3 +574,46 @@ def w10_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_custs",
         F.sum("new_custs").over(w).cast("bigint").alias("cum_custs"),
     )
+
+
+# w11 — event-type transition matrix: counts of (previous -> current)
+# event-type pairs per user ordering, the sequence-feature extraction
+# behavioral pipelines run before Markov/session modeling. lag() over
+# (user, ts, event_id) then a global pair count; 'START' marks each
+# user's first event so entry probabilities are derivable too.
+_W11_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         coalesce(lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id), 'START') AS prev_type
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT prev_type, event_type AS curr_type, CAST(count(*) AS BIGINT) AS n
+FROM seq GROUP BY prev_type, event_type
+"""
+
+
+@register("w11_transition_matrix", _W11_ORACLE)
+def w11_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (prev -> curr counts): the
+    sequence-feature / Markov-chain input every behavioral-analytics
+    pipeline derives from ordered clickstreams.
+
+    One shuffle on user_id for the lag window (linear per partition),
+    then a partial-combined count over the tiny (type x type) key
+    space — the aggregate output is |types|² rows no matter the data
+    size. NULL-ts filter mirrored on both engines (the w9/j15 NULLS
+    FIRST divergence); ties at equal ts break on event_id so the
+    lag sequence is engine-identical."""
+    ev = load_tables(spark, sf_dir).events.filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_type",
+        F.coalesce(F.lag("event_type").over(w), F.lit("START")).alias("prev_type"),
+    )
+    return (
+        seq.groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count("*").alias("n"))
+    )

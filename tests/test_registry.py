@@ -36,11 +36,13 @@ EXPECTED_KEYS = {
     "a5_rollup", "a6_cube", "a7_having", "a8_approx_distinct", "a9_stats_agg",
     "a10_collect", "a11_min_max_by", "a12_pivot", "a13_bool_agg", "a14_unpivot", "a15_count_min",
     "a16_percentiles", "a17_histogram", "a18_heavy_hitters", "a19_mode_per_group",
+    "a20_decimal_money",
     # windows (w7_range_frame_highcard is deprecated: quarantined from
     # the public registry view, pinned via DEPRECATED_KEYS below)
     "w1_order_rank", "w2_running_sum", "w3_lag_lead", "w4_range_frame",
     "w5_ntile_cume", "w6_first_last",
     "w8_range_frame_scalable", "w9_sessionize", "w10_cumulative_distinct",
+    "w11_transition_matrix",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
     "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap", "o8_corpus_shuffle",
@@ -59,6 +61,7 @@ EXPECTED_KEYS = {
     "d1_dedup_exact", "d2_dedup_minhash", "s1_knn_cosine", "s2_pairwise_topk",
     "s3_centroids", "t1_text_stats", "t2_tfidf_terms", "t3_langid_filter",
     "m1_multimodal_cols", "m2_media_decode", "m3_frame_sample", "m4_media_features",
+    "m5_audio_features",
     # LLM pipeline extensions (training-data set beyond SURVEY §2)
     "d3_dedup_simhash", "d4_dedup_ngram_jaccard", "d5_dedup_embedding",
     "d6_dedup_lsh_blocked", "d7_dedup_components", "d8_dedup_minhash_portable",
