@@ -84,6 +84,11 @@ EXTENSION = [
     # exact verify) and the ANN recall audit's brute-force arm
     "d13_sketch_accuracy",
     "s12_recall_report",
+    # round 7: the two-stage quantize-then-rerank serving pipeline
+    # (one corpus scan computing both scores) and the URL-canonical
+    # dedup scan
+    "s13_two_stage_rerank",
+    "x14_url_normalize",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1574,7 +1574,7 @@ def p20_sync_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the checksum makes silent row corruption visible, not just
     missing rows). Integer cents, never float sums, so the checksum
     compare is exact on both engines."""
-    from hive_to_es_spark.pipeline import Job, dataset_tmp_path, run_job
+    from hive_to_es_spark.pipeline import dataset_tmp_path
 
     sink_path = dataset_tmp_path("p20_sink", sf_dir)
     job = Job(

@@ -537,7 +537,7 @@ def x13_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X14_ORACLE = r"""
 WITH synth AS (
   SELECT doc_id,
-         CASE doc_id % 4
+         CASE (doc_id // 200) % 4
            WHEN 0 THEN 'https://cdn.example.com/Data/' || (doc_id % 200)
                        || '?id=' || (doc_id % 200 % 7)
            WHEN 1 THEN 'HTTPS://CDN.EXAMPLE.COM:443/Data/' || (doc_id % 200)
@@ -587,19 +587,25 @@ def x14_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents
     pid = F.col("doc_id") % 200
     qid = pid % 7
+    # variant selector must vary WITHIN a path class: doc_id % 4 is
+    # fully determined by doc_id % 200 (200 ≡ 0 mod 4), which would
+    # give every canonical group exactly ONE surface form and make
+    # the whole normalization vacuous — (doc_id DIV 200) % 4 walks
+    # the variants as doc_id steps through the same class
+    variant = F.expr("(doc_id DIV 200) % 4")
     url = (
         F.when(
-            F.col("doc_id") % 4 == 0,
+            variant == 0,
             F.concat(F.lit("https://cdn.example.com/Data/"), pid, F.lit("?id="), qid),
         )
         .when(
-            F.col("doc_id") % 4 == 1,
+            variant == 1,
             F.concat(
                 F.lit("HTTPS://CDN.EXAMPLE.COM:443/Data/"), pid, F.lit("?id="), qid
             ),
         )
         .when(
-            F.col("doc_id") % 4 == 2,
+            variant == 2,
             F.concat(
                 F.lit("https://cdn.example.com/Data/"),
                 pid,

@@ -737,3 +737,17 @@ def test_s13_two_stage_rerank_recall_vs_exact(spark, sf_dir):
     }
     assert exact, "exact baseline must be non-empty"
     assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_x14_canonical_groups_collapse_multiple_surface_forms(spark, sf_dir):
+    """x14's reason to exist: distinct SURFACE urls must normalize
+    into shared canonical groups. Guard against the vacuous-synthesis
+    bug class (a variant selector correlated with the path class gives
+    every group exactly one form, and then a normalize step that
+    silently no-ops would still hash-verify)."""
+    from hive_to_es_spark.registry import queries
+
+    rows = queries()["x14_url_normalize"](spark, sf_dir).collect()
+    multi = [r for r in rows if r.n_surface_forms >= 2]
+    assert multi, "no canonical group collapses >1 surface form — synthesis vacuous"
+    assert max(r.n_surface_forms for r in rows) >= 3

@@ -120,6 +120,18 @@ OPS = {
     "s12_recall_report": (4.0, "brute arm corpus x queries, both k-fold under offset-id scaling"),
     "x13_fuzzy_match": (4.0, "identical-name copies grow every fixed suffix block k-fold -> Σ|block|² pairs"),
     "p19_data_quality": (2.0, "count_if aggregate scans + two anti-joins, linear"),
+    # round 7: s13's corpus AND query sides both grow k-fold under
+    # offset-id scaling (offset ids stay ≡ 0 mod 50) -> k² flops in
+    # the prefilter; everything else in the batch is a linear scan or
+    # a scan + tiny-key aggregate.
+    "s13_two_stage_rerank": (4.0, "quantized prefilter is corpus x queries, both k-fold; rerank stays |q| x 20"),
+    "w10_cumulative_distinct": (2.0, "one key-agg shuffle is the only data-sized stage; window sees |months| rows"),
+    "w11_transition_matrix": (2.0, "lag window shuffle + |types|² count, linear per partition"),
+    "x14_url_normalize": (2.0, "codegen'd regexp chain in the scan + one hash agg on the canonical key"),
+    "a20_decimal_money": (2.0, "two-phase decimal hash agg, long-backed codegen path"),
+    "m5_audio_features": (2.0, "Arrow-batched encode+decode, per-row byte math, no shuffle"),
+    "g7_scalar_iter_udf": (2.0, "SCALAR_ITER Arrow batches, linear; init amortized per worker"),
+    "p20_sync_reconcile": (2.0, "sync write + two partial-combined agg scans + |years|-row join (eager: the write IS the op)"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
@@ -140,6 +152,9 @@ EAGER_BUILD = {
     "d10_dedup_jaccard_prefix",
     "d11_dedup_minhash_verified",
     "d12_dup_groups_hybrid",
+    # p20 runs its sync write at DataFrame-build time (run_job inside
+    # the op); non-eager timing would price only the reconcile read
+    "p20_sync_reconcile",
 }
 
 # Two-sided slack per doubling step. Upper breach = superlinear creep
