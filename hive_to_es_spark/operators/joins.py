@@ -880,3 +880,104 @@ def j15_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v.sval").alias("tier"),
         )
     )
+
+
+# j16 — nearest-event as-of join (pandas merge_asof direction=
+# 'nearest'): each purchase matched to the CLOSEST click by |Δt|
+# within ±1 h, ties to the EARLIER click. j9/j14 cover direction=
+# 'backward'; nearest needs BOTH frame directions and a tie rule, so
+# it is a distinct semantic, not a parameter tweak. Two RANGE frames
+# over one (user, time) sort — Spark plans both over a single
+# exchange — then pure integer arithmetic picks the side.
+_J16_TOL_US = 3600 * 1_000_000
+
+_J16_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
+),
+framed AS (
+  SELECT user_id, event_id, event_type, us,
+         max(click_us) OVER (PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN {_J16_TOL_US} PRECEDING AND CURRENT ROW) AS prev_us,
+         min(click_us) OVER (PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN CURRENT ROW AND {_J16_TOL_US} FOLLOWING) AS next_us
+  FROM t
+)
+SELECT event_id, user_id,
+       CASE WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+            WHEN next_us IS NULL OR (prev_us IS NOT NULL
+                 AND us - prev_us <= next_us - us) THEN prev_us
+            ELSE next_us END AS nearest_click_us,
+       CASE WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+            WHEN next_us IS NULL OR (prev_us IS NOT NULL
+                 AND us - prev_us <= next_us - us) THEN us - prev_us
+            ELSE next_us - us END AS delta_us,
+       CASE WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+            WHEN next_us IS NULL OR (prev_us IS NOT NULL
+                 AND us - prev_us <= next_us - us) THEN 'prev'
+            ELSE 'next' END AS side
+FROM framed WHERE event_type = 'purchase'
+"""
+
+
+@register("j16_nearest_event", _J16_ORACLE)
+def j16_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join (merge_asof direction='nearest'):
+    every purchase gets the closest click within ±1 h by absolute
+    time distance, equal distances resolving to the EARLIER click —
+    the attribution semantic when a click can plausibly follow its
+    purchase (post-purchase confirmation clicks).
+
+    Plan: one shuffle on user_id; both RANGE frames (backward max,
+    forward min) share the same window sort, so Spark evaluates them
+    in a single Window operator over one exchange. All time math in
+    integer epoch-micros (j14's rule: boundary clicks are exact at
+    native resolution); min/max over the frame are order-insensitive,
+    so no tiebreaker column is needed inside the frames themselves.
+    A same-instant click lands in BOTH frames with Δ=0 and resolves
+    to 'prev' on both engines."""
+    ev = load_tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("click", "purchase") & F.col("ts").isNotNull()
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_type") == "click", F.unix_micros("ts")).alias("click_us"),
+    )
+    base = Window.partitionBy("user_id").orderBy("us")
+    prev_us = F.max("click_us").over(base.rangeBetween(-_J16_TOL_US, 0))
+    next_us = F.min("click_us").over(base.rangeBetween(0, _J16_TOL_US))
+    framed = tagged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "us",
+        prev_us.alias("prev_us"),
+        next_us.alias("next_us"),
+    )
+    both_null = F.col("prev_us").isNull() & F.col("next_us").isNull()
+    take_prev = F.col("next_us").isNull() | (
+        F.col("prev_us").isNotNull()
+        & (F.col("us") - F.col("prev_us") <= F.col("next_us") - F.col("us"))
+    )
+    return framed.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.when(both_null, F.lit(None).cast("bigint"))
+        .when(take_prev, F.col("prev_us"))
+        .otherwise(F.col("next_us"))
+        .alias("nearest_click_us"),
+        F.when(both_null, F.lit(None).cast("bigint"))
+        .when(take_prev, F.col("us") - F.col("prev_us"))
+        .otherwise(F.col("next_us") - F.col("us"))
+        .alias("delta_us"),
+        F.when(both_null, F.lit(None).cast("string"))
+        .when(take_prev, F.lit("prev"))
+        .otherwise(F.lit("next"))
+        .alias("side"),
+    )

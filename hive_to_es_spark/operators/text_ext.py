@@ -511,3 +511,68 @@ def t11_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("top_frac"), 6).alias("avg_top_frac"),
         )
     )
+
+
+# t12 — category blocklist gate: the wordlist-based content filter
+# corpus pipelines run before release (safety/spam lists; here the
+# "sensitive" categories are built from the fixture's actual
+# vocabulary so hit counts are non-vacuous at every SF). Counts are
+# per-category OCCURRENCES (not distinct terms): a list-based gate
+# thresholds on how much of the document the category covers.
+_T12_CATS = {
+    "latency": ("slow", "fast"),
+    "size": ("big", "small"),
+}
+_T12_THRESHOLD = 5  # occurrences across all categories -> blocked
+
+
+def _t12_oracle() -> str:
+    cols = []
+    for cat, words in _T12_CATS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        cols.append(
+            f"CAST(len(list_filter(string_split(lower(text), ' '), "
+            f"w -> list_contains([{lst}], w))) AS BIGINT) AS {cat}_hits"
+        )
+    total = " + ".join(f"{cat}_hits" for cat in _T12_CATS)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {', '.join(cols)}
+  FROM documents
+)
+SELECT doc_id, {', '.join(f'{c}_hits' for c in _T12_CATS)},
+       ({total}) >= {_T12_THRESHOLD} AS blocked
+FROM scored
+"""
+
+
+@register("t12_blocklist_filter", _t12_oracle())
+def t12_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category blocklist gate: per-document occurrence counts against
+    category wordlists + a blocked verdict — the safety/spam wordlist
+    filter in a corpus-release pipeline.
+
+    Pure scan-side higher-order functions (split -> filter -> size per
+    category), no explode, no shuffle before any downstream agg — at
+    100 TB the gate is free inside the scan projection. Real
+    deployments swap the literal lists for a broadcast dictionary;
+    the per-category column shape (one counter per category, verdict
+    from their sum) is the part that matters and is value-verified."""
+    d = load_tables(spark, sf_dir).documents
+    toks = F.split(F.lower("text"), " ")
+
+    def hits(words):
+        # closure, NOT a default-arg lambda: pyspark dispatches HOF
+        # lambdas by arity, so `lambda t, w=words:` reads as the
+        # 2-arg (element, index) form and w receives the index column
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("bigint")
+
+    hit_cols = {cat: hits(words) for cat, words in _T12_CATS.items()}
+    total = None
+    for c in hit_cols.values():
+        total = c if total is None else total + c
+    return d.select(
+        "doc_id",
+        *[col.alias(f"{cat}_hits") for cat, col in hit_cols.items()],
+        (total >= _T12_THRESHOLD).alias("blocked"),
+    )

@@ -132,6 +132,8 @@ OPS = {
     "m5_audio_features": (2.0, "Arrow-batched encode+decode, per-row byte math, no shuffle"),
     "g7_scalar_iter_udf": (2.0, "SCALAR_ITER Arrow batches, linear; init amortized per worker"),
     "p20_sync_reconcile": (2.0, "sync write + two partial-combined agg scans + |years|-row join (eager: the write IS the op)"),
+    "j16_nearest_event": (2.0, "one user_id shuffle, both RANGE frames share the window sort; linear per partition"),
+    "t12_blocklist_filter": (2.0, "scan-side HOF token counting, no shuffle"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
