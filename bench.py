@@ -89,6 +89,11 @@ EXTENSION = [
     # dedup scan
     "s13_two_stage_rerank",
     "x14_url_normalize",
+    # round 7 batch 2: the C4-style corpus line-dedup (explode +
+    # census + broadcast membership + reassembly — the heaviest new
+    # text shape) and the temperature-mix scan filter
+    "t13_line_dedup",
+    "o10_temperature_mix",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

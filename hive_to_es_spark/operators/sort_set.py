@@ -452,3 +452,61 @@ def o9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+_O10_ORACLE = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang
+),
+weights AS (
+  SELECT lang, c, CAST(floor(sqrt(c) * 1000000) AS BIGINT) AS w FROM counts
+),
+quota AS (
+  SELECT lang,
+         CAST((100 * w * 1000000) // ((SELECT sum(w) FROM weights) * c)
+              AS BIGINT) AS thresh_ppm
+  FROM weights
+)
+SELECT d.doc_id, d.lang, q.thresh_ppm
+FROM documents d JOIN quota q ON d.lang = q.lang
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 1000000 < q.thresh_ppm
+"""
+
+
+@register("o10_temperature_mix", _O10_ORACLE)
+def o10_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language re-sampling (alpha = 0.5): each
+    language's keep-probability is proportional to count^alpha / count,
+    so low-resource languages are up-weighted relative to their corpus
+    share — the multilingual mixing step of an LLM data pipeline
+    (the p(L) ∝ |L|^alpha schedule popularized by multilingual
+    pretraining; alpha=0.5 chosen because sqrt is the one power both
+    engines round identically — IEEE-754 sqrt is correctly rounded,
+    pow(x, a) is not).
+
+    All quota math is exact integer arithmetic: weight =
+    floor(sqrt(c)*1e6) as bigint, keep-threshold in ppm via bigint
+    DIV — no float sum ever crosses the engine boundary (the
+    [[spark-duckdb-oracle-gotchas]] float-sum-order trap). Selection
+    is a scan-side hash-threshold predicate (same md5 bucket as o4):
+    linear, shuffle-free over the corpus; the only shuffle is the
+    5-row language census, which then broadcasts back. Expected
+    sample size is the 100-doc budget; realized size is binomial
+    around it — the honest semantics of probabilistic temperature
+    sampling (contrast o7's exact per-stratum caps for the
+    rank-exact variant of this shape)."""
+    d = load_tables(spark, sf_dir).documents
+    counts = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("c"))
+    weights = counts.withColumn(
+        "w", F.floor(F.sqrt("c") * F.lit(1_000_000.0)).cast("bigint")
+    )
+    sumw = weights.agg(F.sum("w").cast("bigint").alias("sw"))
+    quota = weights.crossJoin(F.broadcast(sumw)).selectExpr(
+        "lang", "CAST((100 * w * 1000000) DIV (sw * c) AS BIGINT) AS thresh_ppm"
+    )
+    return (
+        d.join(F.broadcast(quota), "lang")
+        .filter(hash_bucket("doc_id", 1_000_000) < F.col("thresh_ppm"))
+        .select("doc_id", "lang", "thresh_ppm")
+    )

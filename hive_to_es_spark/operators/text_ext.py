@@ -576,3 +576,99 @@ def t12_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[col.alias(f"{cat}_hits") for cat, col in hit_cols.items()],
         (total >= _T12_THRESHOLD).alias("blocked"),
     )
+
+
+_T13_LINE_TOKS = 3  # synthetic "line" = 3-token chunk (docs have no \n)
+_T13_DF_MIN = 3  # a line present in >= 3 distinct docs is boilerplate
+
+_T13_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         (len(string_split(text, ' ')) + {_T13_LINE_TOKS - 1}) // {_T13_LINE_TOKS}
+           AS nl
+  FROM documents
+),
+nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 10001)),
+lines AS (
+  SELECT t.doc_id, n.i AS line_no,
+         array_to_string(
+           t.tk[(n.i - 1) * {_T13_LINE_TOKS} + 1 : n.i * {_T13_LINE_TOKS}], ' '
+         ) AS line
+  FROM toks t JOIN nums n ON n.i <= t.nl
+),
+freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+flagged AS (
+  SELECT l.doc_id, l.line_no, l.line, f.df >= {_T13_DF_MIN} AS dropped
+  FROM lines l JOIN freq f USING (line)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+       coalesce(
+         string_agg(line, ' ' ORDER BY line_no) FILTER (WHERE NOT dropped), ''
+       ) AS cleaned_text
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+@register("t13_line_dedup", _T13_ORACLE)
+def t13_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency line deduplication — the C4-style boilerplate
+    pass: any "line" occurring in >= _T13_DF_MIN (3) distinct
+    documents is removed from every document, and the survivors are
+    re-assembled in order. Fixture documents carry no newlines, so a
+    line is synthesized as a _T13_LINE_TOKS (3)-token chunk (mirrored
+    exactly in the oracle); on real corpora swap the chunker for
+    split('\\n').
+
+    Plan shape at 100 TB: tokenize + chunk are scan-side HOFs
+    (transform over sequence + slice); the line-frequency census is
+    one map-side-combinable groupBy(line); the boilerplate SET
+    (df >= 3) is then broadcast back — frequent lines are few
+    by construction (on open-web corpora cap the census with a df
+    ceiling or count-min, as d4 does for shingles), so the corpus
+    itself never shuffles for the membership test. The only
+    data-sized shuffle is the final reassembly groupBy(doc_id).
+    collect_list(when(keep, ...)) drops the nulls of removed lines;
+    array_sort on (line_no, line) structs restores document order
+    deterministically."""
+    d = load_tables(spark, sf_dir).documents
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.expr(
+        f"(size(split(text, ' ')) + {_T13_LINE_TOKS - 1}) DIV {_T13_LINE_TOKS}"
+    )
+    lines_arr = F.transform(
+        F.sequence(F.lit(1), n_lines.cast("int")),
+        lambda i: F.array_join(
+            F.slice(toks, (i - 1) * _T13_LINE_TOKS + 1, _T13_LINE_TOKS), " "
+        ),
+    )
+    lines = d.select(
+        "doc_id", F.posexplode(lines_arr).alias("pos", "line")
+    ).select("doc_id", (F.col("pos") + 1).alias("line_no"), "line")
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _T13_DF_MIN)
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "line", "left").withColumn(
+        "dropped", F.coalesce(F.col("is_boiler"), F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("dropped"), F.struct(F.col("line_no"), F.col("line"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

@@ -617,3 +617,58 @@ def w11_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy("prev_type", F.col("event_type").alias("curr_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+_W12_WEIGHTS = [128, 64, 32, 16, 8, 4, 2, 1]  # 2^(7-j) for lag j = 0..7
+
+_W12_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate IS NOT NULL
+)
+SELECT o_custkey, o_orderkey,
+       CAST({terms} AS BIGINT) AS ewma_x128
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""".format(
+    terms=" + ".join(
+        f"coalesce(lag(cents, {j}) OVER w, 0) * {wt}"
+        for j, wt in enumerate(_W12_WEIGHTS)
+    )
+)
+
+
+@register("w12_ewma_decay", _W12_ORACLE)
+def w12_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed moving average of per-customer order
+    value: lambda = 1/2 over the last 8 orders, reported as an exact
+    integer ewma_x128 = sum_{j=0..7} cents_{n-j} * 2^(7-j).
+
+    The decay kernel is a fixed 8-tap FIR, so the whole computation is
+    eight lag() reads over ONE shared window sort — a single
+    o_custkey shuffle, then linear per partition; the key is
+    high-cardinality so no w7-style task ceiling. Choosing lambda a
+    power of two and pre-scaling by 2^7 keeps every term (and the
+    sum) a bigint: no float accumulation, so Spark and DuckDB agree
+    bit-for-bit where a real-valued EWMA would drift (the same
+    integer-money rule as p17/a20). A true infinite-horizon EWMA
+    needs a recursive state fold — at scale that is the
+    applyInPandasWithState shape (e7); the truncated-kernel form here
+    is the one that stays in whole-stage codegen."""
+    o = (
+        load_tables(spark, sf_dir)
+        .orders.filter(F.col("o_orderdate").isNotNull())
+        .withColumn("cents", F.round(F.col("o_totalprice") * 100).cast("bigint"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    ewma = None
+    for j, wt in enumerate(_W12_WEIGHTS):
+        term = F.coalesce(F.lag("cents", j).over(w), F.lit(0)) * F.lit(wt)
+        ewma = term if ewma is None else ewma + term
+    return o.select(
+        "o_custkey", "o_orderkey", ewma.cast("bigint").alias("ewma_x128")
+    )

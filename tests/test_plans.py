@@ -418,3 +418,33 @@ def test_url_normalize_is_scan_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_w12_ewma_single_window_shuffle(spark, sf_dir):
+    """w12's eight lag taps must share ONE custkey window sort — if
+    the taps stop aligning on the same window spec, per-tap Exchanges
+    appear here first. No Python boundary anywhere."""
+    plan = _simple_plan(spark, sf_dir, "w12_ewma_decay")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_o10_temperature_mix_broadcasts_quota(spark, sf_dir):
+    """o10's scale claim: the corpus is filtered by a scan-side
+    hash-threshold against BROADCAST per-language quotas — the only
+    Exchanges belong to the |langs|-row census aggregate, and the
+    corpus side must never sort-merge."""
+    plan = _simple_plan(spark, sf_dir, "o10_temperature_mix")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_t13_line_dedup_broadcasts_boilerplate(spark, sf_dir):
+    """t13's membership test must be a broadcast join against the
+    df-thresholded boilerplate set (the corpus never shuffles for
+    it); the data-sized shuffles are the line census and the doc_id
+    reassembly only."""
+    plan = _simple_plan(spark, sf_dir, "t13_line_dedup")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -751,3 +751,120 @@ def test_x14_canonical_groups_collapse_multiple_surface_forms(spark, sf_dir):
     multi = [r for r in rows if r.n_surface_forms >= 2]
     assert multi, "no canonical group collapses >1 surface form — synthesis vacuous"
     assert max(r.n_surface_forms for r in rows) >= 3
+
+
+def test_o10_temperature_mix_upweights_low_resource_langs(spark, sf_dir):
+    """o10's reason to exist: after temperature re-sampling, the
+    dominant language's share must shrink toward (not grow from) its
+    corpus share, and every language's keep-rate must match its ppm
+    threshold within binomial noise. Guards against a vacuous quota
+    (uniform thresholds would still hash-verify)."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    corpus = {
+        r.lang: r.n
+        for r in load_tables(spark, sf_dir)
+        .documents.groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    rows = queries()["o10_temperature_mix"](spark, sf_dir).collect()
+    sel = {}
+    thresh = {}
+    for r in rows:
+        sel[r.lang] = sel.get(r.lang, 0) + 1
+        thresh[r.lang] = r.thresh_ppm
+    total_c = sum(corpus.values())
+    total_s = len(rows)
+    assert set(thresh) == set(corpus), "some language selected zero docs"
+    # thresholds must actually differ (the non-vacuity guard): the
+    # biggest language gets the smallest keep-probability
+    big = max(corpus, key=corpus.get)
+    small = min(corpus, key=corpus.get)
+    assert thresh[big] < thresh[small]
+    # dominant language share strictly shrinks vs its corpus share
+    assert sel[big] / total_s < corpus[big] / total_c
+    # realized keep-rate tracks the ppm threshold (4-sigma binomial)
+    for lang, c in corpus.items():
+        p = thresh[lang] / 1_000_000
+        sigma = (c * p * (1 - p)) ** 0.5
+        assert abs(sel[lang] - c * p) <= 4 * sigma + 1
+
+
+def test_w12_ewma_matches_direct_decay_sum(spark, sf_dir):
+    """w12's integer ewma_x128 must equal the directly-computed
+    sum(cents[n-j] * 2^(7-j)) on a handful of customers, and the
+    first order of every customer must have ewma_x128 == cents*128
+    (no leakage across the partition boundary)."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    out = {
+        r.o_orderkey: r.ewma_x128
+        for r in queries()["w12_ewma_decay"](spark, sf_dir).collect()
+    }
+    orders = (
+        load_tables(spark, sf_dir)
+        .orders.selectExpr(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    by_cust = {}
+    for r in sorted(orders, key=lambda r: (r.o_custkey, r.o_orderdate, r.o_orderkey)):
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    checked = 0
+    for cust, seq in list(by_cust.items())[:50]:
+        cents = [r.cents for r in seq]
+        for n, r in enumerate(seq):
+            expect = sum(
+                cents[n - j] * (1 << (7 - j)) for j in range(min(n + 1, 8))
+            )
+            assert out[r.o_orderkey] == expect
+            checked += 1
+        assert out[seq[0].o_orderkey] == seq[0].cents * 128
+    assert checked > 100
+
+
+def test_t13_line_dedup_removes_shared_boilerplate_only(spark, sf_dir):
+    """t13's full semantics recomputed in Python: corpus-frequent
+    lines (df >= 3 distinct docs) disappear from EVERY document, rare
+    lines survive, reassembly preserves order. Non-vacuity: some docs
+    lose lines while others keep everything."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+    }
+
+    def chunks(text):
+        toks = text.split(" ")
+        return [" ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)]
+
+    df = {}
+    for text in docs.values():
+        for line in set(chunks(text)):
+            df[line] = df.get(line, 0) + 1
+    boiler = {line for line, n in df.items() if n >= 3}
+    assert boiler, "fixture has no boilerplate lines at df>=3 - test vacuous"
+
+    rows = {r.doc_id: r for r in queries()["t13_line_dedup"](spark, sf_dir).collect()}
+    assert set(rows) == set(docs)
+    any_dropped = any_intact = False
+    for doc_id, text in docs.items():
+        cs = chunks(text)
+        kept = [c for c in cs if c not in boiler]
+        r = rows[doc_id]
+        assert r.n_lines == len(cs)
+        assert r.n_dropped == len(cs) - len(kept)
+        assert r.cleaned_text == " ".join(kept)
+        any_dropped = any_dropped or r.n_dropped > 0
+        any_intact = any_intact or r.n_dropped == 0
+    assert any_dropped and any_intact

@@ -134,6 +134,9 @@ OPS = {
     "p20_sync_reconcile": (2.0, "sync write + two partial-combined agg scans + |years|-row join (eager: the write IS the op)"),
     "j16_nearest_event": (2.0, "one user_id shuffle, both RANGE frames share the window sort; linear per partition"),
     "t12_blocklist_filter": (2.0, "scan-side HOF token counting, no shuffle"),
+    "o10_temperature_mix": (2.0, "scan-side hash-threshold filter; only the |langs|-row census shuffles"),
+    "w12_ewma_decay": (2.0, "one custkey window shuffle; 8-tap integer FIR over a shared sort, linear per partition"),
+    "t13_line_dedup": (2.0, "chunking is scan-side HOF; line census map-combines; boilerplate set broadcast; one doc_id reassembly shuffle"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
