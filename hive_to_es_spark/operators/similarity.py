@@ -1056,3 +1056,186 @@ def s13_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn2") <= 3)
         .select("query_id", "vec_id", "cos_sim")
     )
+
+
+_S14_N_QUERIES = 5  # query batch = vec_id < 5
+_S14_K_CAND = 12  # relevance-ranked candidate pool per query
+_S14_K_OUT = 5  # MMR-selected results per query
+# lambda = 0.7 as the exact rational 7/10: score_x1e7 =
+# 7*rel_u - 3*max_sim_u on micro-unit bigints — the greedy never
+# touches a float, so Spark, pandas and DuckDB agree bit-for-bit.
+
+_S14_ORACLE = f"""
+WITH RECURSIVE
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {_S14_N_QUERIES}
+),
+c0 AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(round(list_cosine_similarity(
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) * 1000000)
+           AS BIGINT) AS rel_u,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+cands AS (
+  SELECT query_id, vec_id, rel_u, ev FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel_u DESC, vec_id ASC) AS rk
+    FROM c0
+  ) WHERE rk <= {_S14_K_CAND}
+),
+pairs AS (
+  SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(round(list_cosine_similarity(a.ev, b.ev) * 1000000) AS BIGINT)
+           AS sim_u
+  FROM cands a JOIN cands b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+),
+mmr AS (
+  SELECT query_id, 1 AS rnk, vec_id, 7 * rel_u AS score_x1e7, [vec_id] AS sel
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel_u DESC, vec_id ASC) AS rr
+    FROM cands
+  ) WHERE rr = 1
+  UNION ALL
+  SELECT query_id, rnk + 1, vec_id, score_x1e7, list_append(sel, vec_id)
+  FROM (
+    SELECT m.query_id, m.rnk, c.vec_id, m.sel,
+           7 * c.rel_u - 3 * max(CASE WHEN list_contains(m.sel, p.b_id)
+                                      THEN p.sim_u END) AS score_x1e7,
+           row_number() OVER (
+             PARTITION BY m.query_id
+             ORDER BY 7 * c.rel_u
+                      - 3 * max(CASE WHEN list_contains(m.sel, p.b_id)
+                                     THEN p.sim_u END) DESC,
+                      c.vec_id ASC) AS rr
+    FROM mmr m
+    JOIN cands c ON c.query_id = m.query_id AND NOT list_contains(m.sel, c.vec_id)
+    JOIN pairs p ON p.query_id = m.query_id AND p.a_id = c.vec_id
+    WHERE m.rnk < {_S14_K_OUT}
+    GROUP BY m.query_id, m.rnk, c.vec_id, m.sel, c.rel_u
+  ) WHERE rr = 1
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, score_x1e7
+FROM mmr
+"""
+
+
+@register("s14_mmr_rerank", _S14_ORACLE)
+def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal-marginal-relevance) diversity re-ranking: for each
+    query, take the top-12 relevance candidates, then greedily select
+    5 maximizing lambda*relevance - (1-lambda)*max-similarity-to-
+    already-selected (lambda = 0.7) — the result-diversification step
+    retrieval systems run so near-duplicate neighbors don't crowd the
+    answer set (complementing d5's corpus-side near-dup removal).
+
+    MMR's greedy argmax is sequential per query — genuinely outside
+    relational algebra — so this is the (b)-class custom operator:
+    ALL vector math (relevance + candidate-pairwise cosines) runs
+    JVM-side with the same fold as s1 and is rounded to micro-unit
+    bigints; only the k-step integer greedy crosses into an
+    applyInPandas group of <= k_cand^2 rows per query. No float ever
+    reaches a decision or the output (score_x1e7 = 7*rel_u -
+    3*max_sim_u exactly), so the selection is bit-identical to the
+    oracle's recursive-CTE replay of the same greedy. At scale the
+    candidate stage is s7's broadcast-batch scan (corpus read once,
+    WindowGroupLimit top-k) and the pandas stage is bounded by
+    |queries| x k_cand^2 rows — never corpus-sized."""
+    import pandas as pd
+
+    e = load_tables(spark, sf_dir).embeddings
+    q = e.filter(F.col("vec_id") < _S14_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _dbl("embedding").alias("qv"),
+        _norm(_dbl("embedding")).alias("nq"),
+    )
+    c = e.select(
+        "vec_id", _dbl("embedding").alias("ev"), _norm(_dbl("embedding")).alias("nc")
+    )
+    rel = _dot(F.col("ev"), F.col("qv")) / (F.col("nc") * F.col("nq"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel_u").desc(), F.col("vec_id").asc()
+    )
+    cands = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(rel * 1_000_000).cast("bigint").alias("rel_u"),
+            "ev",
+            "nc",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _S14_K_CAND)
+        .drop("rk")
+    )
+    a = cands.select(
+        "query_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("rel_u").alias("a_rel_u"),
+        F.col("ev").alias("av"),
+        F.col("nc").alias("na"),
+    )
+    b = cands.select(
+        F.col("query_id").alias("qb"),
+        F.col("vec_id").alias("b_id"),
+        F.col("ev").alias("bv"),
+        F.col("nc").alias("nb"),
+    )
+    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("query_id") == F.col("qb")) & (F.col("a_id") != F.col("b_id")),
+        )
+        .select(
+            "query_id",
+            "a_id",
+            "a_rel_u",
+            "b_id",
+            F.round(sim * 1_000_000).cast("bigint").alias("sim_u"),
+        )
+    )
+
+    k_out = _S14_K_OUT
+
+    def mmr_greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = int(pdf["query_id"].iloc[0])
+        rel_by_id = {
+            int(r.a_id): int(r.a_rel_u)
+            for r in pdf[["a_id", "a_rel_u"]].drop_duplicates().itertuples()
+        }
+        sim_by_pair = {
+            (int(r.a_id), int(r.b_id)): int(r.sim_u)
+            for r in pdf[["a_id", "b_id", "sim_u"]].itertuples()
+        }
+        sel: list[int] = []
+        out = []
+        for rank in range(1, k_out + 1):
+            best_id, best_score = None, None
+            for cand in sorted(rel_by_id):
+                if cand in sel:
+                    continue
+                max_sim = max((sim_by_pair[(cand, s)] for s in sel), default=0)
+                score = 7 * rel_by_id[cand] - 3 * max_sim
+                if best_score is None or score > best_score:
+                    best_id, best_score = cand, score
+            if best_id is None:
+                break
+            sel.append(best_id)
+            out.append((query_id, rank, best_id, best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "vec_id", "score_x1e7"]
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(
+        mmr_greedy,
+        "query_id BIGINT, rank BIGINT, vec_id BIGINT, score_x1e7 BIGINT",
+    )

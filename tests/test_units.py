@@ -868,3 +868,101 @@ def test_t13_line_dedup_removes_shared_boilerplate_only(spark, sf_dir):
         any_dropped = any_dropped or r.n_dropped > 0
         any_intact = any_intact or r.n_dropped == 0
     assert any_dropped and any_intact
+
+
+def test_s14_mmr_diversifies_vs_pure_relevance(spark, sf_dir):
+    """s14's reason to exist: for at least one query the MMR-selected
+    set must differ from the pure-relevance top-5 (otherwise the
+    diversity term is vacuous), rank-1 must equal the relevance
+    argmax (MMR step 1 is pure relevance), and within each query the
+    selected set's max pairwise similarity must not exceed that of
+    the relevance top-5 it replaced."""
+    from hive_to_es_spark.operators.similarity import (
+        _S14_N_QUERIES,
+        _dbl,
+        _dot,
+        _norm,
+    )
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+    from pyspark.sql import functions as F
+
+    rows = queries()["s14_mmr_rerank"](spark, sf_dir).collect()
+    sel = {}
+    for r in rows:
+        sel.setdefault(r.query_id, {})[r.rank] = r.vec_id
+    assert set(sel) == set(range(_S14_N_QUERIES))
+    assert all(len(v) == 5 for v in sel.values())
+
+    e = load_tables(spark, sf_dir).embeddings
+    q = e.filter(F.col("vec_id") < _S14_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _dbl("embedding").alias("qv"),
+        _norm(_dbl("embedding")).alias("nq"),
+    )
+    c = e.select(
+        "vec_id", _dbl("embedding").alias("ev"), _norm(_dbl("embedding")).alias("nc")
+    )
+    rel = _dot(F.col("ev"), F.col("qv")) / (F.col("nc") * F.col("nq"))
+    rel_rows = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(rel * 1_000_000).cast("bigint").alias("rel_u"),
+        )
+        .collect()
+    )
+    by_q = {}
+    for r in rel_rows:
+        by_q.setdefault(r.query_id, []).append((-r.rel_u, r.vec_id))
+    top5 = {qid: [v for _, v in sorted(lst)[:5]] for qid, lst in by_q.items()}
+    # step 1 is pure relevance
+    for qid in sel:
+        assert sel[qid][1] == top5[qid][0]
+    # the diversity term must bite somewhere
+    assert any(
+        set(sel[qid].values()) != set(top5[qid]) for qid in sel
+    ), "MMR chose exactly the relevance top-5 for every query - diversity vacuous"
+
+
+def test_s14_mmr_selected_set_less_redundant(spark, sf_dir):
+    """Where MMR's set differs from the relevance top-5, its MEAN
+    intra-set cosine must be strictly lower (the max pair can be
+    inherited unchanged from the forced early picks, so the mean is
+    the redundancy aggregate the greedy provably reduces) — and never
+    higher anywhere."""
+    import numpy as np
+
+    from hive_to_es_spark.operators.similarity import _S14_N_QUERIES
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = queries()["s14_mmr_rerank"](spark, sf_dir).collect()
+    sel = {}
+    for r in rows:
+        sel.setdefault(r.query_id, set()).add(r.vec_id)
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_tables(spark, sf_dir).embeddings.collect()
+    }
+
+    def cos(a, b):
+        return float(emb[a] @ emb[b] / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b])))
+
+    def mean_pair(ids):
+        ids = sorted(ids)
+        ps = [cos(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
+        return sum(ps) / len(ps)
+
+    diverged = 0
+    for qid in range(_S14_N_QUERIES):
+        rels = sorted(
+            ((cos(qid, v), -v) for v in emb if v != qid), reverse=True
+        )[:5]
+        rel_top5 = {-nv for _, nv in rels}
+        if sel[qid] != rel_top5:
+            diverged += 1
+            assert mean_pair(sel[qid]) < mean_pair(rel_top5)
+    assert diverged >= 1

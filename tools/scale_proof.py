@@ -137,6 +137,7 @@ OPS = {
     "o10_temperature_mix": (2.0, "scan-side hash-threshold filter; only the |langs|-row census shuffles"),
     "w12_ewma_decay": (2.0, "one custkey window shuffle; 8-tap integer FIR over a shared sort, linear per partition"),
     "t13_line_dedup": (2.0, "chunking is scan-side HOF; line census map-combines; boilerplate set broadcast; one doc_id reassembly shuffle"),
+    "s14_mmr_rerank": (2.0, "broadcast 5-query candidate scan is the only corpus-sized stage; pairs + greedy fixed k_cand² per query"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
