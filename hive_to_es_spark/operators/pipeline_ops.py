@@ -1623,3 +1623,143 @@ def p20_sync_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("missing_rows"),
         status.alias("sync_status"),
     )
+
+
+_B9_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("b9_file_metadata", _B9_ORACLE)
+def b9_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-file lineage via the hidden `_metadata` scan columns:
+    events are written partitioned by event_type (repartitioned on the
+    key first, so each partition directory lands exactly one file),
+    then read back attributing every row to its physical file — the
+    "which file did this row come from" audit that incident triage
+    and selective re-ingest (p13's backfill) depend on.
+
+    `_metadata.file_path` / `file_name` are generated AT THE SCAN
+    (constant per split, no join, no shuffle); the only exchange is
+    the report aggregate, whose key space is |files|. The partition
+    value is recovered from the directory name (regexp on file_path)
+    and must round-trip the written key exactly; n_files per
+    partition must be exactly 1 (the repartition-by-key write
+    contract — the file-count column is how a lineage report catches
+    small-file explosions, p6's problem, at a glance). The oracle is
+    the equivalent source-table aggregate: equality proves the
+    write→discover→attribute loop loses and duplicates nothing."""
+    ev = load_tables(spark, sf_dir).events
+    path = os.path.join(TMP_ROOT, "b9_events_by_type")
+    (
+        ev.repartition(F.col("event_type"))
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"event_type=([^/]+)/", 1
+        ).alias("event_type"),
+        F.col("_metadata.file_name").alias("file_name"),
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("file_name").cast("bigint").alias("n_files"),
+    )
+
+
+
+def selective_partition_delete(spark, path, part_col, pred):
+    """Delete rows matching ``pred`` from a partitioned parquet table
+    by rewriting ONLY the partitions that contain them (dynamic
+    partition overwrite). Partition dirs without a match keep their
+    original files untouched — the property tests assert via file
+    listings. The affected-partition list is the only driver-side
+    state (bounded by |partitions|)."""
+    base = spark.read.parquet(path)
+    affected = [
+        r[0] for r in base.filter(pred).select(part_col).distinct().collect()
+    ]
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            base.filter(F.col(part_col).isin(affected) & ~pred)
+            .repartition(F.col(part_col))
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    spark.catalog.refreshByPath(path)
+    return affected
+
+
+_P21_ORACLE = """
+SELECT
+  CAST((SELECT count(*) FROM orders WHERE o_custkey % 97 <> 0) AS BIGINT)
+    AS rows_after,
+  CAST((SELECT count(DISTINCT o_custkey) FROM orders WHERE o_custkey % 97 = 0)
+    AS BIGINT) AS users_forgotten,
+  CAST((SELECT count(DISTINCT strftime(o_orderdate, '%Y-%m')) FROM orders)
+    AS BIGINT) AS parts_total,
+  CAST((SELECT count(DISTINCT strftime(o_orderdate, '%Y-%m')) FROM orders
+        WHERE o_custkey % 97 = 0) AS BIGINT) AS parts_rewritten
+"""
+
+
+@register("p21_forget_keys", _P21_ORACLE)
+def p21_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance key deletion (GDPR/CCPA "right to be forgotten")
+    over a partitioned lake table: remove every order of the
+    forget-listed customers (o_custkey % 97 == 0 stands in for the
+    request table) by REWRITING ONLY THE PARTITIONS THAT CONTAIN
+    THEM — dynamic partition overwrite — never the whole table.
+
+    The month-partitioned baseline is written in-op (b3's pattern);
+    the affected-partition list is discovered with one pruned
+    aggregate (bounded by |partitions|, the only driver-side state);
+    the rewrite reads back JUST those months (directory pruning),
+    drops the forget-listed rows, and overwrites with
+    partitionOverwriteMode=dynamic so untouched month directories
+    keep their original files byte-for-byte (asserted via file
+    listings in tests/test_pipeline.py). At 100 TB this is the
+    difference between rewriting ~50 month-partitions and rewriting
+    the lake. The returned verification report (rows_after /
+    users_forgotten / parts_total / parts_rewritten) is computed from
+    the post-delete table + the pre-delete census and value-checked
+    against the source-table oracle: equality proves the selective
+    rewrite deleted exactly the targets and nothing else."""
+    o = load_tables(spark, sf_dir).orders.withColumn(
+        "ym", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = os.path.join(TMP_ROOT, "p21_orders_by_month")
+    (
+        o.repartition(F.col("ym"))
+        .write.mode("overwrite")
+        .partitionBy("ym")
+        .parquet(path)
+    )
+    base = spark.read.parquet(path)
+    forget = F.col("o_custkey") % 97 == 0
+    pre = base.agg(
+        F.count_distinct(F.when(forget, F.col("o_custkey"))).cast("bigint")
+          .alias("users_forgotten"),
+        F.count_distinct("ym").cast("bigint").alias("parts_total"),
+        F.count_distinct(F.when(forget, F.col("ym"))).cast("bigint")
+          .alias("parts_rewritten"),
+    ).collect()[0]
+    selective_partition_delete(spark, path, "ym", forget)
+    rows_after = spark.read.parquet(path).count()
+    return spark.range(1).select(
+        F.lit(rows_after).cast("bigint").alias("rows_after"),
+        F.lit(pre.users_forgotten).cast("bigint").alias("users_forgotten"),
+        F.lit(pre.parts_total).cast("bigint").alias("parts_total"),
+        F.lit(pre.parts_rewritten).cast("bigint").alias("parts_rewritten"),
+    )

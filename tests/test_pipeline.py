@@ -255,3 +255,56 @@ def test_python_datasource_plans_one_partition_per_row_group(spark, sf_dir, tmp_
         zip(src.column("doc_id").to_pylist(), src.column("n_chars").to_pylist())
     )
     assert got == want
+
+
+def test_p21_selective_delete_preserves_untouched_partition_files(spark, sf_dir, tmp_path):
+    """The point of p21's dynamic-partition-overwrite delete: month
+    directories with no forget-listed rows keep their ORIGINAL files
+    (same names, sizes, mtimes); affected months are rewritten and
+    contain no forget-listed keys afterwards; nothing else is lost."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.pipeline_ops import selective_partition_delete
+
+    path = str(tmp_path / "orders_by_month")
+    o = load_tables(spark, sf_dir).orders.withColumn(
+        "ym", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    o.repartition(F.col("ym")).write.partitionBy("ym").parquet(path)
+
+    def listing():
+        out = {}
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = listing()
+    # forget two specific customers only -> few affected months
+    targets = [r.o_custkey for r in o.select("o_custkey").distinct().limit(2).collect()]
+    pred = F.col("o_custkey").isin(targets)
+    expected_affected = {
+        r.ym for r in o.filter(pred).select("ym").distinct().collect()
+    }
+    all_months = {r.ym for r in o.select("ym").distinct().collect()}
+    assert expected_affected and expected_affected != all_months, "delete set touches every partition - pruning untestable"
+
+    affected = set(selective_partition_delete(spark, path, "ym", pred))
+    assert affected == expected_affected
+
+    after = listing()
+    for p, sig in before.items():
+        ym = next(s for s in p.split(os.sep) if s.startswith("ym="))[3:]
+        if ym not in affected:
+            assert after.get(p) == sig, f"untouched partition rewritten: {p}"
+        else:
+            assert after.get(p) != sig, f"affected partition not rewritten: {p}"
+    final = spark.read.parquet(path)
+    assert final.filter(pred).count() == 0
+    assert final.count() == o.count() - o.filter(pred).count()

@@ -14,10 +14,11 @@ EXPECTED_KEYS = {
     "p9_incremental_upsert", "p10_corpus_pipeline", "p11_incremental_dedup",
     "p12_token_shards", "p13_partition_backfill", "p14_schema_evolution",
     "p15_dead_letter", "p17_snapshot_diff", "p18_skew_report", "p19_data_quality",
-    "p20_sync_reconcile",
+    "p20_sync_reconcile", "p21_forget_keys",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
     "b5_dynamic_partition_pruning", "b7_zorder_layout", "b8_python_datasource",
+    "b9_file_metadata",
     # filters
     "f1_pred_basic", "f2_pred_null", "f3_pred_like", "f4_pred_between_in",
     "f5_case_when", "f6_null_safe_eq", "b6_corrupt_records",

@@ -138,6 +138,8 @@ OPS = {
     "w12_ewma_decay": (2.0, "one custkey window shuffle; 8-tap integer FIR over a shared sort, linear per partition"),
     "t13_line_dedup": (2.0, "chunking is scan-side HOF; line census map-combines; boilerplate set broadcast; one doc_id reassembly shuffle"),
     "s14_mmr_rerank": (2.0, "broadcast 5-query candidate scan is the only corpus-sized stage; pairs + greedy fixed k_cand² per query"),
+    "b9_file_metadata": (2.0, "eager partitioned write dominates; metadata columns are scan-constant, one |files|-key agg"),
+    "p21_forget_keys": (2.0, "eager baseline write + selective rewrite of affected months only; report aggregates are linear scans"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
