@@ -94,6 +94,9 @@ EXTENSION = [
     # text shape) and the temperature-mix scan filter
     "t13_line_dedup",
     "o10_temperature_mix",
+    # round 7 batch 3: the full dedup-pipeline terminus (d12's pairs +
+    # closure + quality survivor election)
+    "d14_canonical_pick",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1117,3 +1117,72 @@ def sketch_accuracy_frame(docs: DataFrame) -> DataFrame:
             F.round(F.abs(est - exact), 6).alias("abs_err"),
         )
     )
+
+
+# d14 — canonical-copy selection: reuses d12's full pair+closure SQL
+# verbatim (string-sliced so the two oracles can never drift apart)
+# and replaces the min-id survivor rule with the production one.
+_D14_ORACLE = _D12_ORACLE.rsplit("SELECT id AS doc_id", 1)[0] + """,
+comp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+scored AS (
+  SELECT c.doc_id, c.group_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+),
+canon AS (
+  SELECT group_id, doc_id AS canonical_id FROM (
+    SELECT group_id, doc_id, row_number() OVER (
+      PARTITION BY group_id ORDER BY n_chars DESC, doc_id ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT s.doc_id, c.canonical_id,
+       CAST(CASE WHEN s.doc_id = c.canonical_id THEN 1 ELSE 0 END AS INTEGER)
+         AS is_canonical,
+       CAST(count(*) OVER (PARTITION BY s.group_id) AS BIGINT) AS group_size
+FROM scored s JOIN canon c USING (group_id)
+"""
+
+
+@register("d14_canonical_pick", _D14_ORACLE)
+def d14_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection — the step AFTER clustering that d12's
+    min-id rule only stubs: within every duplicate group keep the
+    HIGHEST-QUALITY copy (longest text, doc_id tiebreak — the
+    keep-longest heuristic corpus dedup pipelines default to) and emit
+    the full doc -> canonical replacement map, including singletons
+    mapping to themselves. Downstream consumers join on this map to
+    rewrite references; filtering is_canonical = 1 IS the dedup.
+
+    Same pair generation + closure as d12 (MinHash-prefiltered exact
+    Jaccard >= 0.2, min-label components); the added survivor election
+    is one row_number window PARTITIONed BY component — components
+    are duplicate clusters, small by nature, so the window never sees
+    a skewed partition. The oracle reuses d12's recursive-CTE text
+    verbatim (sliced, not copied) so the two contracts stay welded."""
+    from hive_to_es_spark.functions.graph import connected_components
+
+    d = load_tables(spark, sf_dir).documents
+    pairs = minhash_verified_jaccard_pairs(d, threshold=0.2).select("doc_a", "doc_b")
+    comp = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    scored = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    w_rank = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    canon = (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .select("component", F.col("doc_id").alias("canonical_id"))
+    )
+    w_cnt = Window.partitionBy("component")
+    return (
+        scored.join(canon, "component")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).cast("int")
+              .alias("is_canonical"),
+            F.count("*").over(w_cnt).cast("bigint").alias("group_size"),
+        )
+    )

@@ -672,3 +672,110 @@ def w12_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey", "o_orderkey", ewma.cast("bigint").alias("ewma_x128")
     )
+
+
+
+# w13 — attribution windows: a click converts a view seen within 4 h;
+# a purchase converts a qualified click within 24 h.
+_W13_VIEW_US = 4 * 3600 * 1_000_000
+_W13_CLICK_US = 24 * 3600 * 1_000_000
+
+_W13_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events WHERE ts IS NOT NULL
+),
+f1 AS (
+  SELECT *, max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 4 HOUR PRECEDING AND CURRENT ROW) AS has_view
+  FROM ev
+),
+f2 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND has_view = 1
+                 THEN 1 ELSE 0 END AS qc
+  FROM f1
+),
+f3 AS (
+  SELECT *, max(qc) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW) AS has_qc
+  FROM f2
+),
+f4 AS (
+  SELECT *, CASE WHEN event_type = 'purchase' AND has_qc = 1
+                 THEN 1 ELSE 0 END AS qp
+  FROM f3
+)
+SELECT user_id,
+       min(CASE WHEN event_type = 'view' THEN ts END) AS t_first_view,
+       min(CASE WHEN qc = 1 THEN ts END) AS t_first_conv_click,
+       min(CASE WHEN qp = 1 THEN ts END) AS t_first_conv_purchase,
+       CAST(CASE WHEN max(qp) = 1 THEN 3 WHEN max(qc) = 1 THEN 2
+                 WHEN max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM f4
+GROUP BY user_id
+"""
+
+
+@register("w13_funnel", _W13_ORACLE)
+def w13_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel with attribution windows: a click
+    counts only if ANY view happened in the preceding 4 h, a purchase
+    only if a qualified click happened in the preceding 24 h — the
+    product-analytics funnel report, where stage 3 means the user
+    actually traversed view -> click -> purchase inside the
+    attribution deadlines (three independent event mins would call
+    every active user converted; the fixture split is 51/57/42 users
+    at stages 1/2/3, non-vacuity pinned in tests).
+
+    TWO range frames (4 h and 24 h lookback, integer epoch-us bounds,
+    j16's idiom) share ONE (user_id, ts) window sort — a single
+    exchange, plan-pinned; the per-user rollup reuses the same
+    partitioning. NULL-ts rows filtered on both engines (w9's NULLS
+    FIRST divergence). At 100 TB: linear scan + one hash-partitioned
+    sort; deeper funnels add frames to the SAME sort, never shuffles."""
+    ev = load_tables(spark, sf_dir).events.filter(F.col("ts").isNotNull())
+    base = Window.partitionBy("user_id").orderBy("us")
+    staged = (
+        ev.select("user_id", "ts", "event_type", F.unix_micros("ts").alias("us"))
+        .withColumn(
+            "has_view",
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(
+                base.rangeBetween(-_W13_VIEW_US, 0)
+            ),
+        )
+        .withColumn(
+            "qc",
+            F.when(
+                (F.col("event_type") == "click") & (F.col("has_view") == 1), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "has_qc",
+            F.max("qc").over(base.rangeBetween(-_W13_CLICK_US, 0)),
+        )
+        .withColumn(
+            "qp",
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("has_qc") == 1), 1
+            ).otherwise(0),
+        )
+    )
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    stage = (
+        F.when(F.max("qp") == 1, 3)
+        .when(F.max("qc") == 1, 2)
+        .when(F.max(is_view) == 1, 1)
+        .otherwise(0)
+    )
+    return staged.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_first_view"
+        ),
+        F.min(F.when(F.col("qc") == 1, F.col("ts"))).alias("t_first_conv_click"),
+        F.min(F.when(F.col("qp") == 1, F.col("ts"))).alias(
+            "t_first_conv_purchase"
+        ),
+        stage.cast("bigint").alias("funnel_stage"),
+    )

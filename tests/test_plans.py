@@ -448,3 +448,11 @@ def test_t13_line_dedup_broadcasts_boilerplate(spark, sf_dir):
     plan = _simple_plan(spark, sf_dir, "t13_line_dedup")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_w13_funnel_single_exchange(spark, sf_dir):
+    """w13's two range frames and the per-user rollup must share ONE
+    user_id shuffle — extra Exchanges mean the frames stopped
+    aligning on the same (user_id, ts) sort."""
+    plan = _simple_plan(spark, sf_dir, "w13_funnel")
+    assert plan.count("Exchange") == 1, plan

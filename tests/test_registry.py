@@ -43,7 +43,7 @@ EXPECTED_KEYS = {
     "w1_order_rank", "w2_running_sum", "w3_lag_lead", "w4_range_frame",
     "w5_ntile_cume", "w6_first_last",
     "w8_range_frame_scalable", "w9_sessionize", "w10_cumulative_distinct",
-    "w11_transition_matrix", "w12_ewma_decay",
+    "w11_transition_matrix", "w12_ewma_decay", "w13_funnel",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
     "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap", "o8_corpus_shuffle",
@@ -68,6 +68,7 @@ EXPECTED_KEYS = {
     "d6_dedup_lsh_blocked", "d7_dedup_components", "d8_dedup_minhash_portable",
     "d9_text_dup_groups", "d10_dedup_jaccard_prefix",
     "d11_dedup_minhash_verified", "d12_dup_groups_hybrid", "d13_sketch_accuracy",
+    "d14_canonical_pick",
     "s4_ann_lsh", "s5_ann_ivf", "s6_kmeans_refine", "s7_knn_batch",
     "s8_knn_quantized", "s9_pairwise_topk_lsh", "s10_ann_multiprobe",
     "s11_ann_ivf_nprobe", "s12_recall_report", "s13_two_stage_rerank",

@@ -966,3 +966,69 @@ def test_s14_mmr_selected_set_less_redundant(spark, sf_dir):
             diverged += 1
             assert mean_pair(sel[qid]) < mean_pair(rel_top5)
     assert diverged >= 1
+
+
+def test_d14_canonical_is_best_quality_not_min_id(spark, sf_dir):
+    """d14's reason to exist over d12's min-id rule: the canonical
+    copy must hold the group-max n_chars (doc_id tiebreak), the
+    grouping must be exactly d12's partition of the corpus, and for
+    at least one group the quality winner must NOT be the min id
+    (otherwise the election is indistinguishable from d12)."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    d14 = queries()["d14_canonical_pick"](spark, sf_dir).collect()
+    d12 = queries()["d12_dup_groups_hybrid"](spark, sf_dir).collect()
+    nchars = {
+        r.doc_id: r.n_chars
+        for r in load_tables(spark, sf_dir).documents.select("doc_id", "n_chars").collect()
+    }
+    group_of = {r.doc_id: r.group_id for r in d12}
+    by_group = {}
+    for r in d14:
+        by_group.setdefault(group_of[r.doc_id], []).append(r)
+    assert len(d14) == len(d12)
+    diverged = 0
+    for gid, members in by_group.items():
+        canon_ids = {r.canonical_id for r in members}
+        assert len(canon_ids) == 1, f"group {gid} disagrees on canonical"
+        canon = canon_ids.pop()
+        ids = [r.doc_id for r in members]
+        assert canon in ids
+        best = min(ids, key=lambda i: (-nchars[i], i))
+        assert canon == best
+        assert all(r.group_size == len(ids) for r in members)
+        assert sum(r.is_canonical for r in members) == 1
+        if len(ids) > 1 and canon != min(ids):
+            diverged += 1
+    assert diverged >= 1, "keep-longest never disagreed with min-id - election vacuous"
+
+
+def test_w13_funnel_stages_populated_and_consistent(spark, sf_dir):
+    """w13's attribution windows must produce a non-degenerate stage
+    distribution (every stage 1-3 populated — three independent mins
+    would put everyone at 3), and per user the timestamps must
+    witness the claimed stage: stage>=2 implies a conversion click
+    after a view within 4 h; stage 3 implies a purchase within 24 h
+    of a qualified click."""
+    from hive_to_es_spark.registry import queries
+
+    rows = queries()["w13_funnel"](spark, sf_dir).collect()
+    dist = {}
+    for r in rows:
+        dist[r.funnel_stage] = dist.get(r.funnel_stage, 0) + 1
+    assert set(dist) >= {1, 2, 3}, dist
+    assert all(dist[s] >= 5 for s in (1, 2, 3)), dist
+    for r in rows:
+        if r.funnel_stage >= 1:
+            assert r.t_first_view is not None
+        if r.funnel_stage >= 2:
+            assert r.t_first_conv_click is not None
+            assert r.t_first_conv_click > r.t_first_view
+        else:
+            assert r.t_first_conv_click is None
+        if r.funnel_stage == 3:
+            assert r.t_first_conv_purchase is not None
+            assert r.t_first_conv_purchase > r.t_first_conv_click
+        else:
+            assert r.t_first_conv_purchase is None

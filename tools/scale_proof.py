@@ -140,6 +140,8 @@ OPS = {
     "s14_mmr_rerank": (2.0, "broadcast 5-query candidate scan is the only corpus-sized stage; pairs + greedy fixed k_cand² per query"),
     "b9_file_metadata": (2.0, "eager partitioned write dominates; metadata columns are scan-constant, one |files|-key agg"),
     "p21_forget_keys": (2.0, "eager baseline write + selective rewrite of affected months only; report aggregates are linear scans"),
+    "d14_canonical_pick": (2.0, "d12's banded pair stream + closure dominates; the survivor election windows over small components"),
+    "w13_funnel": (2.0, "one (user_id, ts) window sort carries both range frames and the rollup; linear per partition"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
