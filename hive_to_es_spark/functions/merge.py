@@ -124,3 +124,12 @@ def write_replace_parquet(spark: SparkSession, path: str, df: DataFrame) -> None
         raise IOError(
             f"rename {staging} -> {path} failed; merged data is intact at {staging}"
         )
+
+
+def fs_delete(spark: SparkSession, path: str) -> bool:
+    """Recursive sink-filesystem delete (see _hadoop_fs; classic-only).
+    Returns False if the path did not exist."""
+    fs, target = _hadoop_fs(spark, path)
+    if not fs.exists(target):
+        return False
+    return bool(fs.delete(target, True))

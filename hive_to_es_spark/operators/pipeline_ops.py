@@ -1653,8 +1653,10 @@ def b9_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-file explosions, p6's problem, at a glance). The oracle is
     the equivalent source-table aggregate: equality proves the
     write→discover→attribute loop loses and duplicates nothing."""
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+
     ev = load_tables(spark, sf_dir).events
-    path = os.path.join(TMP_ROOT, "b9_events_by_type")
+    path = dataset_tmp_path("b9_events_by_type", sf_dir)
     (
         ev.repartition(F.col("event_type"))
         .write.mode("overwrite")
@@ -1674,29 +1676,51 @@ def b9_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def selective_partition_delete(spark, path, part_col, pred):
+def selective_partition_delete(spark, path, part_col, pred, affected=None):
     """Delete rows matching ``pred`` from a partitioned parquet table
     by rewriting ONLY the partitions that contain them (dynamic
     partition overwrite). Partition dirs without a match keep their
     original files untouched — the property tests assert via file
     listings. The affected-partition list is the only driver-side
-    state (bounded by |partitions|)."""
+    state (bounded by |partitions|); pass ``affected`` when the
+    caller already computed it to save the discovery scan.
+
+    Two delete-helper traps handled here (round-7 review):
+    - NULL predicate rows are KEPT: ``~pred`` is NULL for NULL
+      inputs and a bare filter would silently drop non-targets, so
+      the keep condition is ``~pred.eqNullSafe(True)``.
+    - A partition whose rows ALL match contributes zero rows to the
+      rewrite, and dynamic overwrite only replaces partitions
+      PRESENT in the written output — its old files would silently
+      survive the "delete". Fully-emptied directories are therefore
+      removed through the sink filesystem afterwards (partition
+      values must be filesystem-safe; callers here use date
+      strings)."""
+    from hive_to_es_spark.functions.merge import fs_delete
+
     base = spark.read.parquet(path)
-    affected = [
-        r[0] for r in base.filter(pred).select(part_col).distinct().collect()
-    ]
+    is_target = pred.eqNullSafe(True)
+    if affected is None:
+        affected = [
+            r[0]
+            for r in base.filter(is_target).select(part_col).distinct().collect()
+        ]
+    survivors = base.filter(F.col(part_col).isin(affected) & ~is_target)
+    kept_parts = {r[0] for r in survivors.select(part_col).distinct().collect()}
+    emptied = [p for p in affected if p not in kept_parts]
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            base.filter(F.col(part_col).isin(affected) & ~pred)
-            .repartition(F.col(part_col))
+            survivors.repartition(F.col(part_col))
             .write.mode("overwrite")
             .partitionBy(part_col)
             .parquet(path)
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    for part in sorted(emptied):
+        fs_delete(spark, f"{path}/{part_col}={part}")
     spark.catalog.refreshByPath(path)
     return affected
 
@@ -1736,10 +1760,12 @@ def p21_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     the post-delete table + the pre-delete census and value-checked
     against the source-table oracle: equality proves the selective
     rewrite deleted exactly the targets and nothing else."""
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+
     o = load_tables(spark, sf_dir).orders.withColumn(
         "ym", F.date_format("o_orderdate", "yyyy-MM")
     )
-    path = os.path.join(TMP_ROOT, "p21_orders_by_month")
+    path = dataset_tmp_path("p21_orders_by_month", sf_dir)
     (
         o.repartition(F.col("ym"))
         .write.mode("overwrite")
@@ -1748,18 +1774,21 @@ def p21_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = spark.read.parquet(path)
     forget = F.col("o_custkey") % 97 == 0
+    # ONE census scan: the counts and the affected-month set together
+    # (collect_set skips the NULLs of non-matching rows); the helper
+    # then skips its own discovery scan via the affected param.
     pre = base.agg(
         F.count_distinct(F.when(forget, F.col("o_custkey"))).cast("bigint")
           .alias("users_forgotten"),
         F.count_distinct("ym").cast("bigint").alias("parts_total"),
-        F.count_distinct(F.when(forget, F.col("ym"))).cast("bigint")
-          .alias("parts_rewritten"),
+        F.collect_set(F.when(forget, F.col("ym"))).alias("affected"),
     ).collect()[0]
-    selective_partition_delete(spark, path, "ym", forget)
+    affected = sorted(pre.affected)
+    selective_partition_delete(spark, path, "ym", forget, affected=affected)
     rows_after = spark.read.parquet(path).count()
     return spark.range(1).select(
         F.lit(rows_after).cast("bigint").alias("rows_after"),
         F.lit(pre.users_forgotten).cast("bigint").alias("users_forgotten"),
         F.lit(pre.parts_total).cast("bigint").alias("parts_total"),
-        F.lit(pre.parts_rewritten).cast("bigint").alias("parts_rewritten"),
+        F.lit(len(affected)).cast("bigint").alias("parts_rewritten"),
     )

@@ -581,6 +581,10 @@ def t12_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T13_LINE_TOKS = 3  # synthetic "line" = 3-token chunk (docs have no \n)
 _T13_DF_MIN = 3  # a line present in >= 3 distinct docs is boilerplate
 
+# NOTE: the line ladder derives from scalar range(1, nl+1) — a LIST in
+# DuckDB — zipped positionally by parallel unnest, so the oracle is
+# unbounded exactly like the Spark side's transform-over-sequence (a
+# fixed numbers table would silently truncate long documents).
 _T13_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS tk,
@@ -588,13 +592,13 @@ WITH toks AS (
            AS nl
   FROM documents
 ),
-nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 10001)),
 lines AS (
-  SELECT t.doc_id, n.i AS line_no,
-         array_to_string(
-           t.tk[(n.i - 1) * {_T13_LINE_TOKS} + 1 : n.i * {_T13_LINE_TOKS}], ' '
-         ) AS line
-  FROM toks t JOIN nums n ON n.i <= t.nl
+  SELECT doc_id,
+         CAST(unnest(range(1, nl + 1)) AS BIGINT) AS line_no,
+         unnest(list_transform(range(1, nl + 1),
+           i -> array_to_string(tk[(i - 1) * {_T13_LINE_TOKS} + 1
+                                   : i * {_T13_LINE_TOKS}], ' '))) AS line
+  FROM toks
 ),
 freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line),
 flagged AS (

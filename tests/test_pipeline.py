@@ -308,3 +308,39 @@ def test_p21_selective_delete_preserves_untouched_partition_files(spark, sf_dir,
     final = spark.read.parquet(path)
     assert final.filter(pred).count() == 0
     assert final.count() == o.count() - o.filter(pred).count()
+
+
+def test_selective_delete_emptied_partition_and_null_pred(spark, tmp_path):
+    """The two delete-helper traps (round-7 review), exercised on a
+    synthetic table: (a) a partition whose rows ALL match the
+    predicate must be fully removed — dynamic overwrite alone writes
+    zero rows for it and would leave its old files readable; (b) a
+    NULL predicate row is NOT a target and must survive the rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hive_to_es_spark.operators.pipeline_ops import selective_partition_delete
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            ("p1", 1),      # target (all of p1 matches -> p1 fully emptied)
+            ("p1", 1),
+            ("p2", 1),      # target within mixed partition
+            ("p2", 2),      # survivor
+            ("p2", None),   # NULL pred -> must survive
+            ("p3", 2),      # untouched partition
+        ],
+        "part STRING, k INT",
+    )
+    df.repartition(F.col("part")).write.partitionBy("part").parquet(path)
+    affected = selective_partition_delete(
+        spark, path, "part", F.col("k") == 1
+    )
+    assert sorted(affected) == ["p1", "p2"]
+    assert not os.path.exists(os.path.join(path, "part=p1")), (
+        "fully-emptied partition directory must be deleted"
+    )
+    rows = {(r.part, r.k) for r in spark.read.parquet(path).collect()}
+    assert rows == {("p2", 2), ("p2", None), ("p3", 2)}
