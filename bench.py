@@ -126,6 +126,9 @@ EAGER_BUILD = {
     "d11_dedup_minhash_verified",
     # d12 runs d11's build plus the closure loop at build time
     "d12_dup_groups_hybrid",
+    # d14 composes d12's build (pair gen + closure loop) before its
+    # survivor election — rebuild so the number prices the pipeline
+    "d14_canonical_pick",
 }
 
 
