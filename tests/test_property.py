@@ -545,3 +545,180 @@ def test_misra_gries_candidates_are_superset(words, k, n_parts, data):
     assert heavy <= candidates, (
         f"MG lost heavy hitters {heavy - candidates} (n={n}, k={k})"
     )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # partition id
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),  # key
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    target=st.integers(min_value=0, max_value=5),
+)
+def test_selective_partition_delete_matches_python_model(spark, tmp_path_factory, data, target):
+    """selective_partition_delete vs a direct Python model over random
+    partition layouts: exactly the pred-matching rows die (NULL keys
+    survive), fully-emptied partition dirs disappear, untouched
+    partitions keep identical file listings."""
+    import os
+
+    from hive_to_es_spark.operators.pipeline_ops import selective_partition_delete
+
+    path = str(tmp_path_factory.mktemp("seldel") / "t")
+    rows = [(f"p{p}", k) for p, k in data]
+    df = spark.createDataFrame(rows, "part STRING, k INT")
+    df.repartition(F.col("part")).write.partitionBy("part").parquet(path)
+
+    def listing():
+        out = {}
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st_ = os.stat(p)
+                    out[p] = (st_.st_size, st_.st_mtime_ns)
+        return out
+
+    before = listing()
+    expect_survive = sorted(
+        ((p, k) for p, k in rows if k is None or k != target),
+        key=lambda t: (t[0], -1 if t[1] is None else t[1]),
+    )
+    expect_affected = {p for p, k in rows if k == target}
+    expect_gone_dirs = expect_affected - {p for p, k in expect_survive}
+
+    affected = set(
+        selective_partition_delete(spark, path, "part", F.col("k") == target)
+    )
+    assert affected == expect_affected
+
+    got = sorted(
+        ((r.part, r.k) for r in spark.read.parquet(path).collect()),
+        key=lambda t: (t[0], -1 if t[1] is None else t[1]),
+    )
+    assert got == expect_survive
+    after = listing()
+    for p, sig in before.items():
+        part = next(s for s in p.split(os.sep) if s.startswith("part="))[5:]
+        if part not in expect_affected:
+            assert after.get(p) == sig, f"untouched partition changed: {p}"
+    for part in expect_gone_dirs:
+        assert not os.path.exists(os.path.join(path, f"part={part}"))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seqs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=10_000_000), min_size=1, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_w12_fir_matches_direct_python_sum(spark, seqs):
+    """w12's 8-tap window FIR vs the direct Python convolution on
+    random per-key cents sequences — including sequences shorter and
+    longer than the kernel."""
+    from pyspark.sql import Window
+
+    rows = [
+        (cust, pos, cents)
+        for cust, seq in enumerate(seqs)
+        for pos, cents in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "cust INT, pos INT, cents LONG")
+    w = Window.partitionBy("cust").orderBy("pos")
+    ewma = None
+    for j, wt in enumerate([128, 64, 32, 16, 8, 4, 2, 1]):
+        term = F.coalesce(F.lag("cents", j).over(w), F.lit(0)) * F.lit(wt)
+        ewma = term if ewma is None else ewma + term
+    got = {
+        (r.cust, r.pos): r.e
+        for r in df.select("cust", "pos", ewma.cast("bigint").alias("e")).collect()
+    }
+    for cust, seq in enumerate(seqs):
+        for n in range(len(seq)):
+            expect = sum(
+                seq[n - j] * (1 << (7 - j)) for j in range(min(n + 1, 8))
+            )
+            assert got[(cust, n)] == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=20),
+        min_size=3,
+        max_size=12,
+    ),
+    df_min=st.integers(min_value=2, max_value=4),
+)
+def test_line_dedup_matches_python_model(spark, docs, df_min):
+    """t13's census → broadcast-membership → reassembly plan vs the
+    direct Python model on random tiny-vocabulary corpora (small
+    alphabet forces real chunk collisions across docs). Checks count
+    accounting AND order-preserving reassembly at arbitrary df
+    thresholds, not just the registered fixture's."""
+    texts = [" ".join(toks) for toks in docs]
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+
+    toks_col = F.split(F.col("text"), " ")
+    n_lines = F.expr("(size(split(text, ' ')) + 2) DIV 3")
+    lines_arr = F.transform(
+        F.sequence(F.lit(1), n_lines.cast("int")),
+        lambda i: F.array_join(F.slice(toks_col, (i - 1) * 3 + 1, 3), " "),
+    )
+    lines = d.select("doc_id", F.posexplode(lines_arr).alias("pos", "line")).select(
+        "doc_id", (F.col("pos") + 1).alias("line_no"), "line"
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= df_min)
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "line", "left").withColumn(
+        "dropped", F.coalesce(F.col("is_boiler"), F.lit(False))
+    )
+    kept_struct = F.when(~F.col("dropped"), F.struct(F.col("line_no"), F.col("line")))
+    got = {
+        r.doc_id: (r.n_lines, r.n_dropped, r.cleaned)
+        for r in flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]),
+                " ",
+            ).alias("cleaned"),
+        )
+        .collect()
+    }
+
+    def chunks(toks):
+        return [" ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)]
+
+    census = {}
+    for toks in docs:
+        for line in set(chunks(toks)):
+            census[line] = census.get(line, 0) + 1
+    boiler_py = {line for line, n in census.items() if n >= df_min}
+    for doc_id, toks in enumerate(docs):
+        cs = chunks(toks)
+        kept = [c for c in cs if c not in boiler_py]
+        assert got[doc_id] == (len(cs), len(cs) - len(kept), " ".join(kept))
