@@ -375,3 +375,72 @@ def g7_scalar_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.round(calibrated(F.col("n_chars"), F.col("lang")), 6).alias("calib_score"),
     )
+
+
+_G8_WIN = 8  # passage window size (tokens)
+_G8_STRIDE = 4  # passage stride (tokens) -> 50% overlap
+
+_G8_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS nt
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, tk,
+         CAST(unnest(range(1, nt + 1, {_G8_STRIDE})) AS BIGINT) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) / {_G8_STRIDE} + 1 AS BIGINT) AS passage_no,
+       array_to_string(tk[start : start + {_G8_WIN} - 1], ' ') AS passage,
+       CAST(least(CAST({_G8_WIN} AS BIGINT), len(tk) - start + 1) AS BIGINT)
+         AS n_tokens
+FROM starts
+"""
+
+
+@register("g8_arrow_udtf", _G8_ORACLE)
+def g8_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDTF (Spark 4, useArrow=True): chunk
+    every document into overlapping retrieval passages (8-token
+    windows, stride 4 — the RAG indexing step that turns a corpus
+    into embeddable units). One row in, ceil(n_tokens/stride) rows
+    out, with per-passage token accounting.
+
+    vs g4 (pickled row-at-a-time UDTF): useArrow ships input AND
+    yielded rows as Arrow batches — the UDTF analogue of the
+    pandas_udf-vs-udf gap, which is what makes a table function
+    viable in a corpus-sized lateral join at 100 TB. The chunker
+    itself is pure Python per doc (bounded by the doc's own length);
+    partition parallelism comes from the lateral join over the scan.
+    The oracle replays the same window/stride ladder with DuckDB's
+    stepped scalar range() — both sides unbounded in doc length."""
+    from pyspark.sql.functions import udtf
+
+    win, stride = _G8_WIN, _G8_STRIDE
+
+    @udtf(
+        returnType="doc_id BIGINT, passage_no BIGINT, passage STRING, n_tokens BIGINT",
+        useArrow=True,
+    )
+    class Passages:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            no = 0
+            for start in range(0, len(toks), stride):
+                no += 1
+                window = toks[start : start + win]
+                yield doc_id, no, " ".join(window), len(window)
+
+    d = load_tables(spark, sf_dir).documents
+    spark.udtf.register("rag_passages", Passages)
+    view = f"_g8_docs_in_{uuid.uuid4().hex}"
+    d.select("doc_id", "text").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            "SELECT t.doc_id, t.passage_no, t.passage, t.n_tokens "
+            f"FROM {view}, LATERAL rag_passages(doc_id, text) t"
+        )
+    finally:
+        spark.catalog.dropTempView(view)

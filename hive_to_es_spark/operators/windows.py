@@ -736,9 +736,28 @@ def w13_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST divergence). At 100 TB: linear scan + one hash-partitioned
     sort; deeper funnels add frames to the SAME sort, never shuffles."""
     ev = load_tables(spark, sf_dir).events.filter(F.col("ts").isNotNull())
+    cand = funnel_candidates(ev)
+    return cand.select(
+        "user_id",
+        "t_first_view",
+        "t_first_conv_click",
+        "t_first_conv_purchase",
+        funnel_stage_expr().alias("funnel_stage"),
+    )
+
+
+def funnel_candidates(events: DataFrame) -> DataFrame:
+    """Per-user earliest (t_first_view, t_first_conv_click,
+    t_first_conv_purchase) over the GIVEN event set — w13's staged
+    range-frame computation, factored out so the streaming funnel
+    sink (streaming.ops.foreach_batch_funnel) can run it per
+    micro-batch over buffer ∪ batch and min-merge the results.
+    Callers must pre-filter NULL ts."""
     base = Window.partitionBy("user_id").orderBy("us")
     staged = (
-        ev.select("user_id", "ts", "event_type", F.unix_micros("ts").alias("us"))
+        events.select(
+            "user_id", "ts", "event_type", F.unix_micros("ts").alias("us")
+        )
         .withColumn(
             "has_view",
             F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(
@@ -762,13 +781,6 @@ def w13_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0),
         )
     )
-    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
-    stage = (
-        F.when(F.max("qp") == 1, 3)
-        .when(F.max("qc") == 1, 2)
-        .when(F.max(is_view) == 1, 1)
-        .otherwise(0)
-    )
     return staged.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
             "t_first_view"
@@ -777,5 +789,17 @@ def w13_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("qp") == 1, F.col("ts"))).alias(
             "t_first_conv_purchase"
         ),
-        stage.cast("bigint").alias("funnel_stage"),
+    )
+
+
+def funnel_stage_expr():
+    """Stage from the three candidate mins (3 > 2 > 1 > 0) — shared by
+    w13 and the streaming sink's final report so the derivations
+    cannot drift."""
+    return (
+        F.when(F.col("t_first_conv_purchase").isNotNull(), 3)
+        .when(F.col("t_first_conv_click").isNotNull(), 2)
+        .when(F.col("t_first_view").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
     )

@@ -502,3 +502,73 @@ def e9_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     as single-file micro-batches through the merge and asserts the
     parquet state converges to exactly this DataFrame."""
     return tf_latest_per_user(load_tables(spark, sf_dir).events)
+
+
+def foreach_batch_funnel(state_root: str):
+    """foreachBatch body for streaming funnel attribution: per
+    micro-batch, recompute w13's per-user conversion candidates over
+    (28 h event buffer ∪ batch) and MIN-MERGE them into a confirmed
+    state — the continuously-maintained funnel report of a
+    product-analytics pipeline.
+
+    Why 28 h: the buffer must cover the full qualification DEPENDENCY
+    CHAIN, not just the widest single window — a purchase at T
+    qualifies via a click in [T-24h, T], and that click qualifies via
+    a view up to 4 h before it, so the oldest event that can still
+    influence a new row is 24 + 4 = 28 h back. A 24 h buffer would
+    silently drop cross-batch purchase conversions whose click-view
+    pair sits near the horizon.
+
+    Convergence contract (tests/test_streaming.py): with batches
+    delivered in event-time order (bounded lateness — e4's watermark
+    contract), the final confirmed state equals w13's batch answer
+    row for row. At-least-once safety: batches dedup on event_id
+    against the buffer, candidate mins are idempotent under re-merge,
+    and replayed events older than the horizon pair with nothing
+    (their qualifications were already merged) — so redelivery cannot
+    perturb the state. State holds |users| rows + <=28 h of events;
+    both rewrites go through the staging swap (crash mid-batch leaves
+    a replayable, never half-written, state)."""
+    from hive_to_es_spark.functions.merge import fs_exists, write_replace_parquet
+    from hive_to_es_spark.operators.windows import (
+        _W13_CLICK_US,
+        _W13_VIEW_US,
+        funnel_candidates,
+    )
+
+    horizon_us = _W13_VIEW_US + _W13_CLICK_US
+    buf_path = f"{state_root}/buffer"
+    conf_path = f"{state_root}/confirmed"
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("event_id", "user_id", "ts", "event_type").filter(
+            F.col("ts").isNotNull()
+        )
+        if fs_exists(spark, buf_path):
+            all_ev = spark.read.parquet(buf_path).unionByName(batch)
+        else:
+            all_ev = batch
+        all_ev = all_ev.dropDuplicates(["event_id"]).localCheckpoint(eager=True)
+        if all_ev.isEmpty():
+            return
+        cand = funnel_candidates(all_ev)
+        if fs_exists(spark, conf_path):
+            merged = (
+                spark.read.parquet(conf_path)
+                .unionByName(cand)
+                .groupBy("user_id")
+                .agg(
+                    F.min("t_first_view").alias("t_first_view"),
+                    F.min("t_first_conv_click").alias("t_first_conv_click"),
+                    F.min("t_first_conv_purchase").alias("t_first_conv_purchase"),
+                )
+            )
+        else:
+            merged = cand
+        write_replace_parquet(spark, conf_path, merged)
+        max_us = all_ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+        new_buf = all_ev.filter(F.unix_micros("ts") >= max_us - horizon_us)
+        write_replace_parquet(spark, buf_path, new_buf)
+
+    return body

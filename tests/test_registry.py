@@ -80,6 +80,7 @@ EXPECTED_KEYS = {
     # UDF surface
     "g1_scalar_pandas_udf", "g2_grouped_map", "g3_grouped_agg_udaf", "g4_udtf",
     "g5_arrow_batch_map", "g6_cogrouped_asof", "g7_scalar_iter_udf",
+    "g8_arrow_udtf",
 }
 
 # Keys intentionally without a SQL oracle (nondeterministic cross-engine).

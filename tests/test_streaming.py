@@ -729,3 +729,87 @@ def test_stream_dedup_ingest_converges_to_batch_answer(spark, sf_dir, tmp_path):
     # the replayed ~60%)
     n_delivered = spark.read.parquet(src).count()
     assert n_delivered > docs.count() >= len(expected)
+
+
+def test_stream_funnel_converges_to_batch_answer(spark, sf_dir, tmp_path):
+    """The streaming funnel sink must converge to w13's BATCH answer
+    under event-time-ordered delivery with an at-least-once replay:
+    events are split into 6 time-ranged files streamed oldest-first
+    (maxFilesPerTrigger=1), then one mid-sequence file is redelivered
+    at the end. Per-user confirmed (t_first_view, t_first_conv_click,
+    t_first_conv_purchase) + derived stage must equal the batch
+    operator row for row — cross-batch qualifications (click in a
+    later file than its view, purchase later still) ride the 28 h
+    buffer; the replayed old file must perturb nothing."""
+    import os
+    import time
+
+    from hive_to_es_spark.io import read_table
+    from hive_to_es_spark.operators.windows import funnel_stage_expr
+    from hive_to_es_spark.registry import queries
+    from hive_to_es_spark.streaming.ops import foreach_batch_funnel
+
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    n = ev.count()
+    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    sliced = ev.withColumn("bucket", ((F.row_number().over(w) - 1) * 6 / n).cast("int"))
+
+    src = str(tmp_path / "events_stream")
+    os.makedirs(src)
+    staging = str(tmp_path / "staging")
+    for i in range(6):
+        part_dir = os.path.join(staging, f"b{i}")
+        (
+            sliced.filter(F.col("bucket") == i)
+            .select("event_id", "user_id", "ts", "event_type")
+            .coalesce(1)
+            .write.parquet(part_dir)
+        )
+        part = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(os.path.join(part_dir, part), dst)
+        # file source triggers oldest-mtime-first: pin strictly
+        # increasing mtimes so delivery order IS event-time order
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    # at-least-once: replay file 2 AFTER everything else
+    late = os.path.join(src, "zz_redelivered.parquet")
+    shutil.copy(os.path.join(src, "002.parquet"), late)
+    os.utime(late, (1_700_000_000 + 6 * 10, 1_700_000_000 + 6 * 10))
+
+    state = str(tmp_path / "funnel_state")
+    schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_funnel(state))
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    got = _canon(
+        spark.read.parquet(f"{state}/confirmed")
+        .select(
+            "user_id",
+            "t_first_view",
+            "t_first_conv_click",
+            "t_first_conv_purchase",
+            funnel_stage_expr().alias("funnel_stage"),
+        )
+        .collect()
+    )
+    expected = _canon(queries()["w13_funnel"](spark, sf_dir).collect())
+    assert got == expected
+    # the convergence had cross-batch work to do: at least one user's
+    # conversion pair spans two stream files (click file > view file)
+    by_bucket = {
+        r.event_id: r.bucket for r in sliced.select("event_id", "bucket").collect()
+    }
+    assert len(set(by_bucket.values())) == 6

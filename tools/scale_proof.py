@@ -142,6 +142,7 @@ OPS = {
     "p21_forget_keys": (2.0, "eager baseline write + selective rewrite of affected months only; report aggregates are linear scans"),
     "d14_canonical_pick": (2.0, "d12's banded pair stream + closure dominates; the survivor election windows over small components"),
     "w13_funnel": (2.0, "one (user_id, ts) window sort carries both range frames and the rollup; linear per partition"),
+    "g8_arrow_udtf": (2.0, "Arrow-batched lateral UDTF over the scan; output rows/doc bounded by doc length"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
