@@ -97,6 +97,9 @@ EXTENSION = [
     # round 7 batch 3: the full dedup-pipeline terminus (d12's pairs +
     # closure + quality survivor election)
     "d14_canonical_pick",
+    # round 7 batch 4: substring-subsumption dedup (min-shingle block
+    # + exact containment verify — the non-Jaccard dedup gap)
+    "d15_subsumed_docs",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -129,6 +132,9 @@ EAGER_BUILD = {
     # d14 composes d12's build (pair gen + closure loop) before its
     # survivor election — rebuild so the number prices the pipeline
     "d14_canonical_pick",
+    # d15 materializes its capped shingle table (localCheckpoint) at
+    # build — rebuild so the number prices explode + cap + verify
+    "d15_subsumed_docs",
 }
 
 

@@ -1186,3 +1186,112 @@ def d14_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(w_cnt).cast("bigint").alias("group_size"),
         )
     )
+
+
+# d15 — substring-subsumption dedup: scraped corpora carry documents
+# that are VERBATIM substrings of longer documents (article vs
+# article+boilerplate, snippet vs full page). Jaccard misses these
+# when the container is much longer (|A∩B|/|A∪B| = |A|/|B| -> 0), so
+# subsumption needs its own operator. Blocking: a doc contained at a
+# WORD boundary shares every one of its 3-word shingles with its
+# container, so its MINIMUM shingle-md5 must appear in the container's
+# shingle set — one candidate row per (contained doc, container that
+# shares that one shingle), linear in corpus shingle mass, never
+# all-pairs. Shingles hotter than the d4 df-cap are dropped from both
+# sides (same skew rule, same recall note: a doc whose every shingle
+# is boilerplate-hot is unfindable by design). Verification is an
+# exact position() containment check joined back to the two texts.
+_D15_DF_CAP = 1000
+
+_D15_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t, length(lower(text)) AS n FROM documents
+),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len(string_split(t, ' ')) - 2, 1) + 1),
+      i -> concat_ws(' ', string_split(t, ' ')[i],
+                          string_split(t, ' ')[i+1],
+                          string_split(t, ' ')[i+2])
+    ))) AS shingle
+  FROM d
+),
+sh AS (
+  SELECT doc_id, md5(shingle) AS h FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {_D15_DF_CAP}
+),
+mn AS (SELECT doc_id, min(h) AS minsh FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+  FROM mn a JOIN sh b ON a.minsh = b.h AND a.doc_id <> b.doc_id
+)
+SELECT c.contained_id, c.container_id,
+       da.n AS n_chars_contained, db.n AS n_chars_container
+FROM cand c
+JOIN d da ON da.doc_id = c.contained_id
+JOIN d db ON db.doc_id = c.container_id
+WHERE da.n < db.n AND position(da.t IN db.t) > 0
+"""
+
+
+@register("d15_subsumed_docs", _D15_ORACLE)
+def d15_subsumed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-subsumption pairs: every document whose full
+    (lowercased) text occurs verbatim inside a strictly longer
+    document, with the candidate set blocked by the contained doc's
+    minimum shingle-md5 (see the module comment above for why Jaccard
+    cannot express this and why the block is linear).
+
+    Plan shape: shingle explode -> broadcast-anti df-cap (d4's hot-key
+    rule) -> per-doc min aggregate on one side, the capped shingle
+    stream on the other -> hash equi-join on the 32-char md5 -> the
+    id-only candidate pairs join BACK to documents twice for the exact
+    position() verify. Texts never ride through the explode or the
+    candidate join — at 100 TB only ids and 32-byte digests shuffle,
+    and the verify join touches each matched text once.
+
+    Recall contract (documented, mirrored in the oracle): finds every
+    containment that starts/ends on word boundaries of the container
+    (then shingle-subset holds); mid-word substring hits are out of
+    contract. The oracle replays the identical block + verify."""
+    d = load_tables(spark, sf_dir).documents.select(
+        "doc_id", F.lower("text").alias("t")
+    ).withColumn("n", F.length("t"))
+    sh0 = d.select("doc_id", F.explode(word_shingles(F.col("t"))).alias("shingle"))
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > _D15_DF_CAP)
+        .select("shingle")
+    )
+    sh = materialize(
+        sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    ).select("doc_id", F.md5("shingle").alias("h"))
+    mn = sh.groupBy("doc_id").agg(F.min("h").alias("minsh"))
+    cand = mn.join(
+        sh.select(F.col("doc_id").alias("container_id"), "h"),
+        (F.col("minsh") == F.col("h")) & (F.col("doc_id") != F.col("container_id")),
+    ).select(F.col("doc_id").alias("contained_id"), "container_id")
+    da = d.select(
+        F.col("doc_id").alias("contained_id"),
+        F.col("t").alias("ta"),
+        F.col("n").alias("n_chars_contained"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("container_id"),
+        F.col("t").alias("tb"),
+        F.col("n").alias("n_chars_container"),
+    )
+    return (
+        cand.join(da, "contained_id")
+        .join(db, "container_id")
+        .filter(
+            (F.col("n_chars_contained") < F.col("n_chars_container"))
+            & (F.instr("tb", F.col("ta")) > 0)
+        )
+        .select(
+            "contained_id", "container_id",
+            "n_chars_contained", "n_chars_container",
+        )
+    )

@@ -1032,3 +1032,53 @@ def test_w13_funnel_stages_populated_and_consistent(spark, sf_dir):
             assert r.t_first_conv_purchase > r.t_first_conv_click
         else:
             assert r.t_first_conv_purchase is None
+
+
+def test_d15_subsumption_matches_blocked_python_model(spark, sf_dir):
+    """d15 vs an engine-independent Python replay of its full contract
+    (3-word shingles with the short-doc partial, df-cap, min-md5
+    block, strict-shorter verbatim containment). Also proves the
+    fixture is non-vacuous: the corpus must contain at least one
+    word-aligned subsumption pair, and at least one must survive the
+    blocking so the op is exercised end-to-end."""
+    import hashlib
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    docs = {
+        r.doc_id: r.text.lower()
+        for r in load_tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+    }
+
+    def shingles(t):
+        w = t.split(" ")
+        n = max(len(w) - 2, 1)
+        return {" ".join(w[i : i + 3]) for i in range(n)}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    sh = {i: shingles(t) for i, t in docs.items()}
+    df = {}
+    for ss in sh.values():
+        for s in ss:
+            df[s] = df.get(s, 0) + 1
+    capped = {i: {md5(s) for s in ss if df[s] <= 1000} for i, ss in sh.items()}
+    owners = {}
+    for i, hs in capped.items():
+        for h in hs:
+            owners.setdefault(h, set()).add(i)
+    expect = set()
+    for a, hs in capped.items():
+        if not hs:
+            continue
+        for b in owners.get(min(hs), ()):
+            if b != a and len(docs[a]) < len(docs[b]) and docs[a] in docs[b]:
+                expect.add((a, b))
+    got = {
+        (r.contained_id, r.container_id): (r.n_chars_contained, r.n_chars_container)
+        for r in queries()["d15_subsumed_docs"](spark, sf_dir).collect()
+    }
+    assert set(got) == expect
+    assert len(got) > 0, "fixture has no subsumption pairs — op untested"
+    for (a, b), (na, nb) in got.items():
+        assert (na, nb) == (len(docs[a]), len(docs[b]))
