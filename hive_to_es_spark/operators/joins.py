@@ -981,3 +981,121 @@ def j16_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("next"))
         .alias("side"),
     )
+
+
+# j17 — interpolation join (feature backfill): every 'view' event gets
+# purchase 'value' linearly interpolated between the user's bracketing
+# purchases. The gap j9/j14/j16 leave open: as-of picks ONE neighbor's
+# value verbatim; backfilling a continuous signal at probe timestamps
+# needs BOTH brackets and arithmetic between them — the pandas
+# merge_asof + lerp composition, expressed as two ROWS frames over one
+# (user, time) sort. All math in integer cents x epoch-micros; the
+# floor division is emulated exactly ((n - ((n%d)+d)%d) DIV d) because
+# Spark DIV truncates while a negative numerator must floor — the one
+# place truncate-vs-floor could silently split the engines.
+_J17_ORACLE = """
+WITH t AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN event_type='purchase' THEN epoch_us(ts) END AS p_us,
+         CASE WHEN event_type='purchase'
+              THEN CAST(round(value*100) AS BIGINT) END AS p_cents,
+         CASE WHEN event_type='purchase' THEN 0 ELSE 1 END AS k
+  FROM events WHERE event_type IN ('view','purchase') AND ts IS NOT NULL
+),
+framed AS (
+  SELECT event_id, user_id, us, event_type,
+    last_value(p_us IGNORE NULLS) OVER w_prev AS prev_us,
+    last_value(p_cents IGNORE NULLS) OVER w_prev AS prev_cents,
+    first_value(p_us IGNORE NULLS) OVER w_next AS next_us,
+    first_value(p_cents IGNORE NULLS) OVER w_next AS next_cents
+  FROM t
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY us, k, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id ORDER BY us, k, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+calc AS (
+  SELECT *, (next_cents - prev_cents) * (us - prev_us) AS nmr,
+         next_us - prev_us AS dnm
+  FROM framed
+  WHERE event_type = 'view' AND prev_us IS NOT NULL AND next_us IS NOT NULL
+)
+SELECT event_id, user_id, us, prev_us, prev_cents, next_us, next_cents,
+       prev_cents + (nmr - ((nmr % dnm) + dnm) % dnm) // dnm AS lerp_cents
+FROM calc
+"""
+
+
+@register("j17_lerp_join", _J17_ORACLE)
+def j17_lerp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolation join: purchase `value` linearly interpolated at
+    every view timestamp between the user's bracketing purchases
+    (probes without both brackets drop — no extrapolation).
+
+    Plan: one shuffle on user_id; the backward last(IGNORE NULLS) and
+    forward first(IGNORE NULLS) ROWS frames share a single window sort
+    (us, kind, event_id — purchases sort before a same-instant view,
+    so an exact-hit probe lerps to exactly that purchase's value and
+    the forward bracket is strictly later, keeping the denominator
+    positive). Lerp stays in bigint cents x micros end to end:
+    numerator magnitude is bounded by max-cents-delta x max-us-span
+    (~1e17 on the fixture month, safely inside int64 and deliberately
+    OUTSIDE double's 2^53 exactness — which is why no double division
+    appears anywhere). Exact floor division per the module comment."""
+    ev = load_tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin("view", "purchase") & F.col("ts").isNotNull()
+    )
+    t = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_type") == "purchase", F.unix_micros("ts")).alias("p_us"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).alias("p_cents"),
+        F.when(F.col("event_type") == "purchase", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("k"),
+    )
+    base = Window.partitionBy("user_id").orderBy("us", "k", "event_id")
+    w_prev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    framed = t.select(
+        "event_id",
+        "user_id",
+        "us",
+        "event_type",
+        F.last("p_us", ignorenulls=True).over(w_prev).alias("prev_us"),
+        F.last("p_cents", ignorenulls=True).over(w_prev).alias("prev_cents"),
+        F.first("p_us", ignorenulls=True).over(w_next).alias("next_us"),
+        F.first("p_cents", ignorenulls=True).over(w_next).alias("next_cents"),
+    )
+    calc = (
+        framed.filter(
+            (F.col("event_type") == "view")
+            & F.col("prev_us").isNotNull()
+            & F.col("next_us").isNotNull()
+        )
+        .withColumn(
+            "nmr",
+            (F.col("next_cents") - F.col("prev_cents"))
+            * (F.col("us") - F.col("prev_us")),
+        )
+        .withColumn("dnm", F.col("next_us") - F.col("prev_us"))
+    )
+    return calc.select(
+        "event_id",
+        "user_id",
+        "us",
+        "prev_us",
+        "prev_cents",
+        "next_us",
+        "next_cents",
+        (
+            F.col("prev_cents")
+            + F.expr("(nmr - ((nmr % dnm) + dnm) % dnm) DIV dnm")
+        ).alias("lerp_cents"),
+    )

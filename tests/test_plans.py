@@ -456,3 +456,15 @@ def test_w13_funnel_single_exchange(spark, sf_dir):
     aligning on the same (user_id, ts) sort."""
     plan = _simple_plan(spark, sf_dir, "w13_funnel")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_j17_lerp_join_single_exchange_single_window(spark, sf_dir):
+    """j17's backward and forward IGNORE-NULLS frames must share ONE
+    user_id shuffle and ONE Window operator — if the two frame specs
+    stop aligning on the same (us, k, event_id) sort, Spark plans a
+    second sort/exchange and the backfill stops being a single-pass
+    window. All-integer lerp => no Python boundary either."""
+    plan = _simple_plan(spark, sf_dir, "j17_lerp_join")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "EvalPython" not in plan, plan

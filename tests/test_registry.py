@@ -26,7 +26,7 @@ EXPECTED_KEYS = {
     "j1_inner_equi", "j2_left_right_outer", "j3_full_outer", "j4_semi", "j5_anti",
     "j6_broadcast", "j7_cross", "j8_theta_range", "j9_asof", "j10_interval_overlap",
     "j11_multiway", "j12_salted_skew_join", "j13_interval_bin_join",
-    "j14_asof_tolerance", "j15_pit_scd2", "j16_nearest_event", "q3_shipping_priority", "q2_min_cost", "q4_order_priority", "q10_returned_items", "q14_promo_revenue", "q17_small_quantity", "q18_large_orders",
+    "j14_asof_tolerance", "j15_pit_scd2", "j16_nearest_event", "j17_lerp_join", "q3_shipping_priority", "q2_min_cost", "q4_order_priority", "q10_returned_items", "q14_promo_revenue", "q17_small_quantity", "q18_large_orders",
     "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
     "q12_shipmode_priority", "q16_supplier_variety", "q19_disjunctive_revenue",
     "q21_waiting_supplier", "q22_global_sales_opportunity",

@@ -1082,3 +1082,61 @@ def test_d15_subsumption_matches_blocked_python_model(spark, sf_dir):
     assert len(got) > 0, "fixture has no subsumption pairs — op untested"
     for (a, b), (na, nb) in got.items():
         assert (na, nb) == (len(docs[a]), len(docs[b]))
+
+
+def test_j17_lerp_matches_python_floor_model(spark, sf_dir):
+    """j17 vs a bisect-based Python model using true floor division
+    (Python //). Proves: bracketing picks the right neighbors, probes
+    without both brackets drop, and the emulated floor division
+    matches Python's on NEGATIVE slopes — plus non-vacuity: the
+    fixture must actually contain a case where floor != truncate
+    (otherwise the floor emulation is untested) and at least one
+    dropped probe."""
+    import bisect
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    ev = [
+        (r.event_id, r.user_id, r.event_type, r.us, r.cents)
+        for r in load_tables(spark, sf_dir)
+        .events.filter(F.col("ts").isNotNull())
+        .select(
+            "event_id", "user_id", "event_type",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+        if r.event_type in ("view", "purchase")
+    ]
+    purch = {}
+    for eid, uid, et, us, cents in ev:
+        if et == "purchase":
+            purch.setdefault(uid, []).append((us, eid, cents))
+    for v in purch.values():
+        v.sort()
+    expect, n_floor_cases, n_dropped = {}, 0, 0
+    for eid, uid, et, us, cents in ev:
+        if et != "view":
+            continue
+        ps = purch.get(uid, [])
+        i = bisect.bisect_right(ps, (us, float("inf"), 0))
+        if i == 0 or i == len(ps):
+            n_dropped += 1
+            continue
+        (t0, _, v0), (t1, _, v1) = ps[i - 1], ps[i]
+        nmr, dnm = (v1 - v0) * (us - t0), t1 - t0
+        lerp = v0 + nmr // dnm
+        if nmr // dnm != int(nmr / dnm) and nmr % dnm != 0:
+            n_floor_cases += 1
+        expect[eid] = (uid, us, t0, v0, t1, v1, lerp)
+    got = {
+        r.event_id: (
+            r.user_id, r.us, r.prev_us, r.prev_cents,
+            r.next_us, r.next_cents, r.lerp_cents,
+        )
+        for r in queries()["j17_lerp_join"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert n_floor_cases > 0, "no negative-slope inexact division in fixture"
+    assert n_dropped > 0, "no unbracketed probe in fixture"

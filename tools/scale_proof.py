@@ -144,6 +144,7 @@ OPS = {
     "w13_funnel": (2.0, "one (user_id, ts) window sort carries both range frames and the rollup; linear per partition"),
     "g8_arrow_udtf": (2.0, "Arrow-batched lateral UDTF over the scan; output rows/doc bounded by doc length"),
     "d15_subsumed_docs": (2.0, "min-shingle blocking: one candidate per (doc, sharing container) bounded by df-cap; verify joins texts once"),
+    "j17_lerp_join": (2.0, "one user_id shuffle; both IGNORE-NULLS frames share the window sort; integer lerp, linear per partition"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
