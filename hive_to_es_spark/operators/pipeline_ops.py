@@ -1792,3 +1792,73 @@ def p21_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(pre.parts_total).cast("bigint").alias("parts_total"),
         F.lit(len(affected)).cast("bigint").alias("parts_rewritten"),
     )
+
+
+# p22 — small-file compaction: the lake maintenance op that undoes
+# what streaming ingest and over-parallel writers do to a partitioned
+# table (N writer tasks x M partition dirs = N*M tiny files; at 100 TB
+# the NameNode/listing cost and per-file open overhead dominate reads
+# long before data size does). The compaction knob is the REAL
+# production one — maxRecordsPerFile — under a repartition(lang) that
+# lands every partition's rows in one task, making the output layout
+# deterministic: exactly ceil(rows/R) files per partition dir. That
+# determinism is what lets the FILE COUNT itself be value-verified
+# cross-engine (the oracle recomputes ceil(count/R) from the source
+# table) instead of merely asserted smaller; rows and content hashes
+# prove the rewrite moved bytes without losing or duplicating any.
+_P22_R = 50
+
+_P22_ORACLE = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((count(*) + {_P22_R - 1}) // {_P22_R} AS BIGINT) AS n_files,
+       CAST(sum(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 1000000) AS BIGINT) AS id_hash_sum,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+@register("p22_compact_small_files", _P22_ORACLE)
+def p22_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction of a lang-partitioned documents table
+    (see module comment above): a deliberately fragmented baseline
+    (16 writer tasks x |langs| dirs) is rewritten via
+    repartition(lang) + maxRecordsPerFile to exactly ceil(rows/R)
+    files per partition dir.
+
+    The returned report reads ONLY the compacted table: per-lang row
+    count, DISTINCT `_metadata.file_name` count (b9's hidden scan
+    column — the physical layout, not a plan promise), the o4-family
+    id-hash sum and char sum. Hash equality with the source-table
+    oracle proves no row was lost or duplicated in the rewrite; the
+    n_files match proves the layout landed exactly where the knob put
+    it. tests/test_pipeline.py additionally asserts the before-layout
+    really was fragmented (compaction tested against something)."""
+    from hive_to_es_spark.operators.sort_set import hash_bucket
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+
+    docs = load_tables(spark, sf_dir).documents
+    frag_path = dataset_tmp_path("p22_frag_docs", sf_dir)
+    (
+        docs.repartition(16)
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(frag_path)
+    )
+    compact_path = dataset_tmp_path("p22_compact_docs", sf_dir)
+    (
+        spark.read.parquet(frag_path)
+        .repartition(F.col("lang"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", _P22_R)
+        .partitionBy("lang")
+        .parquet(compact_path)
+    )
+    comp = spark.read.parquet(compact_path)
+    return comp.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(F.col("_metadata.file_name")).cast("bigint").alias("n_files"),
+        F.sum(hash_bucket("doc_id", 1_000_000)).cast("bigint").alias("id_hash_sum"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

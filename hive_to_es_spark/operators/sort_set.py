@@ -510,3 +510,51 @@ def o10_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_bucket("doc_id", 1_000_000) < F.col("thresh_ppm"))
         .select("doc_id", "lang", "thresh_ppm")
     )
+
+
+# o11 — duplicate-aware downsampling: unique content passes at full
+# rate; duplicated content is thinned to ~ONE expected survivor per
+# duplicate group (keep-probability floor(1e6/|group|) ppm on the o4
+# deterministic doc_id draw). The soft form of dedup used when the
+# mixture should LOOK deduplicated without hard-deleting: survivors
+# stay a uniform random choice per group, reproducible under reruns
+# because draw and group key are both content-deterministic. Group key
+# is the 8-word-prefix md5 — the "same article, different tail" class
+# exact-hash dedup (d1) misses and full near-dup (d12) pays a pair
+# stream for; one window count over the prefix hash is the entire
+# grouping cost. Note the documented instability under growth: a
+# group's size (hence its members' keep threshold) changes as the
+# corpus grows — by design, the thinning tracks the CURRENT corpus.
+_O11_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         CAST(count(*) OVER (
+           PARTITION BY md5(array_to_string(string_split(lower(text), ' ')[1:8], ' '))
+         ) AS BIGINT) AS group_size
+  FROM documents
+)
+SELECT doc_id, group_size FROM g
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000000 < 1000000 // group_size
+"""
+
+
+@register("o11_dup_aware_sample", _O11_ORACLE)
+def o11_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware downsampling (see module comment above): keep
+    each doc iff its deterministic ppm draw clears floor(1e6/|group|),
+    |group| counted over the 8-word-prefix fingerprint.
+
+    Plan: one shuffle on the prefix md5 for the window count (groups
+    are tiny — prefix collisions, never a skew key), then a scan-side
+    integer threshold filter; nothing else. At 100 TB both the group
+    census and the filter are map-side expressions around that single
+    exchange; swapping the prefix for any other content fingerprint
+    (t6's rolling hash, a minhash band) keeps the plan identical."""
+    d = load_tables(spark, sf_dir).documents
+    prefix = F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, 8))
+    w = Window.partitionBy(F.md5(prefix))
+    g = d.select("doc_id", F.count("*").over(w).cast("bigint").alias("group_size"))
+    return g.filter(
+        hash_bucket("doc_id", 1_000_000) < F.expr("1000000 DIV group_size")
+    )

@@ -344,3 +344,39 @@ def test_selective_delete_emptied_partition_and_null_pred(spark, tmp_path):
     )
     rows = {(r.part, r.k) for r in spark.read.parquet(path).collect()}
     assert rows == {("p2", 2), ("p2", None), ("p3", 2)}
+
+
+def test_p22_compaction_reduces_fragmented_layout(spark, sf_dir):
+    """p22's oracle proves the AFTER layout (ceil(rows/R) files per
+    lang dir) and data preservation; this test proves the BEFORE
+    layout was genuinely fragmented — more files per dir than after,
+    with at least one lang dir at the full 16-writer fan-out — so the
+    compaction is measured against real fragmentation, not a no-op."""
+    import os
+    from collections import Counter
+
+    from hive_to_es_spark.operators.pipeline_ops import _P22_R
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+    from hive_to_es_spark.registry import queries
+
+    report = {
+        r.lang: (r.n_docs, r.n_files)
+        for r in queries()["p22_compact_small_files"](spark, sf_dir).collect()
+    }
+
+    def files_per_dir(path):
+        out = Counter()
+        for dirpath, _, files in os.walk(path):
+            n = sum(f.endswith(".parquet") for f in files)
+            if n:
+                out[os.path.basename(dirpath)] += n
+        return out
+
+    frag = files_per_dir(dataset_tmp_path("p22_frag_docs", sf_dir))
+    comp = files_per_dir(dataset_tmp_path("p22_compact_docs", sf_dir))
+    assert set(frag) == set(comp) == {f"lang={l}" for l in report}
+    assert max(frag.values()) == 16, "baseline not at full writer fan-out"
+    for lang, (n_docs, n_files) in report.items():
+        d = f"lang={lang}"
+        assert comp[d] == n_files == -(-n_docs // _P22_R)
+        assert comp[d] < frag[d], f"{d}: compaction did not reduce files"

@@ -14,7 +14,7 @@ EXPECTED_KEYS = {
     "p9_incremental_upsert", "p10_corpus_pipeline", "p11_incremental_dedup",
     "p12_token_shards", "p13_partition_backfill", "p14_schema_evolution",
     "p15_dead_letter", "p17_snapshot_diff", "p18_skew_report", "p19_data_quality",
-    "p20_sync_reconcile", "p21_forget_keys",
+    "p20_sync_reconcile", "p21_forget_keys", "p22_compact_small_files",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
     "b5_dynamic_partition_pruning", "b7_zorder_layout", "b8_python_datasource",
@@ -47,7 +47,7 @@ EXPECTED_KEYS = {
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
     "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap", "o8_corpus_shuffle",
-    "o9_weighted_sample", "o10_temperature_mix",
+    "o9_weighted_sample", "o10_temperature_mix", "o11_dup_aware_sample",
     "u1_union_all", "u2_union_distinct", "u3_intersect", "u4_except", "u5_distinct",
     "u6_intersect_except_all",
     # scalar families

@@ -1140,3 +1140,38 @@ def test_j17_lerp_matches_python_floor_model(spark, sf_dir):
     assert got == expect
     assert n_floor_cases > 0, "no negative-slope inexact division in fixture"
     assert n_dropped > 0, "no unbracketed probe in fixture"
+
+
+def test_o11_dup_aware_sample_matches_python_model(spark, sf_dir):
+    """o11 vs a Python replay of its whole contract (8-word-prefix
+    grouping, o4 ppm draw, floor(1e6/g) threshold). Non-vacuity: the
+    fixture must contain multi-doc prefix groups, at least one doc
+    must be dropped (a dup that lost its draw), and at least one
+    multi-doc group must still have a survivor."""
+    import hashlib
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    docs = {
+        r.doc_id: r.text.lower()
+        for r in load_tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    groups = {}
+    for i, t in docs.items():
+        groups.setdefault(md5(" ".join(t.split(" ")[:8])), []).append(i)
+    expect = {}
+    for members in groups.values():
+        g = len(members)
+        for i in members:
+            if int(md5(str(i))[:15], 16) % 1_000_000 < 1_000_000 // g:
+                expect[i] = g
+    got = {
+        r.doc_id: r.group_size
+        for r in queries()["o11_dup_aware_sample"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(g > 1 for g in groups.values() for g in [len(g)]), "no dup groups"
+    assert len(got) < len(docs), "nothing dropped — thinning untested"
+    assert any(g > 1 for g in got.values()), "no multi-doc group survivor"

@@ -145,6 +145,8 @@ OPS = {
     "g8_arrow_udtf": (2.0, "Arrow-batched lateral UDTF over the scan; output rows/doc bounded by doc length"),
     "d15_subsumed_docs": (2.0, "min-shingle blocking: one candidate per (doc, sharing container) bounded by df-cap; verify joins texts once"),
     "j17_lerp_join": (2.0, "one user_id shuffle; both IGNORE-NULLS frames share the window sort; integer lerp, linear per partition"),
+    "o11_dup_aware_sample": (2.0, "one prefix-hash window shuffle (tiny groups) + scan-side integer threshold filter"),
+    "p22_compact_small_files": (2.0, "eager fragmented write + compacting rewrite dominate; report is one agg over the compacted scan"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
