@@ -377,3 +377,148 @@ def audio_features(df: DataFrame, id_col: str = "doc_id",
             )
 
     return df.mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Gradient images + perceptual signature (m6)
+
+# Output schema of image_signature.
+SIGNATURE_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, width INT, height INT, "
+    "total_sum BIGINT, sig_cols BIGINT, sig_rows BIGINT"
+)
+
+
+def _gradient_px(seed: int, x: int, y: int) -> int:
+    """The fixture gradient: pixel (x, y) of image `seed` in TOP-DOWN
+    image coordinates. NON-uniform by design — unlike m2/m4's flat
+    fills, a gradient makes row ORDER observable, so a decoder that
+    forgets BMP stores rows bottom-up (or miscounts stride padding)
+    produces a flipped row profile and a different signature."""
+    return (seed * 7 + y * 13 + x * 3) % 256
+
+
+def make_bmp_gradient(width: int, height: int, seed: int) -> bytes:
+    """make_bmp's layout (24-bit, 4-byte stride, BOTTOM-UP rows) with
+    per-pixel grayscale values from `_gradient_px`."""
+    stride = (3 * width + 3) // 4 * 4
+    pixel_bytes = stride * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    rows = []
+    for file_row in range(height):
+        y = height - 1 - file_row  # bottom-up: first stored row is the last image row
+        row = bytes(
+            _gradient_px(seed, x, y) for x in range(width) for _ in range(3)
+        )
+        rows.append(row.ljust(stride, b"\x00"))
+    return header + b"".join(rows)
+
+
+def make_ppm_gradient(width: int, height: int, seed: int) -> bytes:
+    """make_ppm's container (P6, TOP-DOWN rows) with `_gradient_px`
+    grayscale pixels — the opposite row order from BMP, so one
+    signature pass must handle both."""
+    body = bytes(
+        _gradient_px(seed, x, y)
+        for y in range(height)
+        for x in range(width)
+        for _ in range(3)
+    )
+    return f"P6\n{width} {height}\n255\n".encode() + body
+
+
+def encode_fixture_gradient(docs: DataFrame, id_col: str = "doc_id",
+                            chars_col: str = "n_chars") -> DataFrame:
+    """Gradient twin of encode_fixture_media: same dimension formulas
+    (width = 1 + n_chars % 60, height = 1 + doc_id % 40), same
+    even=BMP / odd=PPM split, non-uniform pixels."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf[id_col], pdf[chars_col]):
+                w, h = 1 + int(n_chars) % 60, 1 + int(doc_id) % 40
+                payloads.append(
+                    make_bmp_gradient(w, h, int(doc_id)) if doc_id % 2 == 0
+                    else make_ppm_gradient(w, h, int(doc_id))
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "media": payloads})
+
+    return docs.select(id_col, chars_col).mapInPandas(enc, MEDIA_SCHEMA)
+
+
+def _decode_gray_rows(payload: bytes) -> tuple[str, int, int, list[list[int]]]:
+    """Decode a BMP or P6 payload to TOP-DOWN grayscale rows (first
+    channel of each pixel). Handles BMP's bottom-up row order and
+    stride padding and PPM's variable-length ASCII header."""
+    meta = _decode_bytes(payload)
+    w, h = meta["width"], meta["height"]
+    if meta["kind"] == "bmp":
+        off = struct.unpack_from("<I", payload, 10)[0]  # pixel-array offset field
+        stride = (3 * w + 3) // 4 * 4
+        rows = [
+            [payload[off + fy * stride + 3 * x] for x in range(w)]
+            for fy in range(h)
+        ]
+        rows.reverse()  # stored bottom-up -> return top-down
+        return "bmp", w, h, rows
+    if meta["kind"] == "ppm":
+        m = re.match(rb"P6\s+\d+\s+\d+\s+\d+\s", payload)
+        if not m:
+            raise ValueError("unparseable PPM header")
+        off = m.end()
+        rows = [
+            [payload[off + (y * w + x) * 3] for x in range(w)]
+            for y in range(h)
+        ]
+        return "ppm", w, h, rows
+    raise ValueError(f"image_signature: unsupported kind {meta['kind']}")
+
+
+def _band_signature(profile: list[int], n_ortho: int, dim: int) -> int:
+    """dHash-style 8-bit signature over a 9-band resampling of an
+    integer projection profile. Band i covers indices
+    [i*dim//9, (i+1)*dim//9); bit i compares the MEANS of bands i and
+    i+1 by integer cross-multiplication (sum_i * n_{i+1} > sum_{i+1}
+    * n_i) — no float division anywhere, so the bit pattern is exact
+    and engine-portable. Empty bands (dim < 9) compare 0 > 0 = 0."""
+    sums = [sum(profile[i * dim // 9:(i + 1) * dim // 9]) for i in range(9)]
+    ns = [((i + 1) * dim // 9 - i * dim // 9) * n_ortho for i in range(9)]
+    return sum(
+        (1 << i) for i in range(8) if sums[i] * ns[i + 1] > sums[i + 1] * ns[i]
+    )
+
+
+def image_signature(df: DataFrame, id_col: str = "doc_id",
+                    media_col: str = "media") -> DataFrame:
+    """Perceptual image signature over a binary media column: decode
+    to top-down grayscale, project to column/row sum profiles, and
+    emit two 8-bit dHash-style band signatures plus the total pixel
+    sum. 1 row in -> 1 row out, Arrow-batched; near-duplicate images
+    then group by (sig_cols, sig_rows) or join within a Hamming
+    radius — the blocking key step of image dedup, with the same
+    plumbing a pHash/embedding model would ride."""
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "media_type", "width", "height",
+                    "total_sum", "sig_cols", "sig_rows")}
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                kind, w, h, rows = _decode_gray_rows(bytes(payload))
+                colsum = [sum(rows[y][x] for y in range(h)) for x in range(w)]
+                rowsum = [sum(r) for r in rows]
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["total_sum"].append(sum(rowsum))
+                out["sig_cols"].append(_band_signature(colsum, h, w))
+                out["sig_rows"].append(_band_signature(rowsum, w, h))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(sig, SIGNATURE_SCHEMA)

@@ -432,3 +432,66 @@ def m5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir).documents
     return audio_features(encode_fixture_audio(d))
+
+
+# m6 — perceptual image signature on NON-uniform pixels. m2/m4 prove
+# header+stride arithmetic on flat fills, but a flat fill cannot see
+# row ORDER: BMP stores rows bottom-up, PPM top-down, and a decoder
+# that ignores that still passes m4. The gradient fixture
+# (pixel = (doc_id*7 + 13y + 3x) % 256) makes order observable, and
+# the oracle re-derives both band signatures from the generator
+# formula with nested list lambdas — agreement requires container
+# build, bottom-up unwind, stride strip, AND the integer band
+# comparisons to all be exact. Signature bits compare adjacent band
+# MEANS by cross-multiplication (sum_i*n_{i+1} vs sum_{i+1}*n_i): no
+# float division, so the bit pattern is engine-portable.
+_M6_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 1 + n_chars % 60 AS w, 1 + doc_id % 40 AS h FROM documents
+),
+profiles AS (
+  SELECT doc_id, w, h,
+    list_transform(range(0, w), x -> CAST(coalesce(list_sum(
+      list_transform(range(0, h), y -> (doc_id*7 + y*13 + x*3) % 256)), 0) AS BIGINT)) AS colsum,
+    list_transform(range(0, h), y -> CAST(coalesce(list_sum(
+      list_transform(range(0, w), x -> (doc_id*7 + y*13 + x*3) % 256)), 0) AS BIGINT)) AS rowsum
+  FROM dims
+),
+bands AS (
+  SELECT doc_id, w, h,
+    list_transform(range(0, 9), i -> CAST(coalesce(list_sum(colsum[(i*w//9)+1 : ((i+1)*w//9)]), 0) AS BIGINT)) AS cs,
+    list_transform(range(0, 9), i -> CAST((((i+1)*w//9) - (i*w//9)) * h AS BIGINT)) AS cn,
+    list_transform(range(0, 9), i -> CAST(coalesce(list_sum(rowsum[(i*h//9)+1 : ((i+1)*h//9)]), 0) AS BIGINT)) AS rs,
+    list_transform(range(0, 9), i -> CAST((((i+1)*h//9) - (i*h//9)) * w AS BIGINT)) AS rn,
+    CAST(coalesce(list_sum(colsum), 0) AS BIGINT) AS total_sum
+  FROM profiles
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS media_type,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, total_sum,
+  CAST(coalesce(list_sum(list_transform(range(0, 8),
+    i -> CASE WHEN cs[i+1]*cn[i+2] > cs[i+2]*cn[i+1] THEN 1 << i ELSE 0 END)), 0) AS BIGINT) AS sig_cols,
+  CAST(coalesce(list_sum(list_transform(range(0, 8),
+    i -> CASE WHEN rs[i+1]*rn[i+2] > rs[i+2]*rn[i+1] THEN 1 << i ELSE 0 END)), 0) AS BIGINT) AS sig_rows
+FROM bands
+"""
+
+
+@register("m6_image_signature", _M6_ORACLE)
+def m6_image_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image signatures over binary media columns (see the
+    module comment above): every document gets a REAL gradient BMP
+    (even ids, bottom-up rows + stride padding) or P6 PPM (odd ids,
+    top-down), and one Arrow-batched mapInPandas pass decodes the
+    bytes and computes two 8-bit dHash-style band signatures plus the
+    exact pixel sum. Near-dup images then block on (sig_cols,
+    sig_rows) — d6's LSH-bucket pattern with the signature as the
+    bucket key; at 100 TB the decode scan is embarrassingly parallel
+    and only 7 narrow columns leave it."""
+    from hive_to_es_spark.functions.multimodal import (
+        encode_fixture_gradient,
+        image_signature,
+    )
+
+    d = load_tables(spark, sf_dir).documents
+    return image_signature(encode_fixture_gradient(d))

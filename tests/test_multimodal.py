@@ -161,3 +161,45 @@ def test_extract_features_honors_bmp_pixel_offset(spark):
     )
     row = extract_features(df).collect()[0]
     assert row.mean_px == 50.0 and row.n_pixels == 10
+
+
+def test_image_signature_sees_bmp_row_order(spark):
+    """The m6 gradient exists to make row order observable: decoding
+    the same BMP WITHOUT unwinding bottom-up storage must flip the
+    row profile and change sig_rows. Guards the exact bug class m4's
+    uniform fills cannot detect."""
+    from hive_to_es_spark.functions.multimodal import (
+        _band_signature,
+        _decode_gray_rows,
+        _gradient_px,
+        make_bmp_gradient,
+    )
+
+    w, h, seed = 33, 20, 7
+    payload = make_bmp_gradient(w, h, seed)
+    kind, dw, dh, rows = _decode_gray_rows(payload)
+    assert (kind, dw, dh) == ("bmp", w, h)
+    assert rows == [[_gradient_px(seed, x, y) for x in range(w)] for y in range(h)]
+    rowsum = [sum(r) for r in rows]
+    flipped = list(reversed(rowsum))
+    assert _band_signature(rowsum, w, h) != _band_signature(flipped, w, h), (
+        "gradient too symmetric - row order not observable"
+    )
+
+
+def test_image_signature_honors_bmp_pixel_offset(spark):
+    """Same offset-field contract as extract_features: a BITMAPV4-style
+    gap before the pixel array must be honored, not a hardcoded 54."""
+    from hive_to_es_spark.functions.multimodal import (
+        _decode_gray_rows,
+        _gradient_px,
+        make_bmp_gradient,
+    )
+
+    base = make_bmp_gradient(5, 3, 11)
+    gap = b"\xff" * 8
+    patched = bytearray(base[:54] + gap + base[54:])
+    struct.pack_into("<I", patched, 10, 54 + 8)
+    struct.pack_into("<I", patched, 2, len(patched))
+    _, _, _, rows = _decode_gray_rows(bytes(patched))
+    assert rows == [[_gradient_px(11, x, y) for x in range(5)] for y in range(3)]

@@ -62,7 +62,7 @@ EXPECTED_KEYS = {
     "d1_dedup_exact", "d2_dedup_minhash", "s1_knn_cosine", "s2_pairwise_topk",
     "s3_centroids", "t1_text_stats", "t2_tfidf_terms", "t3_langid_filter",
     "m1_multimodal_cols", "m2_media_decode", "m3_frame_sample", "m4_media_features",
-    "m5_audio_features",
+    "m5_audio_features", "m6_image_signature",
     # LLM pipeline extensions (training-data set beyond SURVEY §2)
     "d3_dedup_simhash", "d4_dedup_ngram_jaccard", "d5_dedup_embedding",
     "d6_dedup_lsh_blocked", "d7_dedup_components", "d8_dedup_minhash_portable",

@@ -147,6 +147,7 @@ OPS = {
     "j17_lerp_join": (2.0, "one user_id shuffle; both IGNORE-NULLS frames share the window sort; integer lerp, linear per partition"),
     "o11_dup_aware_sample": (2.0, "one prefix-hash window shuffle (tiny groups) + scan-side integer threshold filter"),
     "p22_compact_small_files": (2.0, "eager fragmented write + compacting rewrite dominate; report is one agg over the compacted scan"),
+    "m6_image_signature": (2.0, "Arrow-batched encode+decode+signature, per-pixel byte math, no shuffle"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
