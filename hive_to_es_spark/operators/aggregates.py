@@ -669,3 +669,77 @@ def a20_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(d).cast("string").alias("min_exact"),
         F.max(d).cast("string").alias("max_exact"),
     )
+
+
+# a21 — exact quantiles via histogram + cumulative pick. a16 answers
+# "approximately where is p99" with interpolation (quantile_cont /
+# percentile_approx); a21 answers it EXACTLY, and does it with a plan
+# that stays scalable where the naive exact plan (row_number over the
+# fact table partitioned by 3 return flags) would collapse to 3 tasks
+# — the w7 failure shape. The trick: l_quantity has a small discrete
+# domain, so group to a (flag, value, count) histogram first (map-side
+# combined, ~|flags|x|domain| rows cross the wire), then one window
+# over that TINY aggregate turns cumulative counts into type-1
+# (ceil-rank) order statistics: q = min value whose cumulative count
+# reaches ceil(n*q/100). Every arithmetic step is integer, so the
+# result is the exact dataset value on both engines — no float
+# interpolation to disagree about.
+_A21_ORACLE = """
+WITH hist AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, qty, c,
+         CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY qty) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM hist
+)
+SELECT l_returnflag,
+  CAST(max(n) AS BIGINT) AS n_rows,
+  CAST(min(CASE WHEN cum >= (n*25 + 99) // 100 THEN qty END) AS BIGINT) AS q25,
+  CAST(min(CASE WHEN cum >= (n*50 + 99) // 100 THEN qty END) AS BIGINT) AS q50,
+  CAST(min(CASE WHEN cum >= (n*75 + 99) // 100 THEN qty END) AS BIGINT) AS q75,
+  CAST(min(CASE WHEN cum >= (n*99 + 99) // 100 THEN qty END) AS BIGINT) AS q99
+FROM cum GROUP BY l_returnflag
+"""
+
+
+@register("a21_exact_quantile_hist", _A21_ORACLE)
+def a21_exact_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 quantiles of l_quantity per return flag via the
+    histogram plan (see module comment above): partial-combined
+    (flag, value) counts, a cumulative window over the tiny histogram,
+    ceil-rank pick in pure integers. At 100 TB the fact table
+    contributes one map-combined aggregate; everything after runs on
+    |flags| x |domain| rows. For continuous domains the same plan
+    applies after a fixed-width binning pass (a17's histogram), with
+    the bin width setting the exactness granularity."""
+    li = load_tables(spark, sf_dir).lineitem
+    hist = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "qty",
+        F.sum("c").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n*{q} + 99) DIV 100"), F.col("qty")
+            )
+        ).cast("bigint").alias(f"q{q}")
+        for q in (25, 50, 75, 99)
+    ]
+    return cum.groupBy("l_returnflag").agg(
+        F.max("n").cast("bigint").alias("n_rows"), *picks
+    )

@@ -37,7 +37,7 @@ EXPECTED_KEYS = {
     "a5_rollup", "a6_cube", "a7_having", "a8_approx_distinct", "a9_stats_agg",
     "a10_collect", "a11_min_max_by", "a12_pivot", "a13_bool_agg", "a14_unpivot", "a15_count_min",
     "a16_percentiles", "a17_histogram", "a18_heavy_hitters", "a19_mode_per_group",
-    "a20_decimal_money",
+    "a20_decimal_money", "a21_exact_quantile_hist",
     # windows (w7_range_frame_highcard is deprecated: quarantined from
     # the public registry view, pinned via DEPRECATED_KEYS below)
     "w1_order_rank", "w2_running_sum", "w3_lag_lead", "w4_range_frame",

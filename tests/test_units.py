@@ -1175,3 +1175,31 @@ def test_o11_dup_aware_sample_matches_python_model(spark, sf_dir):
     assert any(g > 1 for g in groups.values() for g in [len(g)]), "no dup groups"
     assert len(got) < len(docs), "nothing dropped — thinning untested"
     assert any(g > 1 for g in got.values()), "no multi-doc group survivor"
+
+
+def test_a21_quantiles_are_exact_dataset_values(spark, sf_dir):
+    """a21 vs Python's sorted-list type-1 quantile (value at ceil(n*q)
+    1-indexed): every reported quantile must be that exact dataset
+    value. (On this fixture's dense integer domain the interpolated
+    answer happens to coincide at these percentiles — the histogram
+    plan's exactness is structural, all-integer picks — so the model
+    equality, not an interpolation-divergence probe, is the test.)"""
+    import math
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    vals = {}
+    for r in (
+        load_tables(spark, sf_dir).lineitem.select("l_returnflag", "l_quantity").collect()
+    ):
+        vals.setdefault(r.l_returnflag, []).append(int(r.l_quantity))
+    got = {r.l_returnflag: r for r in queries()["a21_exact_quantile_hist"](spark, sf_dir).collect()}
+    assert set(got) == set(vals)
+    for flag, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        row = got[flag]
+        assert row.n_rows == n
+        for q in (25, 50, 75, 99):
+            assert getattr(row, f"q{q}") == xs[math.ceil(n * q / 100) - 1]

@@ -148,6 +148,7 @@ OPS = {
     "o11_dup_aware_sample": (2.0, "one prefix-hash window shuffle (tiny groups) + scan-side integer threshold filter"),
     "p22_compact_small_files": (2.0, "eager fragmented write + compacting rewrite dominate; report is one agg over the compacted scan"),
     "m6_image_signature": (2.0, "Arrow-batched encode+decode+signature, per-pixel byte math, no shuffle"),
+    "a21_exact_quantile_hist": (2.0, "map-combined (flag,value) histogram; window + picks run on |flags|x|domain| rows only"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
