@@ -464,7 +464,11 @@ def _decode_gray_rows(payload: bytes) -> tuple[str, int, int, list[list[int]]]:
             [payload[off + fy * stride + 3 * x] for x in range(w)]
             for fy in range(h)
         ]
-        rows.reverse()  # stored bottom-up -> return top-down
+        # Positive biHeight = bottom-up storage (the common case);
+        # negative = top-down, already in image order — same contract
+        # _decode_bytes documents with its abs().
+        if struct.unpack_from("<i", payload, 22)[0] > 0:
+            rows.reverse()
         return "bmp", w, h, rows
     if meta["kind"] == "ppm":
         m = re.match(rb"P6\s+\d+\s+\d+\s+\d+\s", payload)

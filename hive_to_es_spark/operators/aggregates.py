@@ -686,7 +686,7 @@ def a20_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
 # interpolation to disagree about.
 _A21_ORACLE = """
 WITH hist AS (
-  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+  SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qty,
          CAST(count(*) AS BIGINT) AS c
   FROM lineitem GROUP BY 1, 2
 ),
@@ -717,8 +717,12 @@ def a21_exact_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies after a fixed-width binning pass (a17's histogram), with
     the bin width setting the exactness granularity."""
     li = load_tables(spark, sf_dir).lineitem
+    # floor(), not a bare double->bigint cast: Spark's cast truncates
+    # while DuckDB's CAST rounds (the gotcha-list divergence class);
+    # floor is identical in both engines, so fractional quantities
+    # bucket the same way. Integral fixture values are unaffected.
     hist = li.groupBy(
-        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+        "l_returnflag", F.floor("l_quantity").cast("bigint").alias("qty")
     ).agg(F.count("*").cast("bigint").alias("c"))
     w_cum = (
         Window.partitionBy("l_returnflag")

@@ -140,6 +140,44 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
 """
 
 
+def capped_shingles(
+    docs: DataFrame, df_cap: int, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Materialized (doc_id, shingle) stream with hot shingles removed
+    — the shared blocking substrate of ngram_jaccard_pairs and d15.
+
+    Hot-shingle removal via aggregate + broadcast ANTI join, not a
+    window: the window form shuffles every (doc, shingle) row to
+    count per-shingle frequency; the aggregate combines map-side
+    (one count per distinct shingle crosses the wire) and the hot
+    set it yields is tiny by construction — broadcast, so the rows
+    themselves never shuffle for the cap. Measured ~2x on the whole
+    d4 pair plan at sf0.1.
+
+    The capped table feeds multiple consumers (sizes + both self-join
+    sides in d4; min-aggregate + container side in d15); without
+    materialization each one re-runs the explode + cap from the scan.
+    Measured at sf0.1: 15.5s -> 1.1s for the whole pair plan. (On a
+    cluster: .persist() or a checkpoint to shared storage — same
+    principle, reuse not recompute.) Retention is intentional: the
+    RETURNED plan reads these blocks, so there is no safe release
+    point inside the builder. Consumers that are done with the result
+    free them via functions/lifecycle.py (tools/check.py sweeps after
+    every key)."""
+    sh0 = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > df_cap)
+        .select("shingle")
+    )
+    return materialize(
+        sh0.join(F.broadcast(hot), "shingle", "left_anti"), checkpoint_dir
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.2,
@@ -170,32 +208,7 @@ def ngram_jaccard_pairs(
     lever, but its prefix is 80% of the set at t=0.2 — it pays at
     t>=0.7, the wrong regime for this operator's contract.
     """
-    sh0 = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
-    # Hot-shingle removal via aggregate + broadcast ANTI join, not a
-    # window: the window form shuffles every (doc, shingle) row to
-    # count per-shingle frequency; the aggregate combines map-side
-    # (one count per distinct shingle crosses the wire) and the hot
-    # set it yields is tiny by construction — broadcast, so the rows
-    # themselves never shuffle for the cap. Measured ~2x on the whole
-    # pair plan at sf0.1.
-    hot = (
-        sh0.groupBy("shingle")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") > df_cap)
-        .select("shingle")
-    )
-    # The capped shingle table feeds THREE consumers (sizes + both
-    # self-join sides); without materialization each one re-runs the
-    # explode + cap from the scan. Measured at sf0.1: 15.5s -> 1.1s
-    # for the whole pair plan. (On a cluster: .persist() or a
-    # checkpoint to shared storage — same principle, reuse not
-    # recompute.) Retention is intentional: the RETURNED plan reads
-    # these blocks, so there is no safe release point inside the
-    # builder. Consumers that are done with the result free them via
-    # functions/lifecycle.py (tools/check.py sweeps after every key).
-    sh = materialize(
-        sh0.join(F.broadcast(hot), "shingle", "left_anti"), checkpoint_dir
-    )
+    sh = capped_shingles(docs, df_cap, checkpoint_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -1258,15 +1271,8 @@ def d15_subsumed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents.select(
         "doc_id", F.lower("text").alias("t")
     ).withColumn("n", F.length("t"))
-    sh0 = d.select("doc_id", F.explode(word_shingles(F.col("t"))).alias("shingle"))
-    hot = (
-        sh0.groupBy("shingle")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") > _D15_DF_CAP)
-        .select("shingle")
-    )
-    sh = materialize(
-        sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = capped_shingles(
+        d.withColumnRenamed("t", "text"), _D15_DF_CAP
     ).select("doc_id", F.md5("shingle").alias("h"))
     mn = sh.groupBy("doc_id").agg(F.min("h").alias("minsh"))
     cand = mn.join(

@@ -1001,6 +1001,7 @@ WITH t AS (
               THEN CAST(round(value*100) AS BIGINT) END AS p_cents,
          CASE WHEN event_type='purchase' THEN 0 ELSE 1 END AS k
   FROM events WHERE event_type IN ('view','purchase') AND ts IS NOT NULL
+    AND (event_type = 'view' OR value IS NOT NULL)
 ),
 framed AS (
   SELECT event_id, user_id, us, event_type,
@@ -1044,7 +1045,14 @@ def j17_lerp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     OUTSIDE double's 2^53 exactness — which is why no double division
     appears anywhere). Exact floor division per the module comment."""
     ev = load_tables(spark, sf_dir).events.filter(
-        F.col("event_type").isin("view", "purchase") & F.col("ts").isNotNull()
+        F.col("event_type").isin("view", "purchase")
+        & F.col("ts").isNotNull()
+        # A purchase with a NULL value cannot anchor a lerp; dropping
+        # it HERE keeps (p_us, p_cents) null together — tracked as two
+        # IGNORE-NULLS columns, a null-valued purchase would otherwise
+        # desynchronize them (timestamp from it, cents from an earlier
+        # one). Mirrored in the oracle.
+        & ((F.col("event_type") == "view") | F.col("value").isNotNull())
     )
     t = ev.select(
         "event_id",

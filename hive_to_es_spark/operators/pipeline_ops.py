@@ -1806,7 +1806,12 @@ def p21_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-engine (the oracle recomputes ceil(count/R) from the source
 # table) instead of merely asserted smaller; rows and content hashes
 # prove the rewrite moved bytes without losing or duplicating any.
-_P22_R = 50
+# R sized so the compacted layout stays BELOW the 16-file fragmented
+# baseline at every checked SF (largest fixture partition ~2.2k rows
+# at sf0.1 -> ceil/200 = 11 files) while sf0.01's largest still spans
+# multiple files — both the "fewer files" and the "exactly ceil"
+# claims stay non-vacuous at both oracle SFs.
+_P22_R = 200
 
 _P22_ORACLE = f"""
 SELECT lang,

@@ -203,3 +203,26 @@ def test_image_signature_honors_bmp_pixel_offset(spark):
     struct.pack_into("<I", patched, 2, len(patched))
     _, _, _, rows = _decode_gray_rows(bytes(patched))
     assert rows == [[_gradient_px(11, x, y) for x in range(5)] for y in range(3)]
+
+
+def test_image_signature_handles_topdown_bmp(spark):
+    """Negative biHeight = top-down BMP (the variant _decode_bytes
+    already abs()es): rows must NOT be reversed for it."""
+    from hive_to_es_spark.functions.multimodal import (
+        _decode_gray_rows,
+        _gradient_px,
+        make_bmp_gradient,
+    )
+
+    w, h, seed = 7, 5, 3
+    base = bytearray(make_bmp_gradient(w, h, seed))
+    # flip to top-down: negate the height field and re-order the rows
+    struct.pack_into("<i", base, 22, -h)
+    stride = (3 * w + 3) // 4 * 4
+    body = base[54:]
+    reordered = b"".join(
+        bytes(body[fy * stride:(fy + 1) * stride]) for fy in reversed(range(h))
+    )
+    topdown = bytes(base[:54]) + reordered
+    _, _, _, rows = _decode_gray_rows(topdown)
+    assert rows == [[_gradient_px(seed, x, y) for x in range(w)] for y in range(h)]

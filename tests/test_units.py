@@ -1111,7 +1111,7 @@ def test_j17_lerp_matches_python_floor_model(spark, sf_dir):
     ]
     purch = {}
     for eid, uid, et, us, cents in ev:
-        if et == "purchase":
+        if et == "purchase" and cents is not None:
             purch.setdefault(uid, []).append((us, eid, cents))
     for v in purch.values():
         v.sort()
@@ -1127,7 +1127,10 @@ def test_j17_lerp_matches_python_floor_model(spark, sf_dir):
         (t0, _, v0), (t1, _, v1) = ps[i - 1], ps[i]
         nmr, dnm = (v1 - v0) * (us - t0), t1 - t0
         lerp = v0 + nmr // dnm
-        if nmr // dnm != int(nmr / dnm) and nmr % dnm != 0:
+        # floor != truncate exactly when the numerator is negative and
+        # the division is inexact (dnm > 0 always). Pure-integer test:
+        # float `int(nmr/dnm)` would misclassify above 2^53.
+        if nmr < 0 and nmr % dnm != 0:
             n_floor_cases += 1
         expect[eid] = (uid, us, t0, v0, t1, v1, lerp)
     got = {
@@ -1172,7 +1175,7 @@ def test_o11_dup_aware_sample_matches_python_model(spark, sf_dir):
         for r in queries()["o11_dup_aware_sample"](spark, sf_dir).collect()
     }
     assert got == expect
-    assert any(g > 1 for g in groups.values() for g in [len(g)]), "no dup groups"
+    assert any(len(m) > 1 for m in groups.values()), "no dup groups"
     assert len(got) < len(docs), "nothing dropped — thinning untested"
     assert any(g > 1 for g in got.values()), "no multi-doc group survivor"
 
