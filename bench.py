@@ -100,6 +100,9 @@ EXTENSION = [
     # round 7 batch 4: substring-subsumption dedup (min-shingle block
     # + exact containment verify — the non-Jaccard dedup gap)
     "d15_subsumed_docs",
+    # round 7 batch 5: the broadcast graded-contamination scan (t9's
+    # shape + a LEFT join over every corpus doc)
+    "t14_contamination_score",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -558,3 +558,69 @@ def o11_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(
         hash_bucket("doc_id", 1_000_000) < F.expr("1000000 DIV group_size")
     )
+
+
+# o12 — fractional-epoch upsampling: the inverse of o10's thinning.
+_O12_ORACLE = """
+WITH census AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang
+),
+mx AS (SELECT CAST(max(c) AS BIGINT) AS mc FROM census),
+q AS (
+  SELECT lang, least((mc * 1000000) // c, 4000000) AS wppm
+  FROM census, mx
+),
+d AS (
+  SELECT doc_id, documents.lang,
+         wppm // 1000000
+         + CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 15)) AS BIGINT) % 1000000
+                     < wppm % 1000000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents JOIN q USING (lang)
+)
+SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+FROM d
+"""
+
+
+@register("o12_epoch_upsample", _O12_ORACLE)
+def o12_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling: replicate low-resource languages
+    toward parity with the largest one, capped at 4 epochs — the
+    "repeat the good data" step of an LLM mixture (a weight of 2.3
+    epochs means 2 full copies plus a 30% chance of a third), the
+    upward twin of o10's temperature THINNING.
+
+    The fractional epoch is decided by the same content-deterministic
+    md5 draw as o4/o10 — floor(w) copies for everyone, one extra when
+    hash_ppm(doc_id) < frac(w)*1e6 — so reruns, engine swaps and
+    incremental appends reproduce the exact same replica set (a PRNG
+    would re-roll history on every append). All quota math is bigint
+    ppm: weight_ppm = min((max_c * 1e6) DIV c, 4e6), never a float.
+    Scale shape: the census is |langs| rows, broadcast back; the
+    replication itself is a scan-side explode(sequence(1, n)) — rows
+    multiply AFTER the scan with no shuffle at all, and downstream
+    consumers see copy_idx to salt per-epoch transforms. The oracle
+    mirrors the explode with DuckDB's scalar range() list unnest
+    (table-function range rejects per-row bounds)."""
+    d = load_tables(spark, sf_dir).documents
+    census = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("c"))
+    mx = census.agg(F.max("c").cast("bigint").alias("mc"))
+    quota = census.crossJoin(F.broadcast(mx)).selectExpr(
+        "lang", "least((mc * 1000000) DIV c, 4000000) AS wppm"
+    )
+    n_copies = F.expr("wppm DIV 1000000") + F.when(
+        hash_bucket("doc_id", 1_000_000) < F.col("wppm") % 1_000_000, 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(quota), "lang")
+        .withColumn("n_copies", n_copies.cast("bigint"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))
+            ).alias("copy_idx"),
+        )
+    )

@@ -676,3 +676,85 @@ def t13_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned_text"),
     )
+
+
+# t14 — graded contamination: t9's boolean gate -> per-doc overlap
+# fraction + release action, over ALL corpus docs (0-hit docs too).
+_T14_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+      i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                          string_split(lower(text), ' ')[i+1],
+                          string_split(lower(text), ' ')[i+2])
+    ))) AS shingle
+  FROM documents
+),
+eval_set AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0),
+scored AS (
+  SELECT c.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(e.shingle) AS BIGINT) AS n_hits
+  FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0) c
+  LEFT JOIN eval_set e ON c.shingle = e.shingle
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_hits,
+       (n_hits * 1000000) // n_shingles AS overlap_ppm,
+       CASE WHEN (n_hits * 1000000) // n_shingles >= 500000 THEN 'drop'
+            WHEN (n_hits * 1000000) // n_shingles >= 100000 THEN 'review'
+            ELSE 'keep' END AS action
+FROM scored
+"""
+
+
+@register("t14_contamination_score", _T14_ORACLE)
+def t14_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark-contamination scoring: for EVERY corpus
+    document, the fraction of its distinct 3-gram shingles that also
+    occur anywhere in the held-out eval set (t9's split: doc_id % 29),
+    mapped to a release action — >=50% overlap 'drop', >=10%
+    'review', else 'keep'. t9 answers "which docs touch the eval set
+    at all"; t14 is the policy layer a release pipeline actually
+    runs, where a single shared boilerplate shingle must NOT nuke a
+    10k-shingle document (the graded form of the GPT-3 appendix-C
+    check).
+
+    The fraction is integer ppm — (hits * 1e6) DIV distinct_shingles
+    — so the bucket boundaries cannot split cross-engine. Scale
+    shape mirrors t9's asymmetry: the eval shingle set is DISTINCT'd
+    small and broadcast, the corpus side LEFT-joins it map-side (a
+    hit is a build-side probe, a miss costs nothing), and the only
+    shuffle is the per-doc count pair, map-side combined on doc_id.
+    array_distinct runs scan-side so duplicate shingles inside one
+    doc never inflate the join."""
+    d = load_tables(spark, sf_dir).documents
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text")))).alias("shingle"),
+    )
+    is_eval = F.col("doc_id") % 29 == 0
+    eval_set = sh.filter(is_eval).select("shingle").distinct().withColumn(
+        "hit", F.lit(1)
+    )
+    scored = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_set), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count("hit").cast("bigint").alias("n_hits"),
+        )
+    )
+    ppm = F.expr("(n_hits * 1000000) DIV n_shingles")
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        ppm.alias("overlap_ppm"),
+        F.when(ppm >= 500_000, "drop")
+        .when(ppm >= 100_000, "review")
+        .otherwise("keep")
+        .alias("action"),
+    )

@@ -803,3 +803,88 @@ def funnel_stage_expr():
         .otherwise(0)
         .cast("bigint")
     )
+
+
+# w14 — rolling z-score outlier flag, decided entirely in bigints.
+_W14_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+),
+s AS (
+  SELECT o_custkey, o_orderkey, cents,
+         CAST(count(cents) OVER w AS BIGINT) AS n_base,
+         CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS s1,
+         CAST(coalesce(sum(cents * cents) OVER w, 0) AS BIGINT) AS s2
+  FROM o
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT o_custkey, o_orderkey, cents, n_base,
+       CAST(CASE WHEN n_base * cents - s1 > 0 THEN 1 ELSE -1 END
+            AS BIGINT) AS direction
+FROM s
+WHERE n_base >= 4
+  AND (n_base * cents - s1) * (n_base * cents - s1)
+      > 9 * (n_base * s2 - s1 * s1)
+"""
+
+
+@register("w14_rolling_zscore", _W14_ORACLE)
+def w14_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outlier detection: flag orders whose value
+    deviates more than 3 sigma from the customer's own trailing
+    baseline (previous <=6 orders, current row excluded, at least 4
+    required) — the per-entity anomaly gate of a monitoring pipeline,
+    where a global threshold would miss that 50k is normal for one
+    customer and wildly anomalous for another.
+
+    The decision is exact integer arithmetic end to end: with n, S =
+    sum(cents), SS = sum(cents^2) over the baseline frame, z^2 > 9 is
+    equivalent to (n*x - S)^2 > 9*(n*SS - S^2) — no division, no
+    sqrt, no float, so both engines agree bit-for-bit where a
+    stddev_samp-based plan would hit the float-sum-order trap
+    (magnitudes bounded: cents <= ~6e7, so every term stays under
+    2^60). A zero-variance baseline flags ANY deviation (RHS = 0),
+    the correct degenerate limit. count/sum/sum share ONE window spec
+    -> a single o_custkey sort, high-cardinality key, no w7-style
+    task ceiling; the flag is a scan-side filter above the Window so
+    nothing else shuffles."""
+    o = (
+        load_tables(spark, sf_dir)
+        .orders.filter(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .withColumn("cents", F.round(F.col("o_totalprice") * 100).cast("bigint"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-6, -1)
+    )
+    n = F.count("cents").over(w).cast("bigint")
+    s1 = F.coalesce(F.sum("cents").over(w), F.lit(0)).cast("bigint")
+    s2 = F.coalesce(
+        F.sum(F.col("cents") * F.col("cents")).over(w), F.lit(0)
+    ).cast("bigint")
+    dev = n * F.col("cents") - s1
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "cents",
+            n.alias("n_base"),
+            dev.alias("dev"),
+            (n * s2 - s1 * s1).alias("var_n2"),
+        )
+        .filter((F.col("n_base") >= 4) & (F.col("dev") * F.col("dev") > 9 * F.col("var_n2")))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "cents",
+            "n_base",
+            F.when(F.col("dev") > 0, 1).otherwise(-1).cast("bigint").alias("direction"),
+        )
+    )

@@ -468,3 +468,33 @@ def test_j17_lerp_join_single_exchange_single_window(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window") == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_w14_zscore_single_window_shuffle(spark, sf_dir):
+    """w14's count/sum/sumsq must share ONE custkey window sort, with
+    the integer z^2 filter evaluated scan-side above it — a second
+    Exchange or Window means the three frame aggregates stopped
+    aligning on the same spec. No Python boundary anywhere."""
+    plan = _simple_plan(spark, sf_dir, "w14_rolling_zscore")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_o12_upsample_broadcasts_quota_no_corpus_shuffle(spark, sf_dir):
+    """o12's replication must be a scan-side explode against BROADCAST
+    per-language quotas: the only Exchanges belong to the |langs|-row
+    census, and the corpus side must never sort-merge."""
+    plan = _simple_plan(spark, sf_dir, "o12_epoch_upsample")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Generate" in plan, plan  # the explode stays JVM-side
+
+
+def test_t14_contamination_broadcasts_eval_set(spark, sf_dir):
+    """t14's membership probe must be a broadcast LEFT join against
+    the distinct eval shingle set — the corpus side shuffles only for
+    the per-doc count pair (map-combined)."""
+    plan = _simple_plan(spark, sf_dir, "t14_contamination_score")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

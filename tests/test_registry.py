@@ -44,10 +44,12 @@ EXPECTED_KEYS = {
     "w5_ntile_cume", "w6_first_last",
     "w8_range_frame_scalable", "w9_sessionize", "w10_cumulative_distinct",
     "w11_transition_matrix", "w12_ewma_decay", "w13_funnel",
+    "w14_rolling_zscore",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
     "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap", "o8_corpus_shuffle",
     "o9_weighted_sample", "o10_temperature_mix", "o11_dup_aware_sample",
+    "o12_epoch_upsample",
     "u1_union_all", "u2_union_distinct", "u3_intersect", "u4_except", "u5_distinct",
     "u6_intersect_except_all",
     # scalar families
@@ -76,7 +78,7 @@ EXPECTED_KEYS = {
     "t4_quality_score", "t5_token_count_bpe",
     "t6_fingerprint", "t7_langid_ngram", "t8_unigram_lm_score",
     "t9_decontaminate", "t10_pii_redact", "t11_repetition_filter",
-    "t12_blocklist_filter", "t13_line_dedup",
+    "t12_blocklist_filter", "t13_line_dedup", "t14_contamination_score",
     # UDF surface
     "g1_scalar_pandas_udf", "g2_grouped_map", "g3_grouped_agg_udaf", "g4_udtf",
     "g5_arrow_batch_map", "g6_cogrouped_asof", "g7_scalar_iter_udf",

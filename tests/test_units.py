@@ -1206,3 +1206,137 @@ def test_a21_quantiles_are_exact_dataset_values(spark, sf_dir):
         assert row.n_rows == n
         for q in (25, 50, 75, 99):
             assert getattr(row, f"q{q}") == xs[math.ceil(n * q / 100) - 1]
+
+
+def test_w14_zscore_matches_python_model(spark, sf_dir):
+    """w14 vs a Python replay of the integer z^2 contract (trailing
+    <=6-order baseline, current excluded, n>=4, (n*x-S)^2 > 9(n*SS-S^2)).
+    Non-vacuity: outliers in BOTH directions, and at least one row
+    with a full baseline that is NOT flagged (the filter discriminates)."""
+    from collections import defaultdict
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = (
+        load_tables(spark, sf_dir)
+        .orders.filter(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r.o_custkey].append(
+            (r.o_orderdate, r.o_orderkey, round(r.o_totalprice * 100))
+        )
+    expect = {}
+    n_full_unflagged = 0
+    for cust, orders in by_cust.items():
+        orders.sort()
+        cents = [c for _, _, c in orders]
+        for i, (_, okey, x) in enumerate(orders):
+            base = cents[max(0, i - 6) : i]
+            n, s1, s2 = len(base), sum(base), sum(c * c for c in base)
+            if n >= 4 and (n * x - s1) ** 2 > 9 * (n * s2 - s1 * s1):
+                expect[okey] = (cust, x, n, 1 if n * x - s1 > 0 else -1)
+            elif n >= 4:
+                n_full_unflagged += 1
+    got = {
+        r.o_orderkey: (r.o_custkey, r.cents, r.n_base, r.direction)
+        for r in queries()["w14_rolling_zscore"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    dirs = {d for _, _, _, d in got.values()}
+    assert dirs == {1, -1}, "need outliers in both directions"
+    assert n_full_unflagged > 0, "every full-baseline row flagged — vacuous"
+
+
+def test_o12_upsample_matches_python_model(spark, sf_dir):
+    """o12 vs a Python replay of the quota math (parity with the
+    largest lang, 4-epoch cap, md5-ppm fractional copy). Non-vacuity:
+    the dominant lang stays at exactly 1 copy, some lang reaches >=2
+    copies, and the fractional draw goes BOTH ways within one lang."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    docs = [
+        (r.doc_id, r.lang)
+        for r in load_tables(spark, sf_dir).documents.select("doc_id", "lang").collect()
+    ]
+    census = Counter(lang for _, lang in docs)
+    mc = max(census.values())
+    wppm = {l: min((mc * 1_000_000) // c, 4_000_000) for l, c in census.items()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    expect = {}
+    for doc_id, lang in docs:
+        w = wppm[lang]
+        n = w // 1_000_000 + (
+            1 if int(md5(str(doc_id))[:15], 16) % 1_000_000 < w % 1_000_000 else 0
+        )
+        expect[doc_id] = (lang, n)
+    got = defaultdict(set)
+    langs = {}
+    for r in queries()["o12_epoch_upsample"](spark, sf_dir).collect():
+        got[r.doc_id].add(r.copy_idx)
+        langs[r.doc_id] = r.lang
+    assert {i: (langs[i], len(got[i])) for i in got} == expect
+    for copies in got.values():  # contiguous 1..n, no gaps or dups
+        assert copies == set(range(1, len(copies) + 1))
+    per_lang = defaultdict(set)
+    for doc_id, (lang, n) in expect.items():
+        per_lang[lang].add(n)
+    top_lang = max(census, key=lambda l: census[l])
+    assert per_lang[top_lang] == {1}, "dominant lang must not be upsampled"
+    assert any(max(ns) >= 2 for ns in per_lang.values()), "no lang upsampled"
+    assert any(len(ns) > 1 for ns in per_lang.values()), (
+        "fractional draw never split within a lang — frac path untested"
+    )
+    assert all(n <= 4 for _, n in expect.values()), "4-epoch cap violated"
+
+
+def test_t14_contamination_matches_python_model(spark, sf_dir):
+    """t14 vs a Python replay of the graded-overlap contract (distinct
+    3-gram shingles incl. the partial tail, eval = doc_id % 29, integer
+    ppm buckets). Non-vacuity: all three actions occur, and both
+    zero-hit and full-overlap docs exist."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    docs = {
+        r.doc_id: r.text.lower()
+        for r in load_tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+    }
+
+    def shingles(text):
+        words = text.split(" ")
+        return {
+            " ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 1))
+        }
+
+    eval_set = set()
+    for i, t in docs.items():
+        if i % 29 == 0:
+            eval_set |= shingles(t)
+    expect = {}
+    for i, t in docs.items():
+        if i % 29 == 0:
+            continue
+        sh = shingles(t)
+        hits = len(sh & eval_set)
+        ppm = hits * 1_000_000 // len(sh)
+        action = "drop" if ppm >= 500_000 else "review" if ppm >= 100_000 else "keep"
+        expect[i] = (len(sh), hits, ppm, action)
+    got = {
+        r.doc_id: (r.n_shingles, r.n_hits, r.overlap_ppm, r.action)
+        for r in queries()["t14_contamination_score"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    actions = {a for _, _, _, a in got.values()}
+    assert actions == {"keep", "review", "drop"}, f"buckets unexercised: {actions}"
+    assert any(h == 0 for _, h, _, _ in got.values()), "no clean doc"
+    assert any(h > 0 for _, h, _, _ in got.values()), "no contaminated doc"

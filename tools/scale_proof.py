@@ -149,6 +149,9 @@ OPS = {
     "p22_compact_small_files": (2.0, "eager fragmented write + compacting rewrite dominate; report is one agg over the compacted scan"),
     "m6_image_signature": (2.0, "Arrow-batched encode+decode+signature, per-pixel byte math, no shuffle"),
     "a21_exact_quantile_hist": (2.0, "map-combined (flag,value) histogram; window + picks run on |flags|x|domain| rows only"),
+    "w14_rolling_zscore": (2.0, "one custkey window sort carries count/sum/sumsq; integer z^2 filter scan-side above the Window"),
+    "o12_epoch_upsample": (2.0, "|langs|-row census broadcast back; replication is a scan-side explode, no corpus shuffle"),
+    "t14_contamination_score": (2.0, "eval shingle set broadcast; corpus LEFT-joins map-side; per-doc count pair map-combined"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
