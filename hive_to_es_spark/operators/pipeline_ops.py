@@ -1867,3 +1867,74 @@ def p22_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hash_bucket("doc_id", 1_000_000)).cast("bigint").alias("id_hash_sum"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# p23 — ANALYZE-style per-column profile in ONE corpus scan.
+_P23_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+_P23_ORACLE = """
+WITH s AS (
+  SELECT {aggs}
+  FROM documents
+)
+{unions}
+"""
+
+
+def _p23_oracle() -> str:
+    aggs = ",\n         ".join(
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_{c},\n"
+        f"         CAST(count(*) - count({c}) AS BIGINT) AS nulls_{c},\n"
+        f"         CAST(min({c}) AS VARCHAR) AS min_{c},\n"
+        f"         CAST(max({c}) AS VARCHAR) AS max_{c},\n"
+        f"         CAST(coalesce(sum(length(CAST({c} AS VARCHAR))), 0)"
+        f" AS BIGINT) AS len_{c}"
+        for c in _P23_COLS
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, ndv_{c} AS ndv, nulls_{c} AS n_nulls,"
+        f" min_{c} AS min_val, max_{c} AS max_val, len_{c} AS total_len FROM s"
+        for c in _P23_COLS
+    )
+    return _P23_ORACLE.format(aggs=aggs, unions=unions)
+
+
+@register("p23_table_profile", _p23_oracle())
+def p23_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile: one row per column of `documents`
+    with exact NDV, null count, min/max (rendered as strings) and
+    total rendered length — the statistics a catalog/optimizer stores
+    (join-size estimates, dictionary-encoding decisions) and the
+    first report a data engineer pulls on an unfamiliar 100 TB table.
+    p19 answers "does the data satisfy THESE constraints"; p23
+    answers "what does the data look like" with no constraints given.
+
+    Plan shape: ONE scan computes all 25 aggregates — the 5 exact
+    countDistincts on different columns make Catalyst plan a single
+    Expand (5x row multiply map-side, each replica carrying one
+    column + a gid) feeding a two-phase distinct-aggregate, so the
+    full rows never shuffle; min/max/length piggyback on the same
+    pass. The 5-row unpivot is a stack() over the 1-row aggregate.
+    Exact NDV is the deliberate contract here (it IS the oracle-able
+    spec); the sketch form for wider tables is a8's approx HLL.
+    String min/max compare UTF-8 code points identically in both
+    engines; lengths are character counts in both."""
+    d = load_tables(spark, sf_dir).documents
+    aggs = []
+    for c in _P23_COLS:
+        aggs += [
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"ndv_{c}"),
+            (F.count("*") - F.count(F.col(c))).cast("bigint").alias(f"nulls_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+            F.coalesce(F.sum(F.length(F.col(c).cast("string"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"len_{c}"),
+        ]
+    stack_args = ", ".join(
+        f"'{c}', ndv_{c}, nulls_{c}, min_{c}, max_{c}, len_{c}" for c in _P23_COLS
+    )
+    return d.agg(*aggs).selectExpr(
+        f"stack({len(_P23_COLS)}, {stack_args}) AS "
+        "(col_name, ndv, n_nulls, min_val, max_val, total_len)"
+    )

@@ -495,3 +495,103 @@ def m6_image_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir).documents
     return image_signature(encode_fixture_gradient(d))
+
+
+# m7 — perceptual near-dup pairs over m6's band signatures. The
+# 2-band pigeonhole is exact for the hamming<=1 contract: total
+# hamming = h(sig_cols) + h(sig_rows) <= 1 forces at least one band
+# to match exactly, so the two band equi-joins cannot miss a pair.
+_M7_ORACLE = f"""
+WITH sig AS ({_M6_ORACLE}),
+a AS (
+  SELECT doc_id, width, height, sig_cols, sig_rows,
+         sig_cols * 256 + sig_rows AS s16
+  FROM sig
+),
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.width, x.height,
+         CAST(bit_count(xor(x.s16, y.s16)) AS BIGINT) AS hamming
+  FROM a x JOIN a y
+    ON x.doc_id < y.doc_id AND x.width = y.width AND x.height = y.height
+   AND x.sig_cols = y.sig_cols
+  UNION
+  SELECT x.doc_id, y.doc_id, x.width, x.height,
+         CAST(bit_count(xor(x.s16, y.s16)) AS BIGINT)
+  FROM a x JOIN a y
+    ON x.doc_id < y.doc_id AND x.width = y.width AND x.height = y.height
+   AND x.sig_rows = y.sig_rows
+)
+SELECT doc_a, doc_b, width, height, hamming FROM cand WHERE hamming <= 1
+"""
+
+
+@register("m7_image_neardup", _M7_ORACLE)
+def m7_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplicate pairs: same pixel dimensions
+    and combined 16-bit band signature within hamming distance 1 —
+    the image-side analogue of d3's SimHash text dedup, closing the
+    multimodal ladder (m6 produces the signature, m7 consumes it; a
+    re-encoded or one-band-flipped copy of an image is caught where
+    byte-exact d1 hashing is blind).
+
+    Candidate generation is the d3/d6 banding idiom made EXACT by
+    pigeonhole: hamming(s16) <= 1 means at least one of the two 8-bit
+    bands matches exactly, so two equi-joins on (width, height,
+    band) provably enumerate every qualifying pair — no recall
+    haircut to audit. Both joins are hash joins on composite keys;
+    the pair stream is bounded by block occupancy, never all-pairs.
+    Fixture non-vacuity: both the hamming=0 and hamming=1 classes
+    are populated at sf0.01 (5 + 4 pairs), so the XOR path is
+    exercised, not just signature equality. At production scale the
+    signature widens to 64 bits in 4 bands (d3's layout) — same
+    plan, finer blocks; dims in the key keep trivially-different
+    images out of every block. bit_count(XOR) stays in whole-stage
+    codegen on both engines."""
+    from hive_to_es_spark.functions.multimodal import (
+        encode_fixture_gradient,
+        image_signature,
+    )
+
+    d = load_tables(spark, sf_dir).documents
+    sig = image_signature(encode_fixture_gradient(d)).select(
+        "doc_id",
+        "width",
+        "height",
+        "sig_cols",
+        "sig_rows",
+        (F.col("sig_cols") * 256 + F.col("sig_rows")).alias("s16"),
+    )
+
+    def side(tag: str) -> DataFrame:
+        return sig.select(
+            F.col("doc_id").alias(f"doc_{tag}"),
+            F.col("width").alias(f"w_{tag}"),
+            F.col("height").alias(f"h_{tag}"),
+            F.col("sig_cols").alias(f"sc_{tag}"),
+            F.col("sig_rows").alias(f"sr_{tag}"),
+            F.col("s16").alias(f"s16_{tag}"),
+        )
+
+    x, y = side("a"), side("b")
+    base = (F.col("doc_a") < F.col("doc_b")) & (
+        F.col("w_a") == F.col("w_b")
+    ) & (F.col("h_a") == F.col("h_b"))
+    hamming = F.bit_count(
+        F.col("s16_a").bitwiseXOR(F.col("s16_b"))
+    ).cast("bigint")
+    out_cols = [
+        F.col("doc_a"),
+        F.col("doc_b"),
+        F.col("w_a").alias("width"),
+        F.col("h_a").alias("height"),
+        hamming.alias("hamming"),
+    ]
+    cand = (
+        x.join(y, base & (F.col("sc_a") == F.col("sc_b")))
+        .select(*out_cols)
+        .union(
+            x.join(y, base & (F.col("sr_a") == F.col("sr_b"))).select(*out_cols)
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 1)

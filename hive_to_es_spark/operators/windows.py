@@ -888,3 +888,90 @@ def w14_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dev") > 0, 1).otherwise(-1).cast("bigint").alias("direction"),
         )
     )
+
+
+# w15 — merge overlapping per-user activity intervals into islands.
+_W15_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS start_us,
+         CAST(epoch_us(ts) AS BIGINT)
+           + CAST(round(value * 60 * 1000000) AS BIGINT) AS end_us
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+m AS (
+  SELECT *, max(end_us) OVER (
+    PARTITION BY user_id ORDER BY start_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM e
+),
+g AS (
+  SELECT *, CAST(sum(CASE WHEN prev_max IS NULL OR start_us > prev_max
+                          THEN 1 ELSE 0 END) OVER (
+    PARTITION BY user_id ORDER BY start_us, event_id) AS BIGINT) AS island_id
+  FROM m
+)
+SELECT user_id, island_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(start_us) AS island_start_us,
+       max(end_us) AS island_end_us,
+       max(end_us) - min(start_us) AS covered_us
+FROM g GROUP BY user_id, island_id
+"""
+
+
+@register("w15_interval_merge", _W15_ORACLE)
+def w15_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping variable-length activity intervals into
+    maximal islands per user (interval = [ts, ts + value minutes]):
+    the gaps-and-islands computation behind "total engaged time" and
+    resource-booking overlap reports. w9's sessionizer is the
+    fixed-gap special case; here interval LENGTH varies per event, so
+    a long event can bridge neighbors a fixed gap rule would split —
+    an island closes only when the next start exceeds the running max
+    of ALL previous ends (a plain lag(end) misses containment: a
+    short interval inside a long one must not reopen the island).
+
+    Island boundaries are integer epoch-µs (duration = round(value *
+    6e7) µs as bigint) so no float instant ever crosses the engine
+    boundary. The running max (UNBOUNDED..1 PRECEDING) and the
+    island-id running sum share ONE (user_id; start_us, event_id)
+    window sort, and the per-island rollup runs on the SAME
+    partitioning (every (user, island) group is clustered inside its
+    user_id partition) — the whole op costs exactly one Exchange,
+    plan-pinned in tests. Touching intervals
+    (next.start == prev.end) merge by the > test on both engines."""
+    e = (
+        load_tables(spark, sf_dir)
+        .events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("start_us"),
+            (
+                F.unix_micros("ts")
+                + F.round(F.col("value") * 60 * 1_000_000).cast("bigint")
+            ).alias("end_us"),
+        )
+    )
+    order = [F.col("start_us").asc(), F.col("event_id").asc()]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("user_id").orderBy(*order)
+    new_island = F.when(
+        F.col("prev_max").isNull() | (F.col("start_us") > F.col("prev_max")), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("prev_max", F.max("end_us").over(w_prev))
+        .withColumn("island_id", F.sum(new_island).over(w_run).cast("bigint"))
+        .groupBy("user_id", "island_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("start_us").alias("island_start_us"),
+            F.max("end_us").alias("island_end_us"),
+            (F.max("end_us") - F.min("start_us")).alias("covered_us"),
+        )
+    )

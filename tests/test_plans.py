@@ -498,3 +498,26 @@ def test_t14_contamination_broadcasts_eval_set(spark, sf_dir):
     plan = _simple_plan(spark, sf_dir, "t14_contamination_score")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_w15_interval_merge_single_exchange(spark, sf_dir):
+    """w15 must cost exactly ONE user_id Exchange: the two Window
+    nodes (running max, then the island-id sum that depends on it)
+    share the same sort, and the per-island rollup runs WITHOUT a
+    re-shuffle because hashpartitioning(user_id) already clusters
+    every (user_id, island_id) group. No Python boundary anywhere."""
+    plan = _simple_plan(spark, sf_dir, "w15_interval_merge")
+    assert plan.count("Window") == 2, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_p23_profile_single_scan_single_expand(spark, sf_dir):
+    """p23's 5 exact distinct-counts must ride ONE scan through ONE
+    Expand into a two-phase aggregate — per-column scans or stacked
+    joins would show extra scans here."""
+    plan = _simple_plan(spark, sf_dir, "p23_table_profile")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Expand") == 1, plan
+    assert "Join" not in plan, plan

@@ -15,6 +15,7 @@ EXPECTED_KEYS = {
     "p12_token_shards", "p13_partition_backfill", "p14_schema_evolution",
     "p15_dead_letter", "p17_snapshot_diff", "p18_skew_report", "p19_data_quality",
     "p20_sync_reconcile", "p21_forget_keys", "p22_compact_small_files",
+    "p23_table_profile",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
     "b5_dynamic_partition_pruning", "b7_zorder_layout", "b8_python_datasource",
@@ -44,7 +45,7 @@ EXPECTED_KEYS = {
     "w5_ntile_cume", "w6_first_last",
     "w8_range_frame_scalable", "w9_sessionize", "w10_cumulative_distinct",
     "w11_transition_matrix", "w12_ewma_decay", "w13_funnel",
-    "w14_rolling_zscore",
+    "w14_rolling_zscore", "w15_interval_merge",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
     "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap", "o8_corpus_shuffle",
@@ -64,7 +65,7 @@ EXPECTED_KEYS = {
     "d1_dedup_exact", "d2_dedup_minhash", "s1_knn_cosine", "s2_pairwise_topk",
     "s3_centroids", "t1_text_stats", "t2_tfidf_terms", "t3_langid_filter",
     "m1_multimodal_cols", "m2_media_decode", "m3_frame_sample", "m4_media_features",
-    "m5_audio_features", "m6_image_signature",
+    "m5_audio_features", "m6_image_signature", "m7_image_neardup",
     # LLM pipeline extensions (training-data set beyond SURVEY §2)
     "d3_dedup_simhash", "d4_dedup_ngram_jaccard", "d5_dedup_embedding",
     "d6_dedup_lsh_blocked", "d7_dedup_components", "d8_dedup_minhash_portable",

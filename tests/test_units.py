@@ -1340,3 +1340,123 @@ def test_t14_contamination_matches_python_model(spark, sf_dir):
     assert actions == {"keep", "review", "drop"}, f"buckets unexercised: {actions}"
     assert any(h == 0 for _, h, _, _ in got.values()), "no clean doc"
     assert any(h > 0 for _, h, _, _ in got.values()), "no contaminated doc"
+
+
+def test_w15_interval_merge_matches_python_model(spark, sf_dir):
+    """w15 vs a Python sweep-line replay (sort by start, island closes
+    when start > running max end). Non-vacuity: multi-event islands
+    exist, AND at least one merge happens where the bridging interval
+    is not the latest-starting one (the containment case a lag(end)
+    formulation gets wrong)."""
+    from collections import defaultdict
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = (
+        load_tables(spark, sf_dir)
+        .events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "unix_micros(ts) AS s",
+            "unix_micros(ts) + CAST(round(value * 60 * 1000000) AS BIGINT) AS e",
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.s, r.event_id, r.e))
+    expect = {}
+    n_containment_bridges = 0
+    for uid, ivs in by_user.items():
+        ivs.sort()
+        island, prev_max, islands = 0, None, defaultdict(list)
+        for s, eid, e in ivs:
+            if prev_max is None or s > prev_max:
+                island += 1
+            islands[island].append((s, e))
+            prev_max = e if prev_max is None else max(prev_max, e)
+        for isl, members in islands.items():
+            expect[(uid, isl)] = (
+                len(members),
+                min(s for s, _ in members),
+                max(e for _, e in members),
+            )
+    # containment probe: a merge where prev interval's end < running max
+    for uid, ivs in by_user.items():
+        ivs.sort()
+        prev_max, prev_e = None, None
+        for s, eid, e in ivs:
+            if prev_max is not None and s <= prev_max and prev_e < prev_max:
+                n_containment_bridges += 1
+            prev_e = e
+            prev_max = e if prev_max is None else max(prev_max, e)
+    got = {
+        (r.user_id, r.island_id): (r.n_events, r.island_start_us, r.island_end_us)
+        for r in queries()["w15_interval_merge"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(n > 1 for n, _, _ in got.values()), "no merged islands"
+    assert n_containment_bridges > 0, (
+        "no containment bridge — the running-max-vs-lag distinction untested"
+    )
+
+
+def test_p23_profile_matches_python_model(spark, sf_dir):
+    """p23 vs a Python replay over the collected table. Non-vacuity:
+    ndv must discriminate (doc_id unique, lang tiny) and text min/max
+    must be genuine strings."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = load_tables(spark, sf_dir).documents.collect()
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    expect = {}
+    for c in cols:
+        vals = [getattr(r, c) for r in rows]
+        nn = [v for v in vals if v is not None]
+        expect[c] = (
+            len(set(nn)),
+            len(vals) - len(nn),
+            str(min(nn)),
+            str(max(nn)),
+            sum(len(str(v)) for v in nn),
+        )
+    got = {
+        r.col_name: (r.ndv, r.n_nulls, r.min_val, r.max_val, r.total_len)
+        for r in queries()["p23_table_profile"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got["doc_id"][0] == len(rows), "doc_id must be unique"
+    assert got["lang"][0] < 10 < got["text"][0], "ndv not discriminating"
+
+
+def test_m7_neardup_matches_bruteforce_and_pigeonhole_is_exact(spark, sf_dir):
+    """m7 vs brute-force all-pairs hamming over the m6 signatures —
+    proves the 2-band pigeonhole candidate generation misses nothing.
+    Non-vacuity: both hamming=0 and hamming=1 pairs exist (the XOR
+    path is exercised, not just signature equality)."""
+    from itertools import combinations
+
+    from hive_to_es_spark.registry import queries
+
+    sigs = {
+        r.doc_id: (r.width, r.height, r.sig_cols * 256 + r.sig_rows)
+        for r in queries()["m6_image_signature"](spark, sf_dir).collect()
+    }
+    expect = {}
+    for a, b in combinations(sorted(sigs), 2):
+        wa, ha, sa = sigs[a]
+        wb, hb, sb = sigs[b]
+        if wa == wb and ha == hb:
+            ham = bin(sa ^ sb).count("1")
+            if ham <= 1:
+                expect[(a, b)] = (wa, ha, ham)
+    got = {
+        (r.doc_a, r.doc_b): (r.width, r.height, r.hamming)
+        for r in queries()["m7_image_neardup"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    hams = {h for _, _, h in got.values()}
+    assert hams == {0, 1}, f"hamming classes unexercised: {hams}"

@@ -152,6 +152,9 @@ OPS = {
     "w14_rolling_zscore": (2.0, "one custkey window sort carries count/sum/sumsq; integer z^2 filter scan-side above the Window"),
     "o12_epoch_upsample": (2.0, "|langs|-row census broadcast back; replication is a scan-side explode, no corpus shuffle"),
     "t14_contamination_score": (2.0, "eval shingle set broadcast; corpus LEFT-joins map-side; per-doc count pair map-combined"),
+    "w15_interval_merge": (2.0, "running-max + island-id share one user window sort; island rollup reuses the partitioning — one Exchange total"),
+    "p23_table_profile": (2.0, "one scan, single Expand feeding two-phase distinct aggregates; output is |columns| rows"),
+    "m7_image_neardup": (2.0, "decode scan x2 + two (dims,band) hash joins; pair stream bounded by block occupancy"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
