@@ -747,3 +747,86 @@ def a21_exact_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.groupBy("l_returnflag").agg(
         F.max("n").cast("bigint").alias("n_rows"), *picks
     )
+
+
+# a22 — per-customer spend trend as an EXACT integer rational. The
+# OLS slope of cents-vs-days is (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²);
+# both sides are bigint-exact, so the slope ships as a reduced-input
+# (numerator, denominator) pair instead of a float that would drift
+# cross-engine (the w14 z² idiom applied to regression).
+_A22_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
+s AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM o GROUP BY o_custkey
+)
+SELECT o_custkey, n_orders,
+       n_orders * sxy - sx * sy AS slope_num,
+       n_orders * sxx - sx * sx AS slope_den,
+       CAST(CASE WHEN n_orders * sxy - sx * sy > 0 THEN 1
+                 WHEN n_orders * sxy - sx * sy < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS direction
+FROM s WHERE n_orders * sxx - sx * sx > 0
+"""
+
+
+@register("a22_trend_slope", _A22_ORACLE)
+def a22_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend TREND: the least-squares slope of order value
+    (cents) against order date (days), the feature behind "is this
+    account growing or shrinking" scoring. The slope is emitted as an
+    exact bigint rational slope_num/slope_den plus its sign — float
+    division never happens, so a downstream comparator can rank trends
+    by cross-multiplication with zero rounding drift (regr_slope()
+    would return a double whose last ulps differ per engine).
+
+    One partial-combined hash aggregate over orders (five bigint sums
+    share the pass); everything after is per-customer scalar math in
+    whole-stage codegen. Customers with all orders on one day carry
+    den=0 (slope undefined) and are filtered identically both sides.
+    x is rebased to days-since-1992 to keep magnitudes small:
+    |num| <= n²·x_max·y_max ≈ n²·2.5e3·5e7, safe in int64 up to
+    n ≈ 8.5k orders/customer; beyond that rebase x per group
+    (x − min(x), one extra agg) or move the two products to
+    decimal(38,0) — the plan shape is unchanged."""
+    o = load_tables(spark, sf_dir).orders.filter(F.col("o_orderdate").isNotNull())
+    base = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1992-01-01"))
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    s = base.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_orders") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_orders") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.select(
+            "o_custkey",
+            "n_orders",
+            num.alias("slope_num"),
+            den.alias("slope_den"),
+            F.when(num > 0, 1)
+            .when(num < 0, -1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("direction"),
+        )
+        .filter(F.col("slope_den") > 0)
+    )

@@ -1938,3 +1938,89 @@ def p23_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_P23_COLS)}, {stack_args}) AS "
         "(col_name, ndv, n_nulls, min_val, max_val, total_len)"
     )
+
+
+# p24 — build an SCD2 dimension FROM a change log. j15 consumes SCD2
+# (point-in-time join); this is the producer: signup events become
+# versioned rows, with no-op changes (same payload as the previous
+# version) suppressed — the change-detection step that separates a
+# real SCD2 build from a naive snapshot append.
+_P24_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_id AS signup_id,
+         CAST(epoch_us(ts) AS BIGINT) AS vf,
+         CAST(floor(value / 20) AS BIGINT) AS tier
+  FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+),
+chg AS (
+  SELECT *, row_number() OVER w AS rn, lag(tier) OVER w AS prev_tier
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY vf, signup_id)
+),
+kept AS (
+  SELECT * FROM chg WHERE rn = 1 OR tier IS DISTINCT FROM prev_tier
+)
+SELECT user_id,
+       CAST(row_number() OVER w2 AS BIGINT) AS version_n,
+       signup_id, tier,
+       vf AS valid_from_us,
+       lead(vf) OVER w2 AS valid_to_us,
+       CAST(CASE WHEN lead(vf) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current
+FROM kept WINDOW w2 AS (PARTITION BY user_id ORDER BY vf, signup_id)
+"""
+
+
+@register("p24_scd2_build", _P24_ORACLE)
+def p24_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a slowly-changing-dimension type 2 table from a change
+    log: each user's signup events, ordered by time, become dimension
+    VERSIONS — but only when the payload (tier = floor(value/20), a
+    small banded domain so repeat-tier signups really occur in the
+    fixtures) actually CHANGES; a re-signup at the same tier is a
+    no-op update and must NOT open a version (375 such suppressions
+    at sf0.01 — the branch is exercised, not decorative). Each kept
+    version carries [valid_from, valid_to) in integer epoch-µs and an
+    is_current flag; j15 is the reader of exactly this shape.
+
+    Plan: one Exchange on user_id and ONE sort serve everything — the
+    (row_number, lag) change-detection window, the filter, and the
+    (version_n, lead) validity window run on the same partitioning and
+    ordering, which filter preserves, so Catalyst stacks both Window
+    nodes over a single shuffle (plan-pinned). Change detection is
+    IS DISTINCT FROM (null-safe: a NULL-payload version followed by
+    another NULL is a no-op, mirrored via ~eqNullSafe); rn=1 keeps the
+    first version even when its payload is NULL. floor() not round()
+    for the band so no .5-boundary rounding can split the engines."""
+    s = (
+        load_tables(spark, sf_dir)
+        .events.filter(
+            (F.col("event_type") == "signup") & F.col("ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("signup_id"),
+            F.unix_micros("ts").alias("vf"),
+            F.floor(F.col("value") / 20).cast("bigint").alias("tier"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("vf").asc(), F.col("signup_id").asc()
+    )
+    chg = s.withColumn("rn", F.row_number().over(w)).withColumn(
+        "prev_tier", F.lag("tier").over(w)
+    )
+    kept = chg.filter(
+        (F.col("rn") == 1) | ~F.col("tier").eqNullSafe(F.col("prev_tier"))
+    )
+    return kept.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version_n"),
+        "signup_id",
+        "tier",
+        F.col("vf").alias("valid_from_us"),
+        F.lead("vf").over(w).alias("valid_to_us"),
+        F.when(F.lead("vf").over(w).isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_current"),
+    )

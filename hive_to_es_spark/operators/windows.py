@@ -975,3 +975,84 @@ def w15_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("end_us") - F.min("start_us")).alias("covered_us"),
         )
     )
+
+
+# w16 — MATCH_RECOGNIZE-style sequence detection: per-user journey
+# string + a regex over it. 'v[^p]*p' (a view converting at the FIRST
+# following purchase) is chosen because its match set is unique —
+# leftmost-scan non-overlapping counts agree between Java regex
+# (backtracking) and RE2-style engines (leftmost-longest), which a
+# pattern with ambiguous alternation would not guarantee.
+_W16_ORACLE = """
+WITH e AS (
+  SELECT user_id, substr(event_type, 1, 1) AS ch, ts, event_id
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+j AS (
+  SELECT user_id,
+         string_agg(ch, '' ORDER BY ts, event_id) AS journey,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN ch = 'p' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchases
+  FROM e GROUP BY user_id
+)
+SELECT user_id, n_events, n_purchases,
+       CAST(len(regexp_extract_all(journey, 'v[^p]*p')) AS BIGINT)
+         AS n_conversions
+FROM j
+"""
+
+
+@register("w16_seq_pattern", _W16_ORACLE)
+def w16_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-SEQUENCE pattern matching (the MATCH_RECOGNIZE shape):
+    collapse each user's ordered event stream into a journey string
+    (one char per event — types have distinct initials) and count
+    non-overlapping 'v[^p]*p' matches = purchases attributed to a
+    preceding unconsumed view with no purchase in between. w13's
+    funnel asks "did stages happen within deadlines"; w16 asks "how
+    many times did the full regular pattern traverse", which frame
+    windows cannot express (a regex can nest/repeat arbitrarily).
+
+    One shuffle: groupBy(user_id) with a partial-merged collect_list
+    of (ts, event_id, ch) structs, array_sort + transform + concat_ws
+    building the journey JVM-side, regexp_count over it — no window
+    sort at all and no Python boundary. Per-group state is bounded by
+    per-user activity (the same bound w9/a10 carry); at 100 TB a
+    multi-year hyperactive user would cap via a time-bucketed journey
+    (group by user+month) without changing the plan. Ordering ties
+    break on unique event_id; NULL ts/type filtered on BOTH engines
+    (NULLS FIRST divergence). The match count is engine-portable
+    because each match is forced to end at the FIRST 'p' after its
+    'v' — no backtracking ambiguity between regex engines."""
+    e = (
+        load_tables(spark, sf_dir)
+        .events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("ch"),
+        )
+    )
+    j = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda s: s["ch"],
+            ),
+        ).alias("journey"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("ch") == "p", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        F.regexp_count("journey", F.lit("v[^p]*p")).cast("bigint").alias(
+            "n_conversions"
+        ),
+    )

@@ -521,3 +521,32 @@ def test_p23_profile_single_scan_single_expand(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Expand") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_p24_scd2_build_single_exchange(spark, sf_dir):
+    """p24's change-detection window, filter, and validity window must
+    stack over ONE user_id Exchange and ONE sort — filter preserves
+    both partitioning and ordering, so a second shuffle or sort here
+    means the plan regressed."""
+    plan = _simple_plan(spark, sf_dir, "p24_scd2_build")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 2, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_w16_seq_pattern_no_window_sort(spark, sf_dir):
+    """w16 builds journeys via sorted collect_list structs — one
+    groupBy Exchange, NO Window/Sort node, no Python boundary."""
+    plan = _simple_plan(spark, sf_dir, "w16_seq_pattern")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 0, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_a22_trend_slope_single_aggregate_pass(spark, sf_dir):
+    """a22's five sums must ride one partial-combined aggregate —
+    one Exchange, one scan, no Window, no Join."""
+    plan = _simple_plan(spark, sf_dir, "a22_trend_slope")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan

@@ -15,7 +15,7 @@ EXPECTED_KEYS = {
     "p12_token_shards", "p13_partition_backfill", "p14_schema_evolution",
     "p15_dead_letter", "p17_snapshot_diff", "p18_skew_report", "p19_data_quality",
     "p20_sync_reconcile", "p21_forget_keys", "p22_compact_small_files",
-    "p23_table_profile",
+    "p23_table_profile", "p24_scd2_build",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
     "b5_dynamic_partition_pruning", "b7_zorder_layout", "b8_python_datasource",
@@ -38,14 +38,14 @@ EXPECTED_KEYS = {
     "a5_rollup", "a6_cube", "a7_having", "a8_approx_distinct", "a9_stats_agg",
     "a10_collect", "a11_min_max_by", "a12_pivot", "a13_bool_agg", "a14_unpivot", "a15_count_min",
     "a16_percentiles", "a17_histogram", "a18_heavy_hitters", "a19_mode_per_group",
-    "a20_decimal_money", "a21_exact_quantile_hist",
+    "a20_decimal_money", "a21_exact_quantile_hist", "a22_trend_slope",
     # windows (w7_range_frame_highcard is deprecated: quarantined from
     # the public registry view, pinned via DEPRECATED_KEYS below)
     "w1_order_rank", "w2_running_sum", "w3_lag_lead", "w4_range_frame",
     "w5_ntile_cume", "w6_first_last",
     "w8_range_frame_scalable", "w9_sessionize", "w10_cumulative_distinct",
     "w11_transition_matrix", "w12_ewma_decay", "w13_funnel",
-    "w14_rolling_zscore", "w15_interval_merge",
+    "w14_rolling_zscore", "w15_interval_merge", "w16_seq_pattern",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
     "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap", "o8_corpus_shuffle",

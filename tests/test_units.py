@@ -1460,3 +1460,146 @@ def test_m7_neardup_matches_bruteforce_and_pigeonhole_is_exact(spark, sf_dir):
     assert got == expect
     hams = {h for _, _, h in got.values()}
     assert hams == {0, 1}, f"hamming classes unexercised: {hams}"
+
+
+def test_a22_trend_slope_matches_python_model(spark, sf_dir):
+    """a22 vs an exact integer replay of the rational OLS slope.
+    Non-vacuity: both rising and falling trends exist, and at least
+    one customer is excluded for den=0 (all orders on one day) or
+    has n_orders == 1."""
+    from collections import defaultdict
+    from datetime import date
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = (
+        load_tables(spark, sf_dir)
+        .orders.filter(F.col("o_orderdate").isNotNull())
+        .selectExpr(
+            "o_custkey",
+            "CAST(o_orderdate AS DATE) AS d",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS y",
+        )
+        .collect()
+    )
+    base = date(1992, 1, 1)
+    acc = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, sx, sy, sxy, sxx
+    for r in rows:
+        x = (r.d - base).days
+        a = acc[r.o_custkey]
+        a[0] += 1
+        a[1] += x
+        a[2] += r.y
+        a[3] += x * r.y
+        a[4] += x * x
+    expect = {}
+    n_excluded = 0
+    for ck, (n, sx, sy, sxy, sxx) in acc.items():
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den > 0:
+            expect[ck] = (n, num, den, (num > 0) - (num < 0))
+        else:
+            n_excluded += 1
+    got = {
+        r.o_custkey: (r.n_orders, r.slope_num, r.slope_den, r.direction)
+        for r in queries()["a22_trend_slope"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    dirs = {d for _, _, _, d in got.values()}
+    assert {1, -1} <= dirs, f"trend directions unexercised: {dirs}"
+    assert n_excluded > 0, "den=0 exclusion branch vacuous"
+
+
+def test_w16_seq_pattern_matches_python_model(spark, sf_dir):
+    """w16 vs Python re over the replayed journey (Python re and Java
+    regex agree on this unambiguous pattern by construction).
+    Non-vacuity: conversions exist AND some user has purchases that
+    did NOT convert (no preceding unconsumed view)."""
+    import re
+    from collections import defaultdict
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = (
+        load_tables(spark, sf_dir)
+        .events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type[0]))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        j = "".join(ch for _, _, ch in evs)
+        expect[uid] = (
+            len(j),
+            j.count("p"),
+            len(re.findall("v[^p]*p", j)),
+        )
+    got = {
+        r.user_id: (r.n_events, r.n_purchases, r.n_conversions)
+        for r in queries()["w16_seq_pattern"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(c > 0 for _, _, c in got.values()), "no conversions"
+    assert any(p > c for _, p, c in got.values()), "no unattributed purchase"
+
+
+def test_p24_scd2_build_matches_python_model(spark, sf_dir):
+    """p24 vs a Python replay of change-suppressed SCD2 versioning.
+    Non-vacuity: no-op suppressions happen, multi-version users exist,
+    and every user has exactly one is_current=1 row whose valid_to is
+    NULL; consecutive kept versions chain valid_to == next valid_from."""
+    from collections import defaultdict
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = (
+        load_tables(spark, sf_dir)
+        .events.filter((F.col("event_type") == "signup") & F.col("ts").isNotNull())
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "unix_micros(ts) AS vf",
+            "CAST(floor(value / 20) AS BIGINT) AS tier",
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.vf, r.event_id, r.tier))
+    expect, n_suppressed = {}, 0
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        kept = []
+        for i, (vf, eid, tier) in enumerate(evs):
+            if i == 0 or tier != kept[-1][2]:
+                kept.append((vf, eid, tier))
+            else:
+                n_suppressed += 1
+        for v, (vf, eid, tier) in enumerate(kept, start=1):
+            nxt = kept[v][0] if v < len(kept) else None
+            expect[(uid, v)] = (eid, tier, vf, nxt, 1 if nxt is None else 0)
+    got = {
+        (r.user_id, r.version_n): (
+            r.signup_id,
+            r.tier,
+            r.valid_from_us,
+            r.valid_to_us,
+            r.is_current,
+        )
+        for r in queries()["p24_scd2_build"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert n_suppressed > 0, "no-op suppression branch vacuous"
+    per_user = defaultdict(int)
+    for (uid, _), (_, _, _, vt, cur) in got.items():
+        per_user[uid] += cur
+        assert (vt is None) == (cur == 1)
+    assert all(c == 1 for c in per_user.values())
+    assert any(v > 1 for _, v in got), "no multi-version user"

@@ -155,6 +155,9 @@ OPS = {
     "w15_interval_merge": (2.0, "running-max + island-id share one user window sort; island rollup reuses the partitioning — one Exchange total"),
     "p23_table_profile": (2.0, "one scan, single Expand feeding two-phase distinct aggregates; output is |columns| rows"),
     "m7_image_neardup": (2.0, "decode scan x2 + two (dims,band) hash joins; pair stream bounded by block occupancy"),
+    "a22_trend_slope": (2.0, "five bigint sums in one partial-combined aggregate; rational slope math on |customers| rows"),
+    "w16_seq_pattern": (2.0, "one groupBy shuffle with partial-merged collect_list; regex on |users| journey strings"),
+    "p24_scd2_build": (2.0, "change-detect + validity windows stack over one user shuffle; output |kept versions| rows"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
