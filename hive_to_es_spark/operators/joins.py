@@ -1107,3 +1107,101 @@ def j17_lerp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.expr("(nmr - ((nmr % dnm) + dnm) % dnm) DIV dnm")
         ).alias("lerp_cents"),
     )
+
+
+# j18 — Bloom-filter semi-join reduction. The bitmap is built and
+# probed with the SAME xxhash64 inside one Spark job, so it can never
+# drop a true member (no false negatives); the exact semi join above
+# it removes the false positives — the oracle is therefore the plain
+# EXISTS, and the bloom is pure plan mechanics, invisible to results.
+_J18_BITS = 16_384  # 256 bigint words; ~0.1% fp at ~300 keys, k=2
+
+
+def _bloom_positions(key):
+    """k=2 bit positions for a key: two independent xxhash64 draws."""
+    return [
+        F.pmod(F.xxhash64(key), F.lit(_J18_BITS)),
+        F.pmod(F.xxhash64(key, F.lit(1)), F.lit(_J18_BITS)),
+    ]
+
+
+def _bloom_build(dim: DataFrame, key: str) -> DataFrame:
+    """One-row DataFrame with a word->bits map column `bloom` covering
+    the dim's key set. Map form (not a 256-column row) so the bitmap
+    width is a constant, not a schema; absent words mean 0."""
+    pos = dim.select(F.explode(F.array(*_bloom_positions(F.col(key)))).alias("pos"))
+    words = pos.groupBy(F.expr("pos DIV 64").alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")).alias("bits")
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+
+
+def _bloom_probe(fact: DataFrame, bloom_row: DataFrame, key: str) -> DataFrame:
+    """Filter fact to rows whose key passes BOTH bloom bits. The
+    one-row bloom attaches via broadcast nested-loop (the scalar
+    crossJoin idiom); the test is codegen'd bit math on the scan."""
+    probed = fact.crossJoin(F.broadcast(bloom_row))
+    cond = None
+    for i, p in enumerate(_bloom_positions(F.col(key))):
+        probed = probed.withColumn(f"_bp{i}", p)
+        t = (
+            F.coalesce(
+                F.element_at(F.col("bloom"), F.expr(f"_bp{i} DIV 64")),
+                F.lit(0).cast("bigint"),
+            ).bitwiseAND(F.expr(f"shiftleft(1L, CAST(_bp{i} % 64 AS INT))"))
+            != 0
+        )
+        cond = t if cond is None else (cond & t)
+    return probed.filter(cond).drop("bloom", "_bp0", "_bp1")
+
+
+_J18_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000)
+GROUP BY o_orderpriority
+"""
+
+
+@register("j18_bloom_prefilter", _J18_ORACLE)
+def j18_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via an explicit integer Bloom filter:
+    revenue by priority for orders of high-balance BUILDING customers
+    (~2% of customers). The selective dim side is folded into a
+    16384-bit bitmap (a one-row word->bits map, built with bit_or over
+    two xxhash64 positions per key), broadcast at constant cost, and
+    probed scan-side — ~98% of the fact stream dies BEFORE the exact
+    semi join, so at 100 TB (where the dim outgrows the broadcast
+    threshold and the semi join must shuffle) the shuffle carries ~2%
+    of orders instead of all of them. This is what Spark's runtime
+    bloom-filter rewrite does internally; expressed explicitly it
+    works across stages/jobs (e.g. saved and reused by tomorrow's
+    incremental run) where the optimizer's version cannot.
+
+    No false negatives by construction (same hashes build and probe —
+    the test measures the candidate stream: every true match passes,
+    and false positives stay under 1%); the exact semi join above the
+    probe removes those, so results are oracle-exact. All bit math is
+    whole-stage codegen; the bitmap rides a broadcast nested-loop
+    attach (1 row), never a shuffle."""
+    t = load_tables(spark, sf_dir)
+    dim = t.customer.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey")
+    cand = _bloom_probe(t.orders, _bloom_build(dim, "c_custkey"), "o_custkey")
+    matched = cand.join(
+        dim, cand["o_custkey"] == dim["c_custkey"], "left_semi"
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )

@@ -624,3 +624,63 @@ def o12_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("copy_idx"),
         )
     )
+
+
+# o13 — leakage-free GROUP-level split: o5 assigns splits by doc_id,
+# so two near-duplicate documents can land in train AND test (eval
+# leakage — the exact failure t9's decontamination exists to catch
+# after the fact). o13 prevents it by construction: the split is a
+# pure function of the GROUP fingerprint (o11's 8-word-prefix class),
+# so every member of a dup group rides together.
+_O13_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(lower(text), ' ')[1:8], ' ')) AS gkey,
+         CAST(count(*) OVER (
+           PARTITION BY md5(array_to_string(string_split(lower(text), ' ')[1:8], ' '))
+         ) AS BIGINT) AS group_size
+  FROM documents
+)
+SELECT doc_id, group_size,
+       CASE WHEN CAST(concat('0x', substr(md5(gkey), 1, 15)) AS BIGINT) % 100 < 90
+            THEN 'train'
+            WHEN CAST(concat('0x', substr(md5(gkey), 1, 15)) AS BIGINT) % 100 < 95
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM g
+"""
+
+
+@register("o13_group_split", _O13_ORACLE)
+def o13_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the 90/5/5 bucket is drawn
+    from the hash of the GROUP fingerprint (8-word-prefix md5, o11's
+    near-dup class), not the row id — all members of a duplicate
+    group provably share a split, where o5's row-level draw lets
+    near-duplicates straddle train and test and leak eval content
+    into training. The standard fix in LLM data pipelines (split by
+    cluster/URL/domain, never by row).
+
+    The assignment itself is a ZERO-shuffle scan-side expression (a
+    pure function of the text prefix — stable under appends, reruns,
+    and engine swaps, like o4/o5); the single Exchange here only
+    serves the group_size window, kept because the size column is
+    what makes the leakage guarantee auditable (a (group, split)
+    distinct-count == group count check rides on it, see tests).
+    Swapping the fingerprint for d12's connected-component id turns
+    this into transitive-closure-level isolation with the same plan."""
+    d = load_tables(spark, sf_dir).documents
+    prefix = F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, 8))
+    g = d.select(
+        "doc_id",
+        F.md5(prefix).alias("gkey"),
+    ).withColumn(
+        "group_size",
+        F.count("*").over(Window.partitionBy("gkey")).cast("bigint"),
+    )
+    b = hash_bucket(F.col("gkey"), 100)
+    return g.select(
+        "doc_id",
+        "group_size",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split"),
+    )

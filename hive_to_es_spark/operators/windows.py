@@ -1056,3 +1056,72 @@ def w16_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_conversions"
         ),
     )
+
+
+# w17 — cohort retention: bucket customers by FIRST-order month, then
+# count distinct active customers at each month offset. orders (not
+# events) because the fixture event stream spans one month while
+# orders span 1992–1998 (FIXTURES note) — cohorts need calendar depth.
+_W17_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12
+              + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
+c AS (
+  SELECT o_custkey, m, min(m) OVER (PARTITION BY o_custkey) AS cohort
+  FROM o
+)
+SELECT cohort AS cohort_month, m - cohort AS month_offset,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY cohort, m - cohort
+"""
+
+
+@register("w17_retention_cohorts", _W17_ORACLE)
+def w17_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis: customers grouped by the month of
+    their FIRST order (the cohort), then each later order counts its
+    customer as "active at month offset k" — the retention triangle
+    every growth/engagement dashboard starts from, and the pattern
+    behind "did the 1995-03 signup class stick around longer than
+    1995-02". Month index is integer (year-1992)*12 + month-1, so
+    offsets subtract exactly; no date arithmetic crosses the engines.
+
+    Plan: one o_custkey window (min month per customer — an unordered
+    partition frame, no sort-by-value) then a distinct-count over the
+    tiny (cohort × offset) key grid: the expensive stage is one
+    shuffle of (custkey, month) pairs, the distinct aggregate expands
+    map-side and lands on |cohorts|·|offsets| rows (~84×84 ceiling
+    here, constant in data size). A join-based formulation (first
+    order per customer joined back to orders) would shuffle orders
+    twice; the window form shuffles once."""
+    o = (
+        load_tables(spark, sf_dir)
+        .orders.filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            (
+                (F.year(F.col("o_orderdate").cast("date")) - 1992) * 12
+                + F.month(F.col("o_orderdate").cast("date"))
+                - 1
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+    )
+    c = o.withColumn(
+        "cohort", F.min("m").over(Window.partitionBy("o_custkey"))
+    )
+    return (
+        c.groupBy(
+            F.col("cohort").alias("cohort_month"),
+            (F.col("m") - F.col("cohort")).alias("month_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )

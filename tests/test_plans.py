@@ -550,3 +550,31 @@ def test_a22_trend_slope_single_aggregate_pass(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_o13_group_split_single_exchange(spark, sf_dir):
+    """o13's split assignment is scan-side; only the group_size window
+    may shuffle — one Exchange, no Python."""
+    plan = _simple_plan(spark, sf_dir, "o13_group_split")
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_w17_retention_single_window_pass(spark, sf_dir):
+    """w17 must be window + distinct-agg: one unordered custkey window
+    (no join back to a firsts table — that shape scans/shuffles orders
+    twice), then the grid aggregate."""
+    plan = _simple_plan(spark, sf_dir, "w17_retention_cohorts")
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_j18_bloom_attaches_by_broadcast_and_semi_joins(spark, sf_dir):
+    """j18's bitmap must attach as a one-row broadcast (nested-loop
+    cross join), the probe must be a Filter (not a join), and the
+    exactness repair must be a left-semi join — all JVM-side."""
+    plan = _simple_plan(spark, sf_dir, "j18_bloom_prefilter")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "EvalPython" not in plan, plan

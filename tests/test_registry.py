@@ -27,7 +27,8 @@ EXPECTED_KEYS = {
     "j1_inner_equi", "j2_left_right_outer", "j3_full_outer", "j4_semi", "j5_anti",
     "j6_broadcast", "j7_cross", "j8_theta_range", "j9_asof", "j10_interval_overlap",
     "j11_multiway", "j12_salted_skew_join", "j13_interval_bin_join",
-    "j14_asof_tolerance", "j15_pit_scd2", "j16_nearest_event", "j17_lerp_join", "q3_shipping_priority", "q2_min_cost", "q4_order_priority", "q10_returned_items", "q14_promo_revenue", "q17_small_quantity", "q18_large_orders",
+    "j14_asof_tolerance", "j15_pit_scd2", "j16_nearest_event", "j17_lerp_join",
+    "j18_bloom_prefilter", "q3_shipping_priority", "q2_min_cost", "q4_order_priority", "q10_returned_items", "q14_promo_revenue", "q17_small_quantity", "q18_large_orders",
     "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
     "q12_shipmode_priority", "q16_supplier_variety", "q19_disjunctive_revenue",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
@@ -46,9 +47,11 @@ EXPECTED_KEYS = {
     "w8_range_frame_scalable", "w9_sessionize", "w10_cumulative_distinct",
     "w11_transition_matrix", "w12_ewma_decay", "w13_funnel",
     "w14_rolling_zscore", "w15_interval_merge", "w16_seq_pattern",
+    "w17_retention_cohorts",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
     "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap", "o8_corpus_shuffle",
+    "o13_group_split",
     "o9_weighted_sample", "o10_temperature_mix", "o11_dup_aware_sample",
     "o12_epoch_upsample",
     "u1_union_all", "u2_union_distinct", "u3_intersect", "u4_except", "u5_distinct",

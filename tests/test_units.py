@@ -1603,3 +1603,103 @@ def test_p24_scd2_build_matches_python_model(spark, sf_dir):
         assert (vt is None) == (cur == 1)
     assert all(c == 1 for c in per_user.values())
     assert any(v > 1 for _, v in got), "no multi-version user"
+
+
+def test_o13_group_split_is_leakage_free(spark, sf_dir):
+    """Every 8-word-prefix group must land ENTIRELY in one split (the
+    op's whole point vs o5), splits must follow the group-hash 90/5/5
+    draw, and multi-doc groups must exist so the guarantee is not
+    vacuous (a row-level split would also pass on singleton groups)."""
+    from collections import defaultdict
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    out = queries()["o13_group_split"](spark, sf_dir)
+    rows = out.collect()
+    docs = (
+        load_tables(spark, sf_dir)
+        .documents.selectExpr(
+            "doc_id",
+            "md5(concat_ws(' ', slice(split(lower(text), ' '), 1, 8))) AS gkey",
+        )
+        .collect()
+    )
+    gkey_of = {r.doc_id: r.gkey for r in docs}
+    splits_per_group = defaultdict(set)
+    sizes = defaultdict(int)
+    for r in rows:
+        splits_per_group[gkey_of[r.doc_id]].add(r.split)
+        sizes[gkey_of[r.doc_id]] += 1
+    assert all(len(s) == 1 for s in splits_per_group.values()), "split leakage"
+    for r in rows:
+        assert r.group_size == sizes[gkey_of[r.doc_id]]
+    assert any(n > 1 for n in sizes.values()), "no multi-doc group: vacuous"
+    assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+def test_w17_retention_cohorts_matches_python_model(spark, sf_dir):
+    """w17 vs a Python replay. Non-vacuity: several cohorts exist and
+    retention extends past offset 0."""
+    from collections import defaultdict
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = (
+        load_tables(spark, sf_dir)
+        .orders.filter(F.col("o_orderdate").isNotNull())
+        .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d")
+        .collect()
+    )
+    months = defaultdict(list)
+    for r in rows:
+        months[r.o_custkey].append((r.d.year - 1992) * 12 + r.d.month - 1)
+    agg = defaultdict(lambda: [set(), 0])
+    for ck, ms in months.items():
+        cohort = min(ms)
+        for m in ms:
+            cell = agg[(cohort, m - cohort)]
+            cell[0].add(ck)
+            cell[1] += 1
+    expect = {k: (len(us), n) for k, (us, n) in agg.items()}
+    got = {
+        (r.cohort_month, r.month_offset): (r.n_active, r.n_orders)
+        for r in queries()["w17_retention_cohorts"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len({c for c, _ in got}) > 3, "too few cohorts"
+    assert any(off > 12 for _, off in got), "no long-horizon retention cell"
+
+
+def test_j18_bloom_prefilter_reduces_without_false_negatives(spark, sf_dir):
+    """The bloom candidate stream must contain EVERY true match (no
+    false negatives — guaranteed by building and probing with the same
+    hashes, measured here) while killing the vast majority of the fact
+    stream scan-side; false positives must stay rare enough that the
+    exact semi join above it is cheap."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.joins import _bloom_build, _bloom_probe
+
+    t = load_tables(spark, sf_dir)
+    dim = t.customer.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey")
+    n_orders = t.orders.count()
+    cand = _bloom_probe(t.orders, _bloom_build(dim, "c_custkey"), "o_custkey")
+    n_cand = cand.count()
+    exact = t.orders.join(
+        dim, t.orders["o_custkey"] == dim["c_custkey"], "left_semi"
+    )
+    n_exact = exact.count()
+    # no false negatives: every exact match is in the candidate set
+    n_missed = exact.join(
+        cand.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).count()
+    assert n_missed == 0
+    assert n_exact > 0, "dim filter matched nothing: vacuous"
+    assert n_cand >= n_exact
+    assert n_cand < n_orders // 10, f"no reduction: {n_cand}/{n_orders}"
+    assert n_cand - n_exact < max(1, n_orders // 100), (
+        f"fp rate too high: {n_cand - n_exact} of {n_orders}"
+    )

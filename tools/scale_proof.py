@@ -158,6 +158,9 @@ OPS = {
     "a22_trend_slope": (2.0, "five bigint sums in one partial-combined aggregate; rational slope math on |customers| rows"),
     "w16_seq_pattern": (2.0, "one groupBy shuffle with partial-merged collect_list; regex on |users| journey strings"),
     "p24_scd2_build": (2.0, "change-detect + validity windows stack over one user shuffle; output |kept versions| rows"),
+    "o13_group_split": (2.0, "scan-side group-hash split; one prefix-md5 window for the audit size column"),
+    "w17_retention_cohorts": (2.0, "one custkey window + distinct agg onto the constant |cohorts|x|offsets| grid"),
+    "j18_bloom_prefilter": (2.0, "constant 2KB bloom broadcast kills ~98% of facts scan-side before the exact semi join"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
