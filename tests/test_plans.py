@@ -578,3 +578,14 @@ def test_j18_bloom_attaches_by_broadcast_and_semi_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "LeftSemi" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_s15_pq_all_broadcast_no_python(spark, sf_dir):
+    """s15's codebook, LUT, shortlist, and query vector must all
+    attach by broadcast — a SortMergeJoin anywhere means the corpus
+    shuffled for what should be map-side lookups. All bigint HOF
+    expressions, no Python boundary."""
+    plan = _simple_plan(spark, sf_dir, "s15_ann_pq")
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -1703,3 +1703,43 @@ def test_j18_bloom_prefilter_reduces_without_false_negatives(spark, sf_dir):
     assert n_cand - n_exact < max(1, n_orders // 100), (
         f"fp rate too high: {n_cand - n_exact} of {n_orders}"
     )
+
+
+def test_s15_pq_rerank_recall_floor(spark, sf_dir):
+    """s15's two-stage answer vs the full exact integer-L2 scan:
+    recall@10 must clear 0.7 (measured 1.0 at sf0.01 / 0.8 at sf0.1 —
+    the one-stage ADC ranking alone measures 0.2–0.5 here, so the
+    re-rank is doing real work), and the distances it emits must BE
+    the exact distances (equal to the brute-force values for every
+    returned id)."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    e = load_tables(spark, sf_dir).embeddings
+    iv = e.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000)"
+        " AS BIGINT)) AS v",
+    )
+    qv = iv.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    exact = (
+        iv.crossJoin(F.broadcast(qv))
+        .selectExpr(
+            "vec_id",
+            "aggregate(zip_with(v, q, (x, y) -> (x-y)*(x-y)),"
+            " CAST(0 AS BIGINT), (s, x) -> s + x) AS l2_dist",
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    exact_dist = {r.vec_id: r.l2_dist for r in exact}
+    got = queries()["s15_ann_pq"](spark, sf_dir).collect()
+    got_ids = [r.vec_id for r in got]
+    assert len(got_ids) == 10
+    recall = len(set(got_ids) & set(exact_dist)) / 10
+    assert recall >= 0.7, f"recall@10 {recall} below floor"
+    for r in got:
+        if r.vec_id in exact_dist:
+            assert r.l2_dist == exact_dist[r.vec_id], "re-rank not exact"
+    assert got[0].vec_id == 0 and got[0].l2_dist == 0, "query not its own NN"

@@ -161,6 +161,7 @@ OPS = {
     "o13_group_split": (2.0, "scan-side group-hash split; one prefix-md5 window for the audit size column"),
     "w17_retention_cohorts": (2.0, "one custkey window + distinct agg onto the constant |cohorts|x|offsets| grid"),
     "j18_bloom_prefilter": (2.0, "constant 2KB bloom broadcast kills ~98% of facts scan-side before the exact semi join"),
+    "s15_ann_pq": (2.0, "encode = broadcast join vs 1024 codebook rows; ADC scan reads 16 bytes/vector; exact re-rank touches only the 100-row shortlist"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
