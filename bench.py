@@ -103,6 +103,14 @@ EXTENSION = [
     # round 7 batch 5: the broadcast graded-contamination scan (t9's
     # shape + a LEFT join over every corpus doc)
     "t14_contamination_score",
+    # round 7 batch 6: the PQ encode + ADC shortlist + exact re-rank
+    # (heaviest new vector shape), the bloom-prefiltered semi join,
+    # the perceptual image near-dup pair scan (two decode passes +
+    # banded self-joins), and the collect_list journey build + regex
+    "s15_ann_pq",
+    "j18_bloom_prefilter",
+    "m7_image_neardup",
+    "w16_seq_pattern",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

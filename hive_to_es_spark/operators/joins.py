@@ -1144,8 +1144,10 @@ def _bloom_probe(fact: DataFrame, bloom_row: DataFrame, key: str) -> DataFrame:
     crossJoin idiom); the test is codegen'd bit math on the scan."""
     probed = fact.crossJoin(F.broadcast(bloom_row))
     cond = None
+    probe_cols = []
     for i, p in enumerate(_bloom_positions(F.col(key))):
         probed = probed.withColumn(f"_bp{i}", p)
+        probe_cols.append(f"_bp{i}")
         t = (
             F.coalesce(
                 F.element_at(F.col("bloom"), F.expr(f"_bp{i} DIV 64")),
@@ -1154,7 +1156,7 @@ def _bloom_probe(fact: DataFrame, bloom_row: DataFrame, key: str) -> DataFrame:
             != 0
         )
         cond = t if cond is None else (cond & t)
-    return probed.filter(cond).drop("bloom", "_bp0", "_bp1")
+    return probed.filter(cond).drop("bloom", *probe_cols)
 
 
 _J18_ORACLE = """

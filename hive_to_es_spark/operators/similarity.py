@@ -1362,11 +1362,9 @@ def s15_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dbl("embedding"), lambda x: F.round(x * 1_000_000).cast("bigint")
         ).alias("v"),
     )
-    draw = (
-        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % 1_000_000
-    )
+    from hive_to_es_spark.operators.sort_set import hash_bucket
+
+    draw = hash_bucket("vec_id", 1_000_000)
     samp = (
         iv.select("v", draw.alias("d"), "vec_id")
         .orderBy("d", "vec_id")

@@ -512,6 +512,19 @@ def o10_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prefix_fingerprint(text_col: str = "text"):
+    """The shared 8-word-prefix near-dup group key (o11's class, also
+    o13's leakage boundary — ONE spelling so widening the prefix can
+    never silently desynchronize the two operators' contracts).
+    NULL-safe to match the SQL oracles: md5(NULL text) stays NULL
+    (DuckDB's array_to_string(string_split(NULL)) is NULL), where a
+    bare concat_ws would fold NULL texts into the empty-string
+    group."""
+    c = F.col(text_col)
+    prefix = F.concat_ws(" ", F.slice(F.split(F.lower(c), " "), 1, 8))
+    return F.when(c.isNotNull(), F.md5(prefix))
+
+
 # o11 — duplicate-aware downsampling: unique content passes at full
 # rate; duplicated content is thinned to ~ONE expected survivor per
 # duplicate group (keep-probability floor(1e6/|group|) ppm on the o4
@@ -552,8 +565,7 @@ def o11_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange; swapping the prefix for any other content fingerprint
     (t6's rolling hash, a minhash band) keeps the plan identical."""
     d = load_tables(spark, sf_dir).documents
-    prefix = F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, 8))
-    w = Window.partitionBy(F.md5(prefix))
+    w = Window.partitionBy(prefix_fingerprint())
     g = d.select("doc_id", F.count("*").over(w).cast("bigint").alias("group_size"))
     return g.filter(
         hash_bucket("doc_id", 1_000_000) < F.expr("1000000 DIV group_size")
@@ -670,10 +682,9 @@ def o13_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Swapping the fingerprint for d12's connected-component id turns
     this into transitive-closure-level isolation with the same plan."""
     d = load_tables(spark, sf_dir).documents
-    prefix = F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, 8))
     g = d.select(
         "doc_id",
-        F.md5(prefix).alias("gkey"),
+        prefix_fingerprint().alias("gkey"),
     ).withColumn(
         "group_size",
         F.count("*").over(Window.partitionBy("gkey")).cast("bigint"),
