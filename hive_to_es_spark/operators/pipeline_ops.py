@@ -2024,3 +2024,73 @@ def p24_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_current"),
     )
+
+
+# p25 — the corpus "dataset card": the composition table (docs/chars
+# and their ppm shares per (lang, source) cell, ranked by weight)
+# every training-data release publishes, and the first artifact a
+# mixture decision (o6/o10/o12) is made FROM.
+_P25_ORACLE = """
+WITH g AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang, source
+),
+t AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS td, CAST(sum(n_chars) AS BIGINT) AS tc
+  FROM g
+)
+SELECT lang, source, n_docs, n_chars,
+       n_docs * 1000000 // td AS docs_ppm,
+       n_chars * 1000000 // tc AS chars_ppm,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, lang, source) AS BIGINT)
+         AS weight_rank
+FROM g, t
+"""
+
+
+@register("p25_dataset_card", _P25_ORACLE)
+def p25_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition datasheet: one row per (lang, source) cell
+    with document/character counts, integer parts-per-million shares
+    of the whole corpus, and a weight rank — the "what is this
+    dataset made of" table that precedes every mixture decision
+    (o6/o10/o12 consume exactly these cells) and that dataset cards
+    publish. p23 profiles COLUMNS; p25 profiles the CONTENT mix.
+
+    ONE partial-combined aggregate over documents reduces the corpus
+    map-side to |langs|×|sources| rows — the corpus is scanned once
+    (plan-pinned; deriving the grand total from a second aggregate of
+    the base table would scan it twice). Totals and rank both come
+    from unpartitioned windows over the tiny cell table (|cells| rows
+    on one task — the a19/w10 tiny-input justification); shares are
+    exact bigint floor-division ppm (DIV / // agree on non-negatives
+    — no float ratio crosses the engines) and the rank ordering
+    carries full tie-breaks so row_number is deterministic."""
+    d = load_tables(spark, sf_dir).documents
+    g = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    w_all = Window.partitionBy()
+    wr = Window.orderBy(
+        F.col("n_chars").desc(), F.col("lang").asc(), F.col("source").asc()
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_chars",
+        F.sum("n_docs").over(w_all).alias("td"),
+        F.sum("n_chars").over(w_all).alias("tc"),
+        F.row_number().over(wr).cast("bigint").alias("weight_rank"),
+    ).selectExpr(
+        "lang",
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_docs * 1000000 DIV td AS docs_ppm",
+        "n_chars * 1000000 DIV tc AS chars_ppm",
+        "weight_rank",
+    )

@@ -1125,3 +1125,152 @@ def w17_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_orders"),
         )
     )
+
+
+# w18 — time-weighted average (TWAP): each event's value holds until
+# the user's next event (a step function); the plain avg() weights a
+# 10-day-stale reading and a 2-second blip identically, TWAP weights
+# by holding duration. Exact rational (num, den) in cents×µs — the
+# a22 idiom: no float division ever crosses the engines.
+_W18_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+seg AS (
+  SELECT user_id, cents,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us) - us AS dur_us
+  FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(cents * dur_us) AS BIGINT) AS twap_num,
+       CAST(sum(dur_us) AS BIGINT) AS twap_den
+FROM seg WHERE dur_us IS NOT NULL AND dur_us > 0
+GROUP BY user_id
+"""
+
+
+@register("w18_twap", _W18_ORACLE)
+def w18_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's event value: the value in
+    force between consecutive events is weighted by how LONG it was in
+    force (sensor readings, account balances, price feeds — anywhere
+    observations arrive irregularly and a plain avg() over-counts
+    bursts). The last observation has no successor and contributes no
+    segment, the standard TWAP convention; zero-length segments
+    (equal-µs ties) drop on both engines.
+
+    Emitted as the exact bigint rational (twap_num, twap_den) in
+    cents·µs / µs — consumers divide or cross-multiply; the engine
+    never does float division (a22's discipline). One (user_id; us)
+    window sort for the lead(), then a partial-combined aggregate on
+    the same key — the groupBy reuses the window's partitioning, so
+    the op costs exactly ONE Exchange (plan-pinned). Magnitudes:
+    |num| <= max_cents · total_span_us per user ~ 5e4·2.7e12 ≈ 1.4e17,
+    int64-safe regardless of event count since durations sum to the
+    span. Ties at equal ts: lead is ordered by (us) alone, so a
+    duplicate-µs pair yields dur=0 which both engines FILTER — the
+    ordering ambiguity is thereby unobservable (the reason no
+    event_id tie-break is needed here, unlike w15)."""
+    e = (
+        load_tables(spark, sf_dir)
+        .events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    seg = e.select(
+        "user_id",
+        "cents",
+        (F.lead("us").over(w) - F.col("us")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    return seg.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum(F.col("cents") * F.col("dur_us")).cast("bigint").alias("twap_num"),
+        F.sum("dur_us").cast("bigint").alias("twap_den"),
+    )
+
+
+# w19 — running-peak drawdown: the monitoring statistic for "how far
+# below its best has this series fallen" (finance equity curves, SLO
+# error budgets, cumulative-yield tracking).
+_W19_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CASE WHEN o_orderstatus = 'F' THEN -1 ELSE 1 END
+           * CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
+b AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(sum(cents) OVER w AS BIGINT) AS bal
+  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+r AS (
+  SELECT o_custkey, bal,
+         CAST(max(bal) OVER w AS BIGINT) AS peak
+  FROM b WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       max(peak) AS peak_cents,
+       max(peak - bal) AS max_drawdown_cents
+FROM r GROUP BY o_custkey
+"""
+
+
+@register("w19_drawdown", _W19_ORACLE)
+def w19_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each customer's order BACKLOG series: an
+    open/pending order books value (+cents), a fulfilled one ships it
+    out (−cents); the running balance is outstanding booked value,
+    and max drawdown = the deepest gap below the running PEAK — "how
+    far has this account's backlog fallen from its best", the
+    monitoring statistic equity curves, SLO error budgets, and yield
+    trackers all share. A signed series is essential: on a
+    non-negative series the balance is monotone and every drawdown is
+    identically 0 (the vacuous form) — the test pins that drawdowns
+    are strictly positive for some customers AND zero for monotone
+    ones, so both regimes are exercised. All integer cents.
+
+    The running sum, the running max OVER the running sum (two
+    window functions nesting on the same frame), and the
+    per-customer rollup all share ONE (custkey; date, orderkey)
+    sort — a single Exchange, plan-pinned like w15/p24."""
+    o = (
+        load_tables(spark, sf_dir)
+        .orders.filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (
+                F.when(F.col("o_orderstatus") == "F", -1)
+                .otherwise(1)
+                .cast("bigint")
+                * F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum("cents").over(w).cast("bigint").alias("bal"),
+    ).withColumn("peak", F.max("bal").over(w).cast("bigint"))
+    return r.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.max("peak").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("bal")).alias("max_drawdown_cents"),
+    )

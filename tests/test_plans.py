@@ -589,3 +589,31 @@ def test_s15_pq_all_broadcast_no_python(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_w18_twap_single_exchange(spark, sf_dir):
+    """w18's lead() window and the per-user rollup share one user_id
+    Exchange (groupBy reuses the window partitioning)."""
+    plan = _simple_plan(spark, sf_dir, "w18_twap")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_w19_drawdown_single_exchange(spark, sf_dir):
+    """w19's running sum, running peak, and rollup share one custkey
+    Exchange and one sort."""
+    plan = _simple_plan(spark, sf_dir, "w19_drawdown")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") <= 2, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_p25_dataset_card_single_scan(spark, sf_dir):
+    """p25 reduces the corpus in ONE partial-combined aggregate —
+    totals and rank are windows over the tiny cell table, so the
+    corpus is scanned exactly once and nothing joins."""
+    plan = _simple_plan(spark, sf_dir, "p25_dataset_card")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -15,7 +15,7 @@ EXPECTED_KEYS = {
     "p12_token_shards", "p13_partition_backfill", "p14_schema_evolution",
     "p15_dead_letter", "p17_snapshot_diff", "p18_skew_report", "p19_data_quality",
     "p20_sync_reconcile", "p21_forget_keys", "p22_compact_small_files",
-    "p23_table_profile", "p24_scd2_build",
+    "p23_table_profile", "p24_scd2_build", "p25_dataset_card",
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
     "b5_dynamic_partition_pruning", "b7_zorder_layout", "b8_python_datasource",
@@ -47,7 +47,7 @@ EXPECTED_KEYS = {
     "w8_range_frame_scalable", "w9_sessionize", "w10_cumulative_distinct",
     "w11_transition_matrix", "w12_ewma_decay", "w13_funnel",
     "w14_rolling_zscore", "w15_interval_merge", "w16_seq_pattern",
-    "w17_retention_cohorts",
+    "w17_retention_cohorts", "w18_twap", "w19_drawdown",
     # sort/limit/sample + set ops
     "o1_order_limit", "o2_multi_key_sort", "o3_sample", "o4_hash_sample",
     "o5_train_split", "o6_balanced_mixture", "o7_stratum_cap", "o8_corpus_shuffle",

@@ -1744,3 +1744,138 @@ def test_s15_pq_rerank_recall_floor(spark, sf_dir):
         if r.vec_id in exact_dist:
             assert r.l2_dist == exact_dist[r.vec_id], "re-rank not exact"
     assert got[0].vec_id == 0 and got[0].l2_dist == 0, "query not its own NN"
+
+
+def test_w18_twap_matches_python_model(spark, sf_dir):
+    """w18 vs an exact integer replay. Non-vacuity: TWAP must differ
+    from the plain average for some user (else the weighting is
+    decorative)."""
+    from collections import defaultdict
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = (
+        load_tables(spark, sf_dir)
+        .events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .selectExpr(
+            "user_id",
+            "unix_micros(ts) AS us",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.us, r.cents))
+    expect = {}
+    weighting_matters = False
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda t: t[0])
+        segs = [
+            (c, evs[i + 1][0] - us)
+            for i, (us, c) in enumerate(evs[:-1])
+            if evs[i + 1][0] - us > 0
+        ]
+        if not segs:
+            continue
+        num = sum(c * d for c, d in segs)
+        den = sum(d for _, d in segs)
+        expect[uid] = (len(segs), num, den)
+        # plain mean of segment values vs duration-weighted mean
+        if num * len(segs) != sum(c for c, _ in segs) * den:
+            weighting_matters = True
+    got = {
+        r.user_id: (r.n_segments, r.twap_num, r.twap_den)
+        for r in queries()["w18_twap"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert weighting_matters, "TWAP == plain mean everywhere: vacuous"
+
+
+def test_w19_drawdown_matches_python_model(spark, sf_dir):
+    """w19 vs a Python replay of the signed backlog series. Both
+    regimes must be populated: customers with strictly positive max
+    drawdown (a fulfilled order after a peak) AND monotone customers
+    whose drawdown is exactly 0."""
+    from collections import defaultdict
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = (
+        load_tables(spark, sf_dir)
+        .orders.filter(F.col("o_orderdate").isNotNull())
+        .selectExpr(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "CASE WHEN o_orderstatus = 'F' THEN -1 ELSE 1 END"
+            " * CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r.o_custkey].append((r.o_orderdate, r.o_orderkey, r.cents))
+    expect = {}
+    for ck, evs in by_cust.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        bal = peak_all = 0
+        peak = None
+        dd = 0
+        for _, _, c in evs:
+            bal += c
+            peak = bal if peak is None else max(peak, bal)
+            dd = max(dd, peak - bal)
+        expect[ck] = (len(evs), peak, dd)
+    got = {
+        r.o_custkey: (r.n_orders, r.peak_cents, r.max_drawdown_cents)
+        for r in queries()["w19_drawdown"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    dds = [d for _, _, d in got.values()]
+    assert any(d > 0 for d in dds), "no positive drawdown: vacuous"
+    assert any(d == 0 for _, _, d in got.values() if True) and any(
+        d == 0 and n > 1 for n, _, d in got.values()
+    ), "no monotone multi-order customer"
+
+
+def test_p25_dataset_card_matches_python_model(spark, sf_dir):
+    """p25 vs a Python replay: exact ppm floor-division shares, full
+    coverage (shares sum to <= 1e6 with bounded rounding loss), and a
+    deterministic dense ranking."""
+    from collections import defaultdict
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = load_tables(spark, sf_dir).documents.select(
+        "lang", "source", "n_chars"
+    ).collect()
+    cell = defaultdict(lambda: [0, 0])
+    for r in rows:
+        c = cell[(r.lang, r.source)]
+        c[0] += 1
+        c[1] += r.n_chars
+    td = sum(v[0] for v in cell.values())
+    tc = sum(v[1] for v in cell.values())
+    ranked = sorted(cell.items(), key=lambda kv: (-kv[1][1], kv[0][0], kv[0][1]))
+    expect = {
+        k: (v[0], v[1], v[0] * 1_000_000 // td, v[1] * 1_000_000 // tc, i + 1)
+        for i, (k, v) in enumerate(ranked)
+    }
+    got = {
+        (r.lang, r.source): (
+            r.n_docs,
+            r.n_chars,
+            r.docs_ppm,
+            r.chars_ppm,
+            r.weight_rank,
+        )
+        for r in queries()["p25_dataset_card"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    ppm_sum = sum(v[3] for v in got.values())
+    assert 1_000_000 - len(got) <= ppm_sum <= 1_000_000
+    assert len(got) > 3, "too few cells to be a meaningful card"

@@ -162,6 +162,9 @@ OPS = {
     "w17_retention_cohorts": (2.0, "one custkey window + distinct agg onto the constant |cohorts|x|offsets| grid"),
     "j18_bloom_prefilter": (2.0, "constant 2KB bloom broadcast kills ~98% of facts scan-side before the exact semi join"),
     "s15_ann_pq": (2.0, "encode = broadcast join vs 1024 codebook rows; ADC scan reads 16 bytes/vector; exact re-rank touches only the 100-row shortlist"),
+    "w18_twap": (2.0, "lead window + rollup share one user shuffle; exact cents-x-us rational, no division"),
+    "w19_drawdown": (2.0, "running sum + running peak + rollup share one custkey sort"),
+    "p25_dataset_card": (2.0, "corpus reduces map-side to |cells| rows in one scan; shares/rank are windows over the tiny table"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
