@@ -25,7 +25,16 @@ SKIP = {"d2_dedup_minhash", "s6_kmeans_refine"}
 # tiny (reduced by aggregation first), never the fact table. w10's
 # running sum sees |months| rows — its own plan test pins the window
 # ABOVE the aggregates, which is what makes the exemption safe.
-UNPARTITIONED_WINDOW_OK = {"w10_cumulative_distinct"}
+# Ops whose unpartitioned windows run over inputs BOUNDED BY
+# CONSTRUCTION, never the fact table — the a19/w10 tiny-input class:
+# w10 = |months| rows, p25 = the |langs|x|sources| cell aggregate,
+# s15 = the LIMIT-64 codebook sample. Anything else with an empty
+# partition spec is a scale bug and fails the sweep below.
+UNPARTITIONED_WINDOW_OK = {
+    "w10_cumulative_distinct",
+    "p25_dataset_card",
+    "s15_ann_pq",
+}
 
 
 def _plan(spark, sf_dir, key):
