@@ -143,7 +143,7 @@ OPS = {
     "d14_canonical_pick": (2.0, "d12's banded pair stream + closure dominates; the survivor election windows over small components"),
     "w13_funnel": (2.0, "one (user_id, ts) window sort carries both range frames and the rollup; linear per partition"),
     "g8_arrow_udtf": (2.0, "Arrow-batched lateral UDTF over the scan; output rows/doc bounded by doc length"),
-    "d15_subsumed_docs": (2.0, "min-shingle blocking: one candidate per (doc, sharing container) bounded by df-cap; verify joins texts once"),
+    "d15_subsumed_docs": (4.0, "min-shingle candidates are k² under the replication ladder (every copy of a container pairs with every copy of its substring — same class as d13; measured rows 248/992/3968/15872 track exactly); in organic growth new docs are distinct and the df-cap bounds blocks"),
     "j17_lerp_join": (2.0, "one user_id shuffle; both IGNORE-NULLS frames share the window sort; integer lerp, linear per partition"),
     "o11_dup_aware_sample": (2.0, "one prefix-hash window shuffle (tiny groups) + scan-side integer threshold filter"),
     "p22_compact_small_files": (2.0, "eager fragmented write + compacting rewrite dominate; report is one agg over the compacted scan"),
@@ -154,7 +154,7 @@ OPS = {
     "t14_contamination_score": (2.0, "eval shingle set broadcast; corpus LEFT-joins map-side; per-doc count pair map-combined"),
     "w15_interval_merge": (2.0, "running-max + island-id share one user window sort; island rollup reuses the partitioning — one Exchange total"),
     "p23_table_profile": (2.0, "one scan, single Expand feeding two-phase distinct aggregates; output is |columns| rows"),
-    "m7_image_neardup": (2.0, "decode scan x2 + two (dims,band) hash joins; pair stream bounded by block occupancy"),
+    "m7_image_neardup": (4.0, "replicated images share signatures, so band-block pairs are k² under the ladder (d13's class); organically, block occupancy bounds the stream — dims+band keys keep distinct images apart"),
     "a22_trend_slope": (2.0, "five bigint sums in one partial-combined aggregate; rational slope math on |customers| rows"),
     "w16_seq_pattern": (2.0, "one groupBy shuffle with partial-merged collect_list; regex on |users| journey strings"),
     "p24_scd2_build": (2.0, "change-detect + validity windows stack over one user shuffle; output |kept versions| rows"),
