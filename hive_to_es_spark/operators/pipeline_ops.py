@@ -1940,6 +1940,35 @@ def p23_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_from_changes(s: DataFrame) -> DataFrame:
+    """Core of p24, DataFrame-in/DataFrame-out so property tests can
+    drive the SHIPPED plan over arbitrary change logs: input columns
+    (user_id, signup_id, vf, tier) — ordered by (vf, signup_id) per
+    user; output change-suppressed SCD2 versions. See p24's docstring
+    for the null-safe change-detection argument."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("vf").asc(), F.col("signup_id").asc()
+    )
+    chg = s.withColumn("rn", F.row_number().over(w)).withColumn(
+        "prev_tier", F.lag("tier").over(w)
+    )
+    kept = chg.filter(
+        (F.col("rn") == 1) | ~F.col("tier").eqNullSafe(F.col("prev_tier"))
+    )
+    return kept.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version_n"),
+        "signup_id",
+        "tier",
+        F.col("vf").alias("valid_from_us"),
+        F.lead("vf").over(w).alias("valid_to_us"),
+        F.when(F.lead("vf").over(w).isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_current"),
+    )
+
+
 # p24 — build an SCD2 dimension FROM a change log. j15 consumes SCD2
 # (point-in-time join); this is the producer: signup events become
 # versioned rows, with no-op changes (same payload as the previous
@@ -2003,27 +2032,7 @@ def p24_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") / 20).cast("bigint").alias("tier"),
         )
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("vf").asc(), F.col("signup_id").asc()
-    )
-    chg = s.withColumn("rn", F.row_number().over(w)).withColumn(
-        "prev_tier", F.lag("tier").over(w)
-    )
-    kept = chg.filter(
-        (F.col("rn") == 1) | ~F.col("tier").eqNullSafe(F.col("prev_tier"))
-    )
-    return kept.select(
-        "user_id",
-        F.row_number().over(w).cast("bigint").alias("version_n"),
-        "signup_id",
-        "tier",
-        F.col("vf").alias("valid_from_us"),
-        F.lead("vf").over(w).alias("valid_to_us"),
-        F.when(F.lead("vf").over(w).isNull(), 1)
-        .otherwise(0)
-        .cast("bigint")
-        .alias("is_current"),
-    )
+    return scd2_from_changes(s)
 
 
 # p25 — the corpus "dataset card": the composition table (docs/chars

@@ -890,6 +890,34 @@ def w14_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_intervals(e: DataFrame) -> DataFrame:
+    """Core of w15, DataFrame-in/DataFrame-out so property tests can
+    drive the SHIPPED plan over arbitrary interval sets: input columns
+    (user_id, event_id, start_us, end_us); output one row per maximal
+    overlap island. See w15's docstring for the running-max argument."""
+    order = [F.col("start_us").asc(), F.col("event_id").asc()]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("user_id").orderBy(*order)
+    new_island = F.when(
+        F.col("prev_max").isNull() | (F.col("start_us") > F.col("prev_max")), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("prev_max", F.max("end_us").over(w_prev))
+        .withColumn("island_id", F.sum(new_island).over(w_run).cast("bigint"))
+        .groupBy("user_id", "island_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("start_us").alias("island_start_us"),
+            F.max("end_us").alias("island_end_us"),
+            (F.max("end_us") - F.min("start_us")).alias("covered_us"),
+        )
+    )
+
+
 # w15 — merge overlapping per-user activity intervals into islands.
 _W15_ORACLE = """
 WITH e AS (
@@ -954,27 +982,7 @@ def w15_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("end_us"),
         )
     )
-    order = [F.col("start_us").asc(), F.col("event_id").asc()]
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = Window.partitionBy("user_id").orderBy(*order)
-    new_island = F.when(
-        F.col("prev_max").isNull() | (F.col("start_us") > F.col("prev_max")), 1
-    ).otherwise(0)
-    return (
-        e.withColumn("prev_max", F.max("end_us").over(w_prev))
-        .withColumn("island_id", F.sum(new_island).over(w_run).cast("bigint"))
-        .groupBy("user_id", "island_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            F.min("start_us").alias("island_start_us"),
-            F.max("end_us").alias("island_end_us"),
-            (F.max("end_us") - F.min("start_us")).alias("covered_us"),
-        )
-    )
+    return merge_intervals(e)
 
 
 # w16 — MATCH_RECOGNIZE-style sequence detection: per-user journey

@@ -722,3 +722,143 @@ def test_line_dedup_matches_python_model(spark, docs, df_min):
         cs = chunks(toks)
         kept = [c for c in cs if c not in boiler_py]
         assert got[doc_id] == (len(cs), len(cs) - len(kept), " ".join(kept))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user
+            st.integers(min_value=0, max_value=50),     # start
+            st.integers(min_value=0, max_value=20),     # length
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_interval_merge_matches_sweep_line(spark, ivs):
+    """w15's SHIPPED plan (merge_intervals) over arbitrary interval
+    sets vs a Python sweep line — random starts/lengths hit zero-length
+    intervals, exact-touch boundaries, containment, and duplicate
+    starts that the fixture distribution may not."""
+    from collections import defaultdict
+
+    from hive_to_es_spark.operators.windows import merge_intervals
+
+    rows = [
+        (u, i, s, s + ln) for i, (u, s, ln) in enumerate(ivs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, start_us bigint, end_us bigint"
+    )
+    got = {
+        (r.user_id, r.island_id): (r.n_events, r.island_start_us, r.island_end_us)
+        for r in merge_intervals(df).collect()
+    }
+    by_user = defaultdict(list)
+    for u, i, s, e in rows:
+        by_user[u].append((s, i, e))
+    expect = {}
+    for u, user_ivs in by_user.items():
+        user_ivs.sort()
+        island, prev_max = 0, None
+        members = defaultdict(list)
+        for s, i, e in user_ivs:
+            if prev_max is None or s > prev_max:
+                island += 1
+            members[island].append((s, e))
+            prev_max = e if prev_max is None else max(prev_max, e)
+        for isl, ms in members.items():
+            expect[(u, isl)] = (
+                len(ms),
+                min(s for s, _ in ms),
+                max(e for _, e in ms),
+            )
+    assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),          # user
+            st.integers(min_value=0, max_value=100),        # ts
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # tier
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_scd2_build_matches_replay(spark, log):
+    """p24's SHIPPED plan (scd2_from_changes) over arbitrary change
+    logs vs a Python replay — random NULL payloads exercise the
+    null-safe change detection (NULL->NULL must suppress, NULL->x and
+    x->NULL must open versions), which the fixtures never hit (their
+    tier is never NULL)."""
+    from collections import defaultdict
+
+    from hive_to_es_spark.operators.pipeline_ops import scd2_from_changes
+
+    rows = [(u, i, ts, t) for i, (u, ts, t) in enumerate(log)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, signup_id bigint, vf bigint, tier bigint"
+    )
+    got = {
+        (r.user_id, r.version_n): (
+            r.signup_id, r.tier, r.valid_from_us, r.valid_to_us, r.is_current
+        )
+        for r in scd2_from_changes(df).collect()
+    }
+    by_user = defaultdict(list)
+    for u, i, ts, t in rows:
+        by_user[u].append((ts, i, t))
+    expect = {}
+    sentinel = object()
+    for u, evs in by_user.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        kept, prev = [], sentinel
+        for ts, i, t in evs:
+            if prev is sentinel or t != prev:
+                kept.append((ts, i, t))
+            prev = t
+        for v, (ts, i, t) in enumerate(kept, start=1):
+            nxt = kept[v][0] if v < len(kept) else None
+            expect[(u, v)] = (i, t, ts, nxt, 1 if nxt is None else 0)
+    assert got == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    dim_keys=st.sets(st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=40),
+    fact_keys=st.lists(
+        st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=60
+    ),
+)
+def test_bloom_never_false_negative(spark, dim_keys, fact_keys):
+    """j18's bitmap helpers over arbitrary key sets: every fact row
+    whose key IS in the dim must survive the probe (the property the
+    whole prefilter rests on — false POSITIVES are repaired by the
+    exact join, false negatives would silently drop results)."""
+    from hive_to_es_spark.operators.joins import _bloom_build, _bloom_probe
+
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "k bigint")
+    fact = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(fact_keys)], "row_id bigint, k bigint"
+    )
+    cand = set(
+        r.row_id for r in _bloom_probe(fact, _bloom_build(dim, "k"), "k").collect()
+    )
+    must_pass = {i for i, k in enumerate(fact_keys) if k in dim_keys}
+    assert must_pass <= cand, f"false negatives: {must_pass - cand}"
