@@ -758,3 +758,78 @@ def t14_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("action"),
     )
+
+
+# t15 — bigram LM scoring, t8's order-2 form: score each document by
+# the mean conditional log-probability ln(c(w1 w2)/c(w1 ·)) of its
+# adjacent word pairs. Catches incoherent word-salad that unigram
+# scoring cannot (every word common, no pair ever seen together).
+_T15_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w
+  FROM documents WHERE len(string_split(lower(text), ' ')) >= 2
+),
+big AS (
+  SELECT doc_id, w[i] AS w1, concat(w[i], ' ', w[i+1]) AS bg
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM ws)
+),
+cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY bg),
+cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY w1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(CAST(cb.c AS DOUBLE) / cp.c)), 4) AS lm2_score
+FROM big JOIN cb USING (bg) JOIN cp USING (w1)
+GROUP BY doc_id
+"""
+
+
+@register("t15_bigram_lm_score", _T15_ORACLE)
+def t15_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring: train corpus-wide bigram and prefix
+    counts in-query, score each document as the mean conditional
+    log-probability ln(c(w1,w2) / c(w1,·)) over its adjacent pairs —
+    the order-2 rung of the CCNet-style LM gate t8 implements at
+    order 1. The conditional form is what makes it a COHERENCE
+    measure: a document of individually-common words in an order
+    never seen together scores low where t8 scores it high; the two
+    scores together separate "rare vocabulary" from "word salad".
+    Single-word docs carry no bigram and are excluded on BOTH
+    engines (an explicit >= 2 filter — Spark's sequence(1, 0)
+    DESCENDS where DuckDB's range(1, 1) is empty, so without the
+    mirrored filter the engines would disagree on degenerate docs).
+
+    Plan shape is t8's with one extra count: ONE explode of per-doc
+    (prefix, bigram) structs (built array-side from a single split —
+    no window, no self-zip join), two map-combined count aggregates,
+    then the score join keyed on the bigram/prefix. Every count is
+    observed (no smoothing), so probabilities are exact rationals
+    inside ln(); the 4dp round on the mean is t8's accepted
+    cross-engine float seam. At 100 TB the production variant trains
+    counts on a sample and broadcasts a top-K bigram vocabulary with
+    an OOV floor — the same evolution t8's docstring pins."""
+    d = load_tables(spark, sf_dir).documents
+    ws = d.select("doc_id", F.split(F.lower("text"), " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    big = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(w[i-1] AS w1, concat(w[i-1], ' ', w[i]) AS bg))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.bg")
+    cb = big.groupBy("bg").agg(F.count("*").cast("bigint").alias("cb"))
+    cp = big.groupBy("w1").agg(F.count("*").cast("bigint").alias("cp"))
+    return (
+        big.join(cb, "bg")
+        .join(cp, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("cb").cast("double") / F.col("cp"))), 4
+            ).alias("lm2_score"),
+        )
+    )

@@ -1879,3 +1879,56 @@ def test_p25_dataset_card_matches_python_model(spark, sf_dir):
     ppm_sum = sum(v[3] for v in got.values())
     assert 1_000_000 - len(got) <= ppm_sum <= 1_000_000
     assert len(got) > 3, "too few cells to be a meaningful card"
+
+
+def test_t15_bigram_lm_matches_python_model(spark, sf_dir):
+    """t15 vs a Python replay of conditional bigram scoring (counts
+    exact-matched; the float mean compared within one 4dp rounding
+    step since summation order differs). Non-vacuity: bigram and
+    unigram scores must rank some doc pair DIFFERENTLY — the
+    coherence signal t15 adds over t8 — and short docs are excluded
+    identically."""
+    import math
+    from collections import Counter, defaultdict
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    docs = {
+        r.doc_id: r.text.lower().split(" ")
+        for r in load_tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+        if r.text is not None
+    }
+    cb, cp = Counter(), Counter()
+    per_doc = defaultdict(list)
+    for did, w in docs.items():
+        if len(w) < 2:
+            continue
+        for a, b in zip(w, w[1:]):
+            cb[(a, b)] += 1
+            cp[a] += 1
+            per_doc[did].append((a, b))
+    expect = {
+        did: (len(pairs), sum(math.log(cb[p] / cp[p[0]]) for p in pairs) / len(pairs))
+        for did, pairs in per_doc.items()
+    }
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm2_score)
+        for r in queries()["t15_bigram_lm_score"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect), "short-doc exclusion mismatch"
+    for did, (n, mean) in expect.items():
+        gn, gs = got[did]
+        assert gn == n
+        assert abs(gs - mean) <= 5e-4, (did, gs, mean)
+    # coherence signal: t8 and t15 must disagree on some ranking
+    t8 = {
+        r.doc_id: r.lm_score
+        for r in queries()["t8_unigram_lm_score"](spark, sf_dir).collect()
+    }
+    ids = sorted(set(got) & set(t8))
+    disagree = any(
+        (t8[a] < t8[b]) != (got[a][1] < got[b][1])
+        for a, b in zip(ids, ids[1:])
+    )
+    assert disagree, "bigram score perfectly rank-matches unigram: no added signal"
