@@ -91,27 +91,32 @@ _RETRYABLE_STATUSES = (429, 503)
 
 def _post_bulk(
     es_url: str,
-    body: bytes,
+    lines: list[str],
     timeout: float,
     max_retries: int = 4,
     retry_backoff_s: float = 0.5,
 ) -> None:
-    """POST one chunk to /_bulk and fail LOUDLY on per-item errors:
-    ES returns 200 with {"errors": true} when individual actions fail,
-    and a sink that swallows that ships silent data loss.
+    """POST one chunk (a flat [action, doc, action, doc, ...] line
+    list) to /_bulk and fail LOUDLY on per-item errors: ES returns 200
+    with {"errors": true} when individual actions fail, and a sink
+    that swallows that ships silent data loss.
 
     Back-pressure comes in TWO shapes, and both back off exponentially
-    (retry_backoff_s * 2^k) and re-POST the SAME chunk up to
-    max_retries times:
+    (retry_backoff_s * 2^k) up to max_retries times:
 
-    - whole-request HTTP 429/503 (coordinating node refused the bulk);
+    - whole-request HTTP 429/503 (coordinating node refused the bulk
+      before indexing anything) — re-POST the SAME chunk;
     - HTTP 200 with ``errors: true`` where EVERY failed item carries
       status 429 — the per-item ``es_rejected_execution_exception``
-      form real ES uses when the bulk queue overflows mid-request.
-      This is the case es-hadoop's ``es.batch.write.retry.count``
-      exists for. Re-sending the whole chunk (not just rejected items)
-      is safe because the index action is create-or-replace by _id;
-      the amplification is bounded by max_retries.
+      form real ES uses when the bulk queue overflows MID-request:
+      some actions were indexed, the rejected ones were not. Here the
+      retry body is rebuilt from the REJECTED positions only (the
+      response ``items`` array is one entry per action, in request
+      order — the public bulk-API contract). Re-sending accepted items
+      would duplicate them whenever no ``_id`` mapping exists (ES
+      auto-generates a fresh _id per index action), so partial retry
+      is the only shape that is safe for keyless sinks; with _ids it
+      is also strictly less write amplification.
 
     Any non-retryable item error raises immediately; retries exhausted
     -> raise -> the Spark task fails, same as any permanent error."""
@@ -130,7 +135,7 @@ def _post_bulk(
         status, resp = _http(
             "POST",
             f"{es_url}/_bulk",
-            body,
+            ("\n".join(lines) + "\n").encode(),
             content_type=_NDJSON,
             timeout=timeout,
             ignore=_RETRYABLE_STATUSES,
@@ -142,17 +147,27 @@ def _post_bulk(
         parsed = json.loads(resp) if resp else {}
         if not parsed.get("errors"):
             return
+        items = parsed.get("items", [])
         failed = [
-            item[op]
-            for item in parsed.get("items", [])
+            (i, item[op])
+            for i, item in enumerate(items)
             for op in item
             if item[op].get("error")
         ]
-        if failed and all(item.get("status") == 429 for item in failed):
+        if failed and all(item.get("status") == 429 for _, item in failed):
+            # Partial retry needs the positional alignment to be
+            # trustworthy; a response with a different action count is
+            # a protocol violation we must not guess around.
+            if len(items) != len(lines) // 2:
+                raise RuntimeError(
+                    f"bulk response has {len(items)} items for "
+                    f"{len(lines) // 2} actions; cannot align 429 retry"
+                )
             _sleep_or_raise(attempt, "per-item HTTP 429 (bulk queue rejection)")
+            lines = [ln for i, _ in failed for ln in lines[2 * i : 2 * i + 2]]
             attempt += 1
             continue
-        first = failed[0] if failed else None
+        first = failed[0][1] if failed else None
         raise RuntimeError(f"bulk indexing reported errors: first={first}")
 
 
@@ -210,7 +225,7 @@ def bulk_index(
             nonlocal buf, pending
             if not buf:
                 return
-            _post_bulk(url, ("\n".join(buf) + "\n").encode(), to, retries, backoff)
+            _post_bulk(url, buf, to, retries, backoff)
             buf, pending = [], 0
 
         for row in rows:

@@ -156,6 +156,7 @@ class MockES:
         reject_429_first_n: int = 0,
         reject_items_429_first_n: int = 0,
         fail_400_once_at: int | None = None,
+        partial_429_at: int | None = None,
     ):
         self.lock = threading.Lock()
         self.indices: dict[str, dict[str, dict]] = {}
@@ -173,6 +174,11 @@ class MockES:
         # mid-stream permanent failure: the k-th bulk attempt (1-based)
         # gets HTTP 400 ONCE — a partial delivery the job must surface
         self.fail_400_once_at = fail_400_once_at
+        # PARTIAL acceptance under pressure: the k-th bulk attempt
+        # indexes even-position actions and rejects odd positions with
+        # per-item 429 — the mid-request overflow shape where a
+        # whole-chunk retry would duplicate the accepted half
+        self.partial_429_at = partial_429_at
         store = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -217,23 +223,39 @@ class MockES:
                     attempt_no = store.bulk_attempts
                 if attempt_no <= store.reject_429_first_n:
                     return self._reply(429, {"error": "es_rejected_execution"})
-                if attempt_no <= store.reject_items_429_first_n:
-                    return self._reply(
-                        200,
-                        {
-                            "errors": True,
-                            "items": [
-                                {
-                                    "index": {
-                                        "status": 429,
-                                        "error": {
-                                            "type": "es_rejected_execution_exception"
-                                        },
+                reject_all = attempt_no <= store.reject_items_429_first_n
+                if reject_all or store.partial_429_at == attempt_no:
+                    # Protocol-faithful per-item 429: the response
+                    # items array is one entry per action, in request
+                    # order (what the sink's positional retry relies
+                    # on). reject_all stores nothing; partial mode
+                    # indexes even positions and rejects odd ones.
+                    lines = [l for l in body.decode().split("\n") if l]
+                    items = []
+                    with store.lock:
+                        for i in range(len(lines) // 2):
+                            if reject_all or i % 2 == 1:
+                                items.append(
+                                    {
+                                        "index": {
+                                            "status": 429,
+                                            "error": {
+                                                "type": "es_rejected_execution_exception"
+                                            },
+                                        }
                                     }
-                                }
-                            ],
-                        },
-                    )
+                                )
+                                continue
+                            action = json.loads(lines[2 * i])
+                            doc = json.loads(lines[2 * i + 1])
+                            index = action["index"]["_index"]
+                            _id = action["index"].get("_id")
+                            if _id is None:
+                                store.auto_id += 1
+                                _id = f"auto{store.auto_id}"
+                            store.indices.setdefault(index, {})[_id] = doc
+                            items.append({"index": {"status": 201}})
+                    return self._reply(200, {"errors": True, "items": items})
                 if store.fail_400_once_at == attempt_no:
                     return self._reply(400, {"error": "injected mid-stream failure"})
                 if store.fail_bulk:
@@ -443,6 +465,38 @@ def test_es_http_per_item_429_is_retried_as_backpressure(spark, sf_dir):
         )
         assert len(s.indices["nation_item429_v1"]) == 25
         assert s.bulk_attempts == len(s.bulk_doc_counts) + 2
+    finally:
+        s.stop()
+
+
+def test_es_http_partial_item_429_keyless_retries_only_rejected(spark, sf_dir):
+    """Real ES can ACCEPT part of a bulk and reject the rest with
+    per-item 429 (the queue overflowed mid-request). With
+    auto-generated _ids (no id_column) a retry that re-sent the whole
+    chunk would duplicate the accepted half — the sink must rebuild
+    the retry body from the rejected positions only."""
+    from hive_to_es_spark.es_http import bulk_index
+    from hive_to_es_spark.io import read_table
+
+    s = MockES(partial_429_at=1)
+    try:
+        df = (
+            read_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name")
+            .coalesce(1)  # one chunk -> the partial strike is attempt 1
+        )
+        bulk_index(
+            df,
+            s.url,
+            "nation_partial429_v1",
+            id_column=None,  # keyless: duplicates would be permanent
+            mode="append",
+            retry_backoff_s=0.05,
+        )
+        docs = s.indices["nation_partial429_v1"]
+        got = sorted(d["n_nationkey"] for d in docs.values())
+        want = sorted(r["n_nationkey"] for r in df.collect())
+        assert got == want, "every row exactly once — no duplicates, no loss"
     finally:
         s.stop()
 
