@@ -1126,6 +1126,79 @@ FROM mmr
 """
 
 
+def _mmr_rerank_from_cands(cands: DataFrame, k_out: int = _S14_K_OUT) -> DataFrame:
+    """MMR greedy over a candidate pool of (query_id, vec_id, rel_u,
+    ev, nc) rows. The pairwise-cosine stage LEFT-joins cands to its
+    self-pairs so a query whose pool has exactly ONE member still
+    reaches the greedy (as a row with NULL partner) and emits its
+    rank-1 anchor — matching the oracle's recursive CTE, whose base
+    case comes from cands alone. With pairs-only input such a query
+    would vanish from the applyInPandas output entirely."""
+    import pandas as pd
+
+    a = cands.select(
+        "query_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("rel_u").alias("a_rel_u"),
+        F.col("ev").alias("av"),
+        F.col("nc").alias("na"),
+    )
+    b = cands.select(
+        F.col("query_id").alias("qb"),
+        F.col("vec_id").alias("b_id"),
+        F.col("ev").alias("bv"),
+        F.col("nc").alias("nb"),
+    )
+    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("query_id") == F.col("qb")) & (F.col("a_id") != F.col("b_id")),
+        "left",
+    ).select(
+        "query_id",
+        "a_id",
+        "a_rel_u",
+        "b_id",
+        F.round(sim * 1_000_000).cast("bigint").alias("sim_u"),
+    )
+
+    def mmr_greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = int(pdf["query_id"].iloc[0])
+        rel_by_id = {
+            int(r.a_id): int(r.a_rel_u)
+            for r in pdf[["a_id", "a_rel_u"]].drop_duplicates().itertuples()
+        }
+        sim_by_pair = {
+            (int(r.a_id), int(r.b_id)): int(r.sim_u)
+            for r in pdf[["a_id", "b_id", "sim_u"]]
+            .dropna(subset=["b_id"])
+            .itertuples()
+        }
+        sel: list[int] = []
+        out = []
+        for rank in range(1, k_out + 1):
+            best_id, best_score = None, None
+            for cand in sorted(rel_by_id):
+                if cand in sel:
+                    continue
+                max_sim = max((sim_by_pair[(cand, s)] for s in sel), default=0)
+                score = 7 * rel_by_id[cand] - 3 * max_sim
+                if best_score is None or score > best_score:
+                    best_id, best_score = cand, score
+            if best_id is None:
+                break
+            sel.append(best_id)
+            out.append((query_id, rank, best_id, best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "vec_id", "score_x1e7"]
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(
+        mmr_greedy,
+        "query_id BIGINT, rank BIGINT, vec_id BIGINT, score_x1e7 BIGINT",
+    )
+
+
 @register("s14_mmr_rerank", _S14_ORACLE)
 def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR (maximal-marginal-relevance) diversity re-ranking: for each
@@ -1147,8 +1220,6 @@ def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate stage is s7's broadcast-batch scan (corpus read once,
     WindowGroupLimit top-k) and the pandas stage is bounded by
     |queries| x k_cand^2 rows — never corpus-sized."""
-    import pandas as pd
-
     e = load_tables(spark, sf_dir).embeddings
     q = e.filter(F.col("vec_id") < _S14_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1176,69 +1247,7 @@ def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _S14_K_CAND)
         .drop("rk")
     )
-    a = cands.select(
-        "query_id",
-        F.col("vec_id").alias("a_id"),
-        F.col("rel_u").alias("a_rel_u"),
-        F.col("ev").alias("av"),
-        F.col("nc").alias("na"),
-    )
-    b = cands.select(
-        F.col("query_id").alias("qb"),
-        F.col("vec_id").alias("b_id"),
-        F.col("ev").alias("bv"),
-        F.col("nc").alias("nb"),
-    )
-    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
-    pairs = (
-        a.join(
-            F.broadcast(b),
-            (F.col("query_id") == F.col("qb")) & (F.col("a_id") != F.col("b_id")),
-        )
-        .select(
-            "query_id",
-            "a_id",
-            "a_rel_u",
-            "b_id",
-            F.round(sim * 1_000_000).cast("bigint").alias("sim_u"),
-        )
-    )
-
-    k_out = _S14_K_OUT
-
-    def mmr_greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        query_id = int(pdf["query_id"].iloc[0])
-        rel_by_id = {
-            int(r.a_id): int(r.a_rel_u)
-            for r in pdf[["a_id", "a_rel_u"]].drop_duplicates().itertuples()
-        }
-        sim_by_pair = {
-            (int(r.a_id), int(r.b_id)): int(r.sim_u)
-            for r in pdf[["a_id", "b_id", "sim_u"]].itertuples()
-        }
-        sel: list[int] = []
-        out = []
-        for rank in range(1, k_out + 1):
-            best_id, best_score = None, None
-            for cand in sorted(rel_by_id):
-                if cand in sel:
-                    continue
-                max_sim = max((sim_by_pair[(cand, s)] for s in sel), default=0)
-                score = 7 * rel_by_id[cand] - 3 * max_sim
-                if best_score is None or score > best_score:
-                    best_id, best_score = cand, score
-            if best_id is None:
-                break
-            sel.append(best_id)
-            out.append((query_id, rank, best_id, best_score))
-        return pd.DataFrame(
-            out, columns=["query_id", "rank", "vec_id", "score_x1e7"]
-        )
-
-    return pairs.groupBy("query_id").applyInPandas(
-        mmr_greedy,
-        "query_id BIGINT, rank BIGINT, vec_id BIGINT, score_x1e7 BIGINT",
-    )
+    return _mmr_rerank_from_cands(cands)
 
 
 # s15 — product quantization, the production ANN compression above

@@ -968,6 +968,37 @@ def test_s14_mmr_selected_set_less_redundant(spark, sf_dir):
     assert diverged >= 1
 
 
+def test_s14_mmr_single_candidate_pool_emits_anchor(spark):
+    """A query whose candidate pool has exactly ONE member produces
+    zero self-pair rows; the greedy must still emit its rank-1 anchor
+    (the oracle's recursive-CTE base case comes from cands alone, so a
+    pairs-only plan silently drops such queries — the ADVICE r7
+    divergence). Pool-of-one query 100 must yield one row with
+    score = 7*rel_u; pool-of-three query 200 exhausts at 3 < k_out."""
+    from hive_to_es_spark.operators.similarity import _mmr_rerank_from_cands
+
+    cands = spark.createDataFrame(
+        [
+            (100, 7, 900_000, [1.0, 0.0], 1.0),
+            (200, 1, 800_000, [1.0, 0.0], 1.0),
+            (200, 2, 700_000, [0.0, 1.0], 1.0),
+            (200, 3, 600_000, [1.0, 0.0], 1.0),
+        ],
+        "query_id LONG, vec_id LONG, rel_u LONG, ev ARRAY<DOUBLE>, nc DOUBLE",
+    )
+    rows = _mmr_rerank_from_cands(cands, k_out=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.rank] = r
+    assert set(by_q) == {100, 200}, "single-candidate query must not vanish"
+    assert list(by_q[100]) == [1]
+    assert by_q[100][1].vec_id == 7
+    assert by_q[100][1].score_x1e7 == 7 * 900_000
+    # pool of 3 exhausts after 3 picks; rank-1 is the relevance argmax
+    assert sorted(by_q[200]) == [1, 2, 3]
+    assert by_q[200][1].vec_id == 1
+
+
 def test_d14_canonical_is_best_quality_not_min_id(spark, sf_dir):
     """d14's reason to exist over d12's min-id rule: the canonical
     copy must hold the group-max n_chars (doc_id tiebreak), the
