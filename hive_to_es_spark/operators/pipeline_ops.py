@@ -1678,25 +1678,34 @@ def b9_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def selective_partition_delete(spark, path, part_col, pred, affected=None):
     """Delete rows matching ``pred`` from a partitioned parquet table
-    by rewriting ONLY the partitions that contain them (dynamic
-    partition overwrite). Partition dirs without a match keep their
-    original files untouched — the property tests assert via file
-    listings. The affected-partition list is the only driver-side
-    state (bounded by |partitions|); pass ``affected`` when the
-    caller already computed it to save the discovery scan.
+    by rewriting ONLY the partitions that contain them. Partition dirs
+    without a match keep their original files untouched — the property
+    tests assert via file listings. The affected-partition list is the
+    only driver-side state (bounded by |partitions|); pass ``affected``
+    when the caller already computed it to save the discovery scan.
 
-    Two delete-helper traps handled here (round-7 review):
+    Crash posture matches write_replace_parquet (round-7 advice: a
+    dynamic overwrite that reads and rewrites ``path`` in one job is
+    non-atomic on S3A — a mid-commit failure could leave partitions
+    half-replaced with NO surviving copy). Survivors are written once
+    to a SIBLING staging dir (same filesystem, executor-writable),
+    then each affected partition dir is swapped via delete+rename: if
+    the staging write fails the target is untouched; if a swap fails
+    mid-way the staging copy survives for manual recovery — at no
+    point do both copies of a partition cease to exist.
+
+    Two further delete-helper traps (round-7 review):
     - NULL predicate rows are KEPT: ``~pred`` is NULL for NULL
       inputs and a bare filter would silently drop non-targets, so
       the keep condition is ``~pred.eqNullSafe(True)``.
-    - A partition whose rows ALL match contributes zero rows to the
-      rewrite, and dynamic overwrite only replaces partitions
-      PRESENT in the written output — its old files would silently
-      survive the "delete". Fully-emptied directories are therefore
-      removed through the sink filesystem afterwards (partition
-      values must be filesystem-safe; callers here use date
-      strings)."""
-    from hive_to_es_spark.functions.merge import fs_delete
+    - A partition whose rows ALL match has NO staging subdir (zero
+      survivor rows); the swap still deletes its target dir, so the
+      "delete everything in month X" case removes the directory
+      instead of leaving its old files readable (partition values
+      must be filesystem-safe; callers here use date strings)."""
+    import uuid
+
+    from hive_to_es_spark.functions.merge import _hadoop_fs, fs_delete
 
     base = spark.read.parquet(path)
     is_target = pred.eqNullSafe(True)
@@ -1706,21 +1715,24 @@ def selective_partition_delete(spark, path, part_col, pred, affected=None):
             for r in base.filter(is_target).select(part_col).distinct().collect()
         ]
     survivors = base.filter(F.col(part_col).isin(affected) & ~is_target)
-    kept_parts = {r[0] for r in survivors.select(part_col).distinct().collect()}
-    emptied = [p for p in affected if p not in kept_parts]
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            survivors.repartition(F.col(part_col))
-            .write.mode("overwrite")
-            .partitionBy(part_col)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-    for part in sorted(emptied):
-        fs_delete(spark, f"{path}/{part_col}={part}")
+    staging = path.rstrip("/") + "_delete_staging_" + uuid.uuid4().hex
+    (
+        survivors.repartition(F.col(part_col))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(staging)
+    )
+    for part in sorted(affected):
+        src = f"{staging}/{part_col}={part}"
+        dst = f"{path}/{part_col}={part}"
+        fs, dst_p = _hadoop_fs(spark, dst)
+        _, src_p = _hadoop_fs(spark, src)  # sibling => same filesystem
+        fs.delete(dst_p, True)
+        if fs.exists(src_p) and not fs.rename(src_p, dst_p):
+            raise IOError(
+                f"rename {src} -> {dst} failed; survivors intact at {src}"
+            )
+    fs_delete(spark, staging)
     spark.catalog.refreshByPath(path)
     return affected
 
