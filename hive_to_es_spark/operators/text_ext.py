@@ -616,45 +616,31 @@ GROUP BY doc_id
 """
 
 
-@register("t13_line_dedup", _T13_ORACLE)
-def t13_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-frequency line deduplication — the C4-style boilerplate
-    pass: any "line" occurring in >= _T13_DF_MIN (3) distinct
-    documents is removed from every document, and the survivors are
-    re-assembled in order. Fixture documents carry no newlines, so a
-    line is synthesized as a _T13_LINE_TOKS (3)-token chunk (mirrored
-    exactly in the oracle); on real corpora swap the chunker for
-    split('\\n').
-
-    Plan shape at 100 TB: tokenize + chunk are scan-side HOFs
-    (transform over sequence + slice); the line-frequency census is
-    one map-side-combinable groupBy(line); the boilerplate SET
-    (df >= 3) is then broadcast back — frequent lines are few
-    by construction (on open-web corpora cap the census with a df
-    ceiling or count-min, as d4 does for shingles), so the corpus
-    itself never shuffles for the membership test. The only
-    data-sized shuffle is the final reassembly groupBy(doc_id).
-    collect_list(when(keep, ...)) drops the nulls of removed lines;
-    array_sort on (line_no, line) structs restores document order
-    deterministically."""
-    d = load_tables(spark, sf_dir).documents
+def line_dedup(docs: DataFrame, line_toks: int = _T13_LINE_TOKS,
+               df_min: int = _T13_DF_MIN) -> DataFrame:
+    """t13's census → broadcast-membership → reassembly plan as a
+    DataFrame-in/DataFrame-out helper (docs must carry doc_id + text),
+    parameterized by chunk size and the boilerplate df threshold so
+    the hypothesis property test drives the SHIPPED plan rather than
+    an inline copy that could drift (round-7 advice). Output columns:
+    doc_id, n_lines, n_dropped, cleaned_text."""
     toks = F.split(F.col("text"), " ")
     n_lines = F.expr(
-        f"(size(split(text, ' ')) + {_T13_LINE_TOKS - 1}) DIV {_T13_LINE_TOKS}"
+        f"(size(split(text, ' ')) + {line_toks - 1}) DIV {line_toks}"
     )
     lines_arr = F.transform(
         F.sequence(F.lit(1), n_lines.cast("int")),
         lambda i: F.array_join(
-            F.slice(toks, (i - 1) * _T13_LINE_TOKS + 1, _T13_LINE_TOKS), " "
+            F.slice(toks, (i - 1) * line_toks + 1, line_toks), " "
         ),
     )
-    lines = d.select(
+    lines = docs.select(
         "doc_id", F.posexplode(lines_arr).alias("pos", "line")
     ).select("doc_id", (F.col("pos") + 1).alias("line_no"), "line")
     boiler = (
         lines.groupBy("line")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= _T13_DF_MIN)
+        .filter(F.col("df") >= df_min)
         .select("line", F.lit(True).alias("is_boiler"))
     )
     flagged = lines.join(F.broadcast(boiler), "line", "left").withColumn(
@@ -676,6 +662,30 @@ def t13_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned_text"),
     )
+
+
+@register("t13_line_dedup", _T13_ORACLE)
+def t13_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency line deduplication — the C4-style boilerplate
+    pass: any "line" occurring in >= _T13_DF_MIN (3) distinct
+    documents is removed from every document, and the survivors are
+    re-assembled in order. Fixture documents carry no newlines, so a
+    line is synthesized as a _T13_LINE_TOKS (3)-token chunk (mirrored
+    exactly in the oracle); on real corpora swap the chunker for
+    split('\\n').
+
+    Plan shape at 100 TB: tokenize + chunk are scan-side HOFs
+    (transform over sequence + slice); the line-frequency census is
+    one map-side-combinable groupBy(line); the boilerplate SET
+    (df >= 3) is then broadcast back — frequent lines are few
+    by construction (on open-web corpora cap the census with a df
+    ceiling or count-min, as d4 does for shingles), so the corpus
+    itself never shuffles for the membership test. The only
+    data-sized shuffle is the final reassembly groupBy(doc_id).
+    collect_list(when(keep, ...)) drops the nulls of removed lines;
+    array_sort on (line_no, line) structs restores document order
+    deterministically."""
+    return line_dedup(load_tables(spark, sf_dir).documents)
 
 
 # t14 — graded contamination: t9's boolean gate -> per-doc overlap

@@ -674,40 +674,13 @@ def test_line_dedup_matches_python_model(spark, docs, df_min):
     alphabet forces real chunk collisions across docs). Checks count
     accounting AND order-preserving reassembly at arbitrary df
     thresholds, not just the registered fixture's."""
+    from hive_to_es_spark.operators.text_ext import line_dedup
+
     texts = [" ".join(toks) for toks in docs]
     d = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
-
-    toks_col = F.split(F.col("text"), " ")
-    n_lines = F.expr("(size(split(text, ' ')) + 2) DIV 3")
-    lines_arr = F.transform(
-        F.sequence(F.lit(1), n_lines.cast("int")),
-        lambda i: F.array_join(F.slice(toks_col, (i - 1) * 3 + 1, 3), " "),
-    )
-    lines = d.select("doc_id", F.posexplode(lines_arr).alias("pos", "line")).select(
-        "doc_id", (F.col("pos") + 1).alias("line_no"), "line"
-    )
-    boiler = (
-        lines.groupBy("line")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= df_min)
-        .select("line", F.lit(True).alias("is_boiler"))
-    )
-    flagged = lines.join(F.broadcast(boiler), "line", "left").withColumn(
-        "dropped", F.coalesce(F.col("is_boiler"), F.lit(False))
-    )
-    kept_struct = F.when(~F.col("dropped"), F.struct(F.col("line_no"), F.col("line")))
     got = {
-        r.doc_id: (r.n_lines, r.n_dropped, r.cleaned)
-        for r in flagged.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_lines"),
-            F.sum(F.when(F.col("dropped"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]),
-                " ",
-            ).alias("cleaned"),
-        )
-        .collect()
+        r.doc_id: (r.n_lines, r.n_dropped, r.cleaned_text)
+        for r in line_dedup(d, line_toks=3, df_min=df_min).collect()
     }
 
     def chunks(toks):
