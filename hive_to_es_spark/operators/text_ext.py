@@ -843,3 +843,178 @@ def t15_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lm2_score"),
         )
     )
+
+
+# t16 — distributed BPE vocabulary TRAINING (t5 only counts pieces
+# with a fixed regex; this learns the merge table itself — the one
+# first-class LLM-pipeline stage the package lacked, r7 verdict #1).
+#
+# Word-boundary BPE (the Sennrich/GPT-2 discipline): tokens never
+# cross words, so the corpus collapses to a word-frequency census
+# ONCE — the only corpus-sized stage — and every merge round runs on
+# the |vocab| table. Each word's symbol sequence is encoded as a
+# sentinel-wrapped string (\x01 tok \x02 per symbol, chars the corpus
+# cannot contain): with that encoding the literal string replace of
+# "\x01 a \x02 \x01 b \x02" by "\x01 ab \x02" IS the greedy
+# left-to-right non-overlapping BPE apply, identically in Spark and
+# DuckDB — no UDF, no fold, and "aaa" + merge (a,a) gives [aa, a] in
+# both engines by the shared L2R-scan contract of replace().
+#
+# Pair counts are per adjacent POSITION (so "aaa" contributes (a,a)
+# twice), the classic counting rule; argmax tie-break is
+# (count DESC, left ASC, right ASC) on raw byte order, which ASCII
+# tokens make engine-identical. The oracle replays the k rounds as
+# UNROLLED chained CTEs (w0 -> p1 -> m1 -> w1 -> ...), generated by
+# the same Python constants so the two sides cannot drift.
+_T16_MERGES = 8
+_T16_L, _T16_R = "\x01", "\x02"
+
+
+def _t16_oracle(k: int = _T16_MERGES) -> str:
+    L, R = "chr(1)", "chr(2)"
+    sep = f"{R} || {L}"
+    ctes = [
+        f"""wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+w0 AS (
+  SELECT {L} || array_to_string(string_split(word, ''), {sep}) || {R} AS enc,
+         freq
+  FROM wc
+)"""
+    ]
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT tl AS lft, tr AS rgt, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(t[1:len(t) - 1]) AS tl, unnest(t[2:len(t)]) AS tr, freq
+    FROM (SELECT string_split(substr(enc, 2, length(enc) - 2), {sep}) AS t,
+                 freq
+          FROM w{r - 1})
+  )
+  GROUP BY tl, tr
+),
+m{r} AS (
+  SELECT {r} AS merge_rank, lft, rgt, cnt
+  FROM p{r} ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1
+),
+w{r} AS (
+  SELECT replace(enc, {L} || lft || {R} || {L} || rgt || {R},
+                 {L} || lft || rgt || {R}) AS enc, freq
+  FROM w{r - 1}, m{r}
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM m{r}" for r in range(1, k + 1))
+    return (
+        "WITH\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(merge_rank AS BIGINT) AS merge_rank,
+       lft AS left_sym, rgt AS right_sym, lft || rgt AS merged,
+       cnt AS pair_count
+FROM ({union})"""
+    )
+
+
+_T16_ORACLE = _t16_oracle()
+
+
+def bpe_train(words: DataFrame, n_merges: int = _T16_MERGES) -> list[tuple]:
+    """Learn ``n_merges`` BPE merges from a (word, freq) census frame.
+    Returns the merge table as [(rank, left, right, merged, count)].
+
+    Per round: ONE map-side-combinable pair-count aggregate over the
+    vocab table, a top-1 argmax (TakeOrderedAndProject — per-partition
+    top-1, never a total sort), and a literal-replace rewrite; the
+    rewritten table is materialized (localCheckpoint) and the previous
+    round's blocks released, graph.py's loop discipline, so lineage
+    stays O(1) across rounds. Driver state = n_merges rows + the 1-row
+    argmax per round. At 100 TB the census shrinks ~10^12 token
+    occurrences to ~10^8 distinct words; every round after that is a
+    vocab-sized shuffle, the economics that make corpus-level BPE
+    training feasible at all."""
+    from hive_to_es_spark.functions.lifecycle import materialize, release_checkpoint
+
+    L, R = _T16_L, _T16_R
+    w = words.select(
+        F.concat(
+            F.lit(L), F.array_join(F.split("word", ""), R + L), F.lit(R)
+        ).alias("enc"),
+        "freq",
+    )
+    w = materialize(w)
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        pr = (
+            w.withColumn(
+                "t",
+                F.split(F.expr("substring(enc, 2, length(enc) - 2)"), R + L),
+            )
+            .filter(F.size("t") >= 2)  # 1-symbol words carry no pairs
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1), "
+                        "i -> struct(t[i - 1] AS lft, t[i] AS rgt))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.lft", "p.rgt")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pr.orderBy(F.col("cnt").desc(), "lft", "rgt").limit(1).collect()
+        if not top:
+            break  # vocabulary fully collapsed before n_merges
+        best = top[0]
+        merges.append(
+            (r, best.lft, best.rgt, best.lft + best.rgt, int(best.cnt))
+        )
+        nxt = materialize(
+            w.select(
+                F.replace(
+                    F.col("enc"),
+                    F.lit(L + best.lft + R + L + best.rgt + R),
+                    F.lit(L + best.lft + best.rgt + R),
+                ).alias("enc"),
+                "freq",
+            )
+        )
+        release_checkpoint(w)
+        w = nxt
+    release_checkpoint(w)
+    return merges
+
+
+@register("t16_bpe_train", _T16_ORACLE)
+def t16_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training: learn the first
+    _T16_MERGES (8) merges from the documents corpus — highest-
+    frequency adjacent symbol pair per round, tie-broken
+    (count DESC, pair ASC), applied greedily left-to-right — and emit
+    the merge table (rank, left, right, merged symbol, pair count),
+    i.e. the artifact a tokenizer trainer ships.
+
+    The corpus-sized work is ONE word-frequency census (map-side
+    combinable groupBy); all k merge rounds run over the |vocab|
+    table via bpe_train (see its scale notes). The oracle unrolls the
+    same k rounds as chained CTEs generated from the same constants:
+    both engines express "apply merge (a,b)" as a literal replace
+    over a sentinel-encoded symbol string, so greedy L2R semantics
+    (including overlapping runs like "aaa") agree by construction."""
+    d = load_tables(spark, sf_dir).documents
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    merges = bpe_train(words)
+    return d.sparkSession.createDataFrame(
+        merges,
+        "merge_rank BIGINT, left_sym STRING, right_sym STRING, "
+        "merged STRING, pair_count BIGINT",
+    )

@@ -1963,3 +1963,49 @@ def test_t15_bigram_lm_matches_python_model(spark, sf_dir):
         for a, b in zip(ids, ids[1:])
     )
     assert disagree, "bigram score perfectly rank-matches unigram: no added signal"
+
+
+def test_t16_bpe_train_matches_hand_computed_merges(spark):
+    """bpe_train on a 2-word census with hand-derived merges. Covers
+    the overlapping-run rule ("aaa" + merge (a,a) -> [aa, a], greedy
+    L2R), the (count DESC, pair ASC) argmax, hierarchy (round 3 merges
+    two earlier merge products), and early exhaustion (round 4 has no
+    pairs left -> 3 merges returned from n_merges=4)."""
+    from hive_to_es_spark.operators.text_ext import bpe_train
+
+    words = spark.createDataFrame(
+        [("aaab", 3), ("ab", 2)], "word STRING, freq LONG"
+    )
+    got = bpe_train(words, n_merges=4)
+    # r1: (a,a) = 2*3 = 6 beats (a,b) = 3+2 = 5 -> aaab = [aa,a,b]
+    # r2: (a,b) = 3+2 = 5 beats (aa,a) = 3    -> [aa,ab], [ab]
+    # r3: (aa,ab) = 3 is the only pair        -> [aaab], [ab]
+    # r4: no adjacent pairs anywhere -> loop exhausts early
+    assert got == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "b", "ab", 5),
+        (3, "aa", "ab", "aaab", 3),
+    ]
+
+
+def test_t16_bpe_train_fixture_merges_are_hierarchical(spark, sf_dir):
+    """The registered key's output on real fixtures: 8 ranks, merged
+    symbol always left||right, positive counts, and at least one
+    merge consumes a PREVIOUS merge's product — the compositionality
+    that distinguishes BPE training from flat pair counting."""
+    from hive_to_es_spark.registry import queries
+
+    rows = sorted(
+        queries()["t16_bpe_train"](spark, sf_dir).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    assert [r.merge_rank for r in rows] == list(range(1, 9))
+    produced = set()
+    hierarchical = False
+    for r in rows:
+        assert r.merged == r.left_sym + r.right_sym
+        assert r.pair_count > 0
+        if r.left_sym in produced or r.right_sym in produced:
+            hierarchical = True
+        produced.add(r.merged)
+    assert hierarchical, "no merge built on an earlier merge's product"

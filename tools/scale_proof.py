@@ -166,6 +166,7 @@ OPS = {
     "w19_drawdown": (2.0, "running sum + running peak + rollup share one custkey sort"),
     "p25_dataset_card": (2.0, "corpus reduces map-side to |cells| rows in one scan; shares/rank are windows over the tiny table"),
     "t15_bigram_lm_score": (2.0, "one explode + two map-combined counts; score join keyed on bigram/prefix — t8's shape with one extra count"),
+    "t16_bpe_train": (2.0, "corpus collapses to one word census; the k merge rounds are vocab-sized aggregates + literal replaces, so corpus growth prices only the census"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
