@@ -115,6 +115,41 @@ def tf_click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
 
 
+def tf_click_purchase_join_outer(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER join — e8's attribution shape from the
+    click's point of view: every click emits, paired with the same
+    user's purchases in the FOLLOWING hour, or with NULL purchase
+    columns if none ever arrives (the conversion-rate denominator e8's
+    inner join cannot produce).
+
+    Outer stream-stream joins additionally require what the inner form
+    only exploits: both watermarks AND the event-time range on the
+    condition, because the engine must PROVE a buffered click can no
+    longer match before it may emit the NULL row — an unmatched click
+    is released exactly when the watermark passes click_ts + 1h, which
+    is also the moment its state is evicted. Same bounded-state
+    economics as e8 (state scales with event rate, not stream length);
+    in batch mode the watermark is a no-op and this is a plain LEFT
+    JOIN, which is the oracle."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
+
+
 _STATE_SCHEMA = "user_id BIGINT, n_events BIGINT, total DOUBLE, last_ts TIMESTAMP"
 
 
@@ -349,6 +384,32 @@ def e8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py with two readStream sides."""
     ev = load_tables(spark, sf_dir).events
     return tf_click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+_E10_ORACLE = """
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("e10_stream_stream_outer_join", _E10_ORACLE)
+def e10_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution join
+    (tf_click_purchase_join_outer) on the batch read, where the
+    watermark is a no-op and the semantics are a plain LEFT JOIN —
+    the oracle. Stream mode (two readStream sides, watermark-expired
+    NULL emission for never-matched clicks, including clicks whose
+    match window expires with no partner) is asserted in
+    tests/test_streaming.py via the sentinel-flush replay."""
+    ev = load_tables(spark, sf_dir).events
+    return tf_click_purchase_join_outer(
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )

@@ -394,6 +394,84 @@ def test_stream_stream_join_equals_batch(spark, events_dir, tmp_path):
     assert got == expected
 
 
+def test_stream_stream_outer_join_equals_batch_with_expiry(spark, events_dir, tmp_path):
+    """LEFT OUTER stream-stream join (e10): a never-matched click may
+    emit its NULL row only when the watermark PROVES no partner can
+    arrive (watermark past click_ts + 1h). Run 1 drains the real data;
+    run 2 delivers one far-future sentinel click that drags the final
+    watermark past every real click's match window, flushing the
+    remaining unmatched clicks. The union of both runs (the sentinel
+    itself stays buffered — nothing ever outruns ITS window) must
+    equal the batch LEFT JOIN, which the fixture makes non-vacuous in
+    both directions: matched pairs AND expired-with-no-partner
+    clicks."""
+    import datetime as dt
+    import os
+
+    from hive_to_es_spark.streaming.ops import tf_click_purchase_join_outer
+    from hive_to_es_spark.streaming.sink import parquet_batch_writer, start_foreach_batch
+
+    batch_df = spark.read.parquet(events_dir)
+    expected = _canon(
+        tf_click_purchase_join_outer(
+            batch_df.filter(F.col("event_type") == "click"),
+            batch_df.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    )
+    unmatched = [p for p in expected if p[3] is None]
+    assert unmatched, "fixture must contain clicks with no purchase in-window"
+    assert len(unmatched) < len(expected), "fixture must also contain matches"
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _copy_parts(events_dir, src, "a")
+    schema = batch_df.schema
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        joined = tf_click_purchase_join_outer(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+        )
+        q = start_foreach_batch(joined, parquet_batch_writer(sink), ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    # Two flush runs: AvailableNow does not run the no-data batch that
+    # would apply a watermark advanced by its OWN last batch, so run 2
+    # advances the watermark past every real click's window and run 3
+    # (whose data batch executes WITH that recovered watermark) emits
+    # the remaining NULL rows. The sentinels themselves never emit in
+    # a data batch (each run's batch uses the PRIOR run's watermark,
+    # which never clears a sentinel's own window); user_id=-1 rows are
+    # excluded anyway in case a future Spark adds the eager flush.
+    max_ts = batch_df.agg(F.max("ts")).first()[0]
+    for i, days in enumerate((10, 20)):
+        # one click AND one purchase: the global watermark is the MIN
+        # across both sides' watermark nodes, so a click-only sentinel
+        # would leave the purchase-side watermark (and therefore the
+        # join's eviction clock) stuck at the real data's horizon
+        far = max_ts + dt.timedelta(days=days)
+        sentinel = spark.createDataFrame(
+            [
+                (-999 - 2 * i, far, -1, "click", 0.0, None),
+                (-998 - 2 * i, far + dt.timedelta(hours=3), -1, "purchase", 0.0, None),
+            ],
+            schema,
+        )
+        flush_dir = str(tmp_path / f"flush{i}")
+        sentinel.coalesce(1).write.parquet(flush_dir)
+        _copy_parts(flush_dir, src, f"b{i}")
+        run_once()
+
+    got = _canon(
+        spark.read.parquet(sink).filter(F.col("user_id") != -1).collect()
+    )
+    assert got == expected
+
+
 def test_session_window_checkpoint_recovery(spark, events_dir, tmp_path):
     """Kill-and-restart for session windows (e3) — the stateful op
     most sensitive to restart semantics: a session whose events span

@@ -167,6 +167,7 @@ OPS = {
     "p25_dataset_card": (2.0, "corpus reduces map-side to |cells| rows in one scan; shares/rank are windows over the tiny table"),
     "t15_bigram_lm_score": (2.0, "one explode + two map-combined counts; score join keyed on bigram/prefix — t8's shape with one extra count"),
     "t16_bpe_train": (2.0, "corpus collapses to one word census; the k merge rounds are vocab-sized aggregates + literal replaces, so corpus growth prices only the census"),
+    "e10_stream_stream_outer_join": (2.0, "e8's equi-key shuffle + residual time range, left-outer: output adds one NULL row per unmatched click, still O(matches + clicks)"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
