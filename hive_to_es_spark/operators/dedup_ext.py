@@ -178,11 +178,32 @@ def capped_shingles(
     )
 
 
+# Corpus-size gate for ngram_jaccard_pairs (the w7->w8 auto-gate
+# pattern, r7-verdict task 3): below the limit the pedagogical
+# shared-shingle blocking is fine and keeps the EXACT contract; above
+# it the Σ|block|² candidate stream is the repo's worst growth class
+# (SCALE.md b≈1.12-1.14) and the banded-MinHash generator takes over.
+# 100k docs ≈ where the measured sf0.1 pair stream (1.13M candidates
+# from 6k docs) extrapolates past the 10^9-candidate class.
+_D4_BLOCKED_DOC_LIMIT = 100_000
+
+
+def choose_jaccard_plan(
+    n_docs: int, blocked_doc_limit: int = _D4_BLOCKED_DOC_LIMIT
+) -> str:
+    """Pure gate decision for ngram_jaccard_pairs' auto mode, factored
+    out so the branch logic is unit-testable without building either
+    plan (choose_range_plan's discipline)."""
+    return "blocked" if n_docs <= blocked_doc_limit else "banded"
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.2,
     df_cap: int = 1000,
     checkpoint_dir: str | None = None,
+    plan: str = "auto",
+    blocked_doc_limit: int = _D4_BLOCKED_DOC_LIMIT,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs from a (doc_id, text)
     DataFrame, blocked by shared shingle with a document-frequency cap.
@@ -207,9 +228,37 @@ def ngram_jaccard_pairs(
     token provably lands in both prefixes) is the real candidate-count
     lever, but its prefix is 80% of the set at t=0.2 — it pays at
     t>=0.7, the wrong regime for this operator's contract.
+
+    AUTO GATE (round 8): even df-capped, the shared-shingle candidate
+    stream is Σ|block|² — the worst growth class in SCALE.md. Above
+    `blocked_doc_limit` documents the candidate GENERATOR switches to
+    d11's banded MinHash over the SAME capped shingle stream, with the
+    same exact-verify join back to it, so reported values stay exact
+    Jaccard over the capped sets. Contract boundary (documented, not
+    hidden): on the banded branch recall for boundary-similarity pairs
+    follows the (b=16, r=2) S-curve — near-certain for J >= 0.5
+    (miss <= 3%% at 0.5, 8e-8 at 0.8, where real near-dup mass lives),
+    probabilistic near t=0.2 — the Lee-et-al. production trade. Below
+    the gate the blocked branch keeps the complete-recall exact
+    contract; `plan` pins a branch for testing ("blocked" | "banded" |
+    "auto"). The gate is one count() — driver state one long.
     """
+    if plan == "auto":
+        plan = choose_jaccard_plan(docs.count(), blocked_doc_limit)
     sh = capped_shingles(docs, df_cap, checkpoint_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if plan == "banded":
+        cand = minhash_candidate_pairs(sh)
+        sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        common = (
+            cand.join(sha, "doc_a")
+            .join(shb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        return _jaccard_from_common(common, sizes, threshold)
+    assert plan == "blocked", f"unknown ngram_jaccard_pairs plan {plan!r}"
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
@@ -535,6 +584,12 @@ def d4_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     meet (the shingle equi-join IS the blocking key); Jaccard is then
     exact: |A∩B| / (|A|+|B|-|A∩B|). The d2 MinHash op approximates
     exactly this quantity — d4 is its ground truth at test scale.
+
+    Above ngram_jaccard_pairs' auto gate (100k docs) the candidate
+    generator routes to d11's banded MinHash over the same capped
+    shingle stream, so a run_job caller can no longer pick up the
+    quadratic pair-stream class at scale by accident (round-8 gate;
+    boundary semantics documented on ngram_jaccard_pairs).
     """
     d = load_tables(spark, sf_dir).documents
     return ngram_jaccard_pairs(d, threshold=0.2, df_cap=1000)
@@ -914,7 +969,9 @@ def d9_text_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     same min-label propagation d7 uses on embedding pairs — the
     text-side dedup endgame. `is_canonical` marks the min-doc_id
     survivor per group; the oracle closes the identical pair graph
-    with a recursive CTE (integer-exact)."""
+    with a recursive CTE (integer-exact). Inherits ngram_jaccard_pairs'
+    round-8 auto gate: above 100k docs the pair stage routes to the
+    banded MinHash generator instead of the shared-shingle blocking."""
     from hive_to_es_spark.functions.graph import connected_components
 
     d = load_tables(spark, sf_dir).documents

@@ -626,3 +626,39 @@ def test_p25_dataset_card_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_jaccard_plan_gate_decision():
+    """ngram_jaccard_pairs' auto gate (round 8): the pedagogical
+    shared-shingle blocking only below the corpus-size limit; above
+    it the banded-MinHash candidate generator takes over — so neither
+    d4 nor d9 can pick up the Σ|block|² pair-stream class at scale."""
+    from hive_to_es_spark.operators.dedup_ext import (
+        _D4_BLOCKED_DOC_LIMIT,
+        choose_jaccard_plan,
+    )
+
+    assert choose_jaccard_plan(6_000) == "blocked"  # fixture scale
+    assert choose_jaccard_plan(_D4_BLOCKED_DOC_LIMIT) == "blocked"
+    assert choose_jaccard_plan(_D4_BLOCKED_DOC_LIMIT + 1) == "banded"
+    assert choose_jaccard_plan(10, blocked_doc_limit=5) == "banded"
+
+
+def test_jaccard_banded_branch_matches_blocked_on_fixtures(spark, sf_dir):
+    """The gated banded branch must reproduce the blocked branch's
+    exact output on the fixtures (every fixture pair has capped-set
+    J >= 0.8, where the (b=16, r=2) miss probability is 8e-8) — and
+    forcing the gate via a tiny blocked_doc_limit must route auto mode
+    through the same banded plan end to end."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.dedup_ext import ngram_jaccard_pairs
+
+    d = load_tables(spark, sf_dir).documents
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    blocked = canon(ngram_jaccard_pairs(d, plan="blocked"))
+    assert blocked, "fixture must produce near-dup pairs"
+    assert canon(ngram_jaccard_pairs(d, plan="banded")) == blocked
+    assert canon(ngram_jaccard_pairs(d, blocked_doc_limit=1)) == blocked
