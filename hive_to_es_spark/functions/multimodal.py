@@ -526,3 +526,158 @@ def image_signature(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(out)
 
     return df.mapInPandas(sig, SIGNATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# AVI video container (m8) — the video rung of the multimodal ladder:
+# m2/m4/m6 are images, m5 audio, m3 frame sampling over an opaque
+# payload; m8 builds and parses a REAL video container.
+
+VIDEO_SCHEMA = "doc_id long, video binary"
+VIDEO_FRAMES_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, n_frames INT, width INT, height INT, "
+    "frame_idx INT, frame_fill INT, frame_bytes BIGINT"
+)
+_AVI_FPS = 10
+
+
+def _pad4(n: int) -> int:
+    return (n + 3) // 4 * 4
+
+
+def make_avi(width: int, height: int, fills: list[int]) -> bytes:
+    """A real, minimal AVI container built by header arithmetic (no
+    media libs — the make_wav approach applied to RIFF/AVI):
+    RIFF('AVI ') + LIST hdrl (56-byte avih + LIST strl with a 56-byte
+    'vids'/'DIB ' strh and a 40-byte BITMAPINFOHEADER strf) + LIST
+    movi holding one '00db' chunk per frame of uncompressed 24-bit
+    BGR with rows padded to 4 bytes (the BMP stride rule). Frame i is
+    a uniform fill of fills[i]. Total size is pure arithmetic:
+    224 + n_frames * (8 + frame_bytes)."""
+    stride = _pad4(3 * width)
+    fb = stride * height
+    frames = []
+    for f in fills:
+        row = bytes([f]) * (3 * width) + b"\x00" * (stride - 3 * width)
+        frames.append(b"00db" + struct.pack("<I", fb) + row * height)
+    movi = (
+        b"LIST"
+        + struct.pack("<I", 4 + sum(len(c) for c in frames))
+        + b"movi"
+        + b"".join(frames)
+    )
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<14I",
+        1_000_000 // _AVI_FPS, fb * _AVI_FPS, 0, 0, len(fills), 0, 1, fb,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"strh" + struct.pack("<I", 56) + b"vids" + b"DIB "
+        + struct.pack(
+            "<IHH8I4H", 0, 0, 0, 0, 1, _AVI_FPS, 0, len(fills), fb, 0, 0,
+            0, 0, width, height,
+        )
+    )
+    strf = b"strf" + struct.pack("<I", 40) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, fb, 0, 0, 0, 0
+    )
+    strl = (
+        b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl"
+        + strh + strf
+    )
+    hdrl = (
+        b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl"
+        + avih + strl
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_fixture_video(docs: DataFrame, id_col: str = "doc_id",
+                         chars_col: str = "n_chars") -> DataFrame:
+    """Deterministic REAL video payloads: width = 1 + n_chars % 16,
+    height = 1 + doc_id % 12, n_frames = 1 + doc_id % 9, frame i a
+    uniform fill of (doc_id*31 + i*7) % 256 — pure functions of the
+    row, so a SQL oracle independently re-derives every value the
+    byte-level parse must recover (the m2/m5 trick, video edition)."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf[id_col], pdf[chars_col]):
+                did, w = int(doc_id), 1 + int(n_chars) % 16
+                h, n = 1 + did % 12, 1 + did % 9
+                payloads.append(
+                    make_avi(w, h, [(did * 31 + i * 7) % 256 for i in range(n)])
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "video": payloads})
+
+    return docs.select(id_col, chars_col).mapInPandas(enc, VIDEO_SCHEMA)
+
+
+def video_frame_sample(df: DataFrame, every_nth: int = 2,
+                       id_col: str = "doc_id",
+                       video_col: str = "video") -> DataFrame:
+    """Parse the AVI container and emit every `every_nth` frame's
+    statistics (m3's 1-row-in -> K-rows-out mapInPandas signature over
+    a REAL container): frame geometry from the avih header, per-frame
+    byte size from the '00db' chunk headers (cross-checked against
+    strf's biSizeImage), and the frame's uniform fill value from the
+    stride-stripped pixel bytes. A parser that misreads a header
+    field, miscounts a chunk, or forgets the row padding shifts a
+    value and breaks the oracle hash. Embarrassingly parallel, Arrow-
+    batched, no shuffle; a real decoder (pyav) slots into the same
+    iterator with the same schema."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[video_col]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                    raise ValueError(f"doc {doc_id}: not a RIFF/AVI payload")
+                if b[12:16] != b"LIST" or b[20:24] != b"hdrl":
+                    raise ValueError(f"doc {doc_id}: missing hdrl LIST")
+                if b[24:28] != b"avih":
+                    raise ValueError(f"doc {doc_id}: missing avih chunk")
+                avih = b[32 : 32 + 56]
+                n_frames = int.from_bytes(avih[16:20], "little")
+                w = int.from_bytes(avih[32:36], "little")
+                h = int.from_bytes(avih[36:40], "little")
+                size_image = int.from_bytes(b[192:196], "little")  # strf
+                hdrl_end = 20 + int.from_bytes(b[16:20], "little")
+                if b[hdrl_end : hdrl_end + 4] != b"LIST" or \
+                        b[hdrl_end + 8 : hdrl_end + 12] != b"movi":
+                    raise ValueError(f"doc {doc_id}: missing movi LIST")
+                stride = (3 * w + 3) // 4 * 4
+                pos = hdrl_end + 12
+                for i in range(n_frames):
+                    if b[pos : pos + 4] != b"00db":
+                        raise ValueError(f"doc {doc_id}: frame {i} chunk id")
+                    fb = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                    if fb != size_image:
+                        raise ValueError(f"doc {doc_id}: frame {i} size")
+                    if i % every_nth == 0:
+                        px = np.frombuffer(
+                            b[pos + 8 : pos + 8 + fb], dtype=np.uint8
+                        ).reshape(h, stride)[:, : 3 * w]
+                        rows.append(
+                            (
+                                int(doc_id), len(b), n_frames, w, h, i,
+                                int(px.sum()) // px.size, fb,
+                            )
+                        )
+                    pos += 8 + fb
+                if pos != len(b):
+                    raise ValueError(f"doc {doc_id}: trailing bytes")
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "n_frames", "width", "height",
+                    "frame_idx", "frame_fill", "frame_bytes",
+                ],
+            )
+
+    return df.mapInPandas(sample, VIDEO_FRAMES_SCHEMA)

@@ -595,3 +595,65 @@ def m7_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.col("hamming") <= 1)
+
+
+# m8 — the video-container rung (r7-verdict task 7), completing the
+# multimodal ladder: image decode m2/m4/m6, audio m5, opaque-payload
+# frame sampling m3 — m8 does m3's sampling over a REAL AVI container
+# built and parsed by header arithmetic. The oracle re-derives every
+# emitted value (container size, avih geometry, '00db' chunk sizes,
+# stride-stripped frame fill) from the generator formula, so a parser
+# that misreads one header field or forgets the BMP-rule row padding
+# hash-mismatches.
+_M8_ORACLE = """
+WITH spec AS (
+  SELECT doc_id,
+         1 + n_chars % 16 AS w,
+         1 + doc_id % 12 AS h,
+         1 + doc_id % 9 AS nf
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, w, h, nf,
+         CAST(h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS fb
+  FROM spec
+),
+fr AS (
+  SELECT doc_id, w, h, nf, fb, unnest(range(0, nf, 2)) AS frame_idx
+  FROM sized
+)
+SELECT doc_id,
+       CAST(224 + nf * (8 + fb) AS BIGINT) AS n_bytes,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST((doc_id * 31 + frame_idx * 7) % 256 AS INTEGER) AS frame_fill,
+       fb AS frame_bytes
+FROM fr
+"""
+
+
+@register("m8_video_container", _M8_ORACLE)
+def m8_video_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container decode + frame sampling over REAL AVI payloads:
+    every document gets a spec-conformant RIFF/AVI (avih + vids/DIB
+    strl + movi '00db' chunks of stride-padded 24-bit frames, all
+    header arithmetic — functions/multimodal.make_avi), and the
+    mapInPandas stage parses the actual container: geometry from
+    avih, per-frame sizes from the chunk headers cross-checked
+    against strf's biSizeImage, fill values from the stride-stripped
+    pixels, emitting every 2nd frame (m3's 1-in -> K-out signature).
+
+    Scale shape: embarrassingly parallel single pass over the binary
+    column, Arrow batches, no shuffle; row explosion bounded by
+    n_frames/2 <= 5 per doc. A real MJPEG/pyav decoder slots into the
+    same iterator with the same schema — the container walk, not the
+    codec, is the Spark-side contract."""
+    from hive_to_es_spark.functions.multimodal import (
+        encode_fixture_video,
+        video_frame_sample,
+    )
+
+    d = load_tables(spark, sf_dir).documents
+    return video_frame_sample(encode_fixture_video(d), every_nth=2)

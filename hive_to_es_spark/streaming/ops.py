@@ -9,9 +9,9 @@ readStream with Trigger.AvailableNow.
 Note on Spark 4's `transformWithStateInPandas`: the API exists in
 pyspark 4.1.2 and would be the modern spelling of e7's custom state,
 but executing it in this container fails inside the state-server
-bridge (`ImportError: cannot import name 'descriptor' from
-'google.protobuf'` — broken protobuf bindings, and installs are not
-permitted), so e7 stays on `applyInPandasWithState`, which runs
+bridge (protobuf bindings absent — re-probed round 8: `import
+google.protobuf` raises `No module named 'google'`, and installs are
+not permitted), so e7 stays on `applyInPandasWithState`, which runs
 correctly end to end (tests/test_streaming.py).
 """
 

@@ -226,3 +226,51 @@ def test_image_signature_handles_topdown_bmp(spark):
     topdown = bytes(base[:54]) + reordered
     _, _, _, rows = _decode_gray_rows(topdown)
     assert rows == [[_gradient_px(seed, x, y) for x in range(w)] for y in range(h)]
+
+
+def test_make_avi_structure_and_frame_sampling(spark):
+    """m8's worker on hand-built containers: a 7-wide frame has
+    stride padding (3*7=21 -> 24), so a parser that slurps the pad
+    zeros would shift the fill mean and fail the exact fill check;
+    chunk walk must visit every frame and emit only the even ones."""
+    from hive_to_es_spark.functions.multimodal import (
+        make_avi,
+        video_frame_sample,
+    )
+
+    fills = [10, 20, 30, 40, 50]
+    payload = make_avi(7, 3, fills)
+    stride_bytes = (3 * 7 + 3) // 4 * 4 * 3
+    assert len(payload) == 224 + 5 * (8 + stride_bytes)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    df = spark.createDataFrame([(1, payload)], "doc_id LONG, video BINARY")
+    got = sorted(
+        (r.frame_idx, r.frame_fill, r.frame_bytes, r.n_frames, r.width, r.height)
+        for r in video_frame_sample(df, every_nth=2).collect()
+    )
+    assert got == [
+        (0, 10, stride_bytes, 5, 7, 3),
+        (2, 30, stride_bytes, 5, 7, 3),
+        (4, 50, stride_bytes, 5, 7, 3),
+    ]
+
+
+def test_video_frame_sample_rejects_corrupt_container(spark):
+    """A truncated or id-corrupted container must FAIL the task (the
+    m8 contract is byte-real parsing, not best-effort): flipping one
+    chunk fourcc byte or dropping the trailer must raise."""
+    import pytest
+
+    from hive_to_es_spark.functions.multimodal import (
+        make_avi,
+        video_frame_sample,
+    )
+
+    good = make_avi(4, 2, [9, 9])
+    bad_chunk = bytearray(good)
+    bad_chunk[224] ^= 0xFF  # first '00db' fourcc byte
+    truncated = good[:-4]
+    for payload in (bytes(bad_chunk), truncated):
+        df = spark.createDataFrame([(1, payload)], "doc_id LONG, video BINARY")
+        with pytest.raises(Exception):
+            video_frame_sample(df).collect()
