@@ -194,6 +194,29 @@ EAGER_BUILD = {
     "p20_sync_reconcile",
 }
 
+# Round 8 (VERDICT r7 task 5): a 16x rung for the multi-second ops,
+# so their exponents are fit over the full 16x range where the
+# asymptote can actually emerge (several were still overhead-bent at
+# 8x). Cheap ops stay at <=8x — their 16x point is still under or
+# near the noise floor and would only add ~nothing but wall-clock.
+SCALE16_OPS = {
+    "d4_dedup_ngram_jaccard",
+    "d7_dedup_components",
+    "d9_text_dup_groups",
+    "d10_dedup_jaccard_prefix",
+    "d11_dedup_minhash_verified",
+    "d12_dup_groups_hybrid",
+    "d13_sketch_accuracy",  # audit section reuses these points at 16x
+    "d14_canonical_pick",
+    "d15_subsumed_docs",
+    "w4_range_frame",
+    "w7_range_frame_highcard",
+    "w8_range_frame_scalable",
+    "m7_image_neardup",
+    "s12_recall_report",
+    "t13_line_dedup",
+}
+
 # Two-sided slack per doubling step. Upper breach = superlinear creep
 # (FAIL: the scale danger). Lower breach = grew less than the model
 # (LOW: either fixed per-job overhead dominating at this size, or the
@@ -270,17 +293,18 @@ def fit_exponent(ks: list[int], ts: list[float]) -> float:
 def main() -> int:
     spark = get_spark("scale_proof")
     spark.sparkContext.setLogLevel("ERROR")
+    all_scales = SCALES + [16]
     dirs = {1: SF_DIR}
-    for k in SCALES[1:]:
+    for k in all_scales[1:]:
         build_scaled(spark, k)
         dirs[k] = scaled_dir(k)
     # include_deprecated: SCALE.md deliberately charts the deprecated
     # w7 ceiling next to its replacement (w8)
     qs = queries(include_deprecated=True)
-    scale_list = "/".join(f"{k}x" for k in SCALES)
-    t_heads = " | ".join(f"t({k}x) s" for k in SCALES)
+    scale_list = "/".join(f"{k}x" for k in all_scales)
+    t_heads = " | ".join(f"t({k}x) s" for k in all_scales)
     step_heads = " | ".join(
-        f"step {a}x→{b}x" for a, b in zip(SCALES, SCALES[1:])
+        f"step {a}x→{b}x" for a, b in zip(all_scales, all_scales[1:])
     )
     lines = [
         "# SCALE — empirical growth curve",
@@ -290,9 +314,11 @@ def main() -> int:
         "scaling strategy and why each expectation holds). Times are",
         "best-of-2 collect() after a warm-up, local[32]; eager-build ops",
         "(d4, d7, d9, d10, d11) rebuild inside the timed section. `b` is",
-        f"the least-squares exponent of t vs k over k={scale_list};",
-        f"model b = log2(per-doubling factor). The verdict is TWO-SIDED",
-        f"per doubling step (slack {SLACK}x):",
+        f"the least-squares exponent of t vs k over the op's measured",
+        f"rung set; model b = log2(per-doubling factor). Multi-second ops",
+        f"(SCALE16_OPS) carry a fifth 16x rung so the asymptote can emerge",
+        f"(round 8); '—' marks rungs not run for the cheap ops. The",
+        f"verdict is TWO-SIDED per doubling step (slack {SLACK}x):",
         "",
         "- **FAIL**: any step grew MORE than model*slack — superlinear creep.",
         "- **LOW**: the LAST doubling step grew LESS than model/slack — fixed",
@@ -304,13 +330,14 @@ def main() -> int:
         "  pair/edge ROW counts in the table still grow with the model.",
         "",
         f"| op | {t_heads} | rows {scale_list} | b | model b | {step_heads} | verdict |",
-        "|" + "---|" * (len(SCALES) * 2 + 4),
+        "|" + "---|" * (len(all_scales) * 2 + 4),
     ]
     any_fail = False
     main_measurements: dict[str, tuple[list[float], list[int]]] = {}
     for op, (factor, note) in OPS.items():
+        op_scales = all_scales if op in SCALE16_OPS else SCALES
         ts, rows = [], []
-        for k in SCALES:
+        for k in op_scales:
             t, r = bench_one(spark, qs[op], dirs[k], eager=op in EAGER_BUILD)
             ts.append(t)
             rows.append(r)
@@ -318,7 +345,7 @@ def main() -> int:
         steps = [
             (b / a if a > 0 else float("inf")) for a, b in zip(ts, ts[1:])
         ]
-        b = fit_exponent(SCALES, ts)
+        b = fit_exponent(op_scales, ts)
         b_model = math.log2(factor)
         fail = any(g > factor * SLACK for g in steps)
         low = steps[-1] < factor / SLACK
@@ -332,8 +359,9 @@ def main() -> int:
             else "FAIL" if fail
             else ("LOW" if low else "PASS")
         )
-        t_cells = " | ".join(f"{t:.3f}" for t in ts)
-        step_cells = " | ".join(f"{g:.2f}x" for g in steps)
+        pad = len(all_scales) - len(op_scales)
+        t_cells = " | ".join([f"{t:.3f}" for t in ts] + ["—"] * pad)
+        step_cells = " | ".join([f"{g:.2f}x" for g in steps] + ["—"] * pad)
         row_cells = "/".join(str(r) for r in rows)
         lines.append(
             f"| {op} | {t_cells} | {row_cells} | {b:.2f} | {b_model:.0f} "
@@ -349,11 +377,10 @@ def main() -> int:
     from hive_to_es_spark.operators.dedup_ext import d13_sketch_accuracy_sampled
 
     audit_k = SCALES + [16]
-    build_scaled(spark, 16)
-    dirs[16] = scaled_dir(16)
     audit_rows_md = []
-    # the full d13 already ran at k<=8 in the OPS loop with identical
-    # bench_one settings — reuse those points, time only the 16x one
+    # the full d13 already ran at every rung (incl. 16x — it is in
+    # SCALE16_OPS) in the OPS loop with identical bench_one settings —
+    # reuse those points verbatim
     full_prior = main_measurements["d13_sketch_accuracy"]
     for label, fn, model_b, flat, prior in (
         ("d13_sketch_accuracy (full corpus)", qs["d13_sketch_accuracy"], 2.0, False, full_prior),
