@@ -214,9 +214,23 @@ def main() -> int:
                 # day/machine variance, not a code regression (w8's
                 # source was untouched in r6; its bucket-parallel plan
                 # shape stays pinned in test_plans.py).
+                # Round-8 dedup-family drift check (VERDICT r7 task 4):
+                # the uniform r6->r7 +10-35% on d4/d7/d9/d10/d11/d12
+                # was re-A/B'd with the same methodology — interleaved
+                # fresh subprocesses, EXACT r6 tree (54f7229) vs the
+                # round-8 tree, same day, eager-rebuild best-of-3 at
+                # sf0.1 (r6-tree vs current, two reps each):
+                # d4 3.46/3.62 vs 3.69/3.56; d7 3.19/3.96 vs 3.23/3.84;
+                # d9 4.06/4.71 vs 4.40/4.56; d10 1.95/2.14 vs 1.86/2.15;
+                # d11 1.60/1.82 vs 1.43/1.97; d12 2.54/2.89 vs 2.30/2.82.
+                # The between-tree gap is SMALLER than the within-tree
+                # rep spread on every op (current faster on several) —
+                # the r6->r7 drift is day variance, not a regression.
                 "notes": "sub-100ms ops vary up to ~2.5x with JVM warmth across "
                 "session layouts (tools/bench_drift.py); same-layout +-20%; "
-                "multi-sec ops vary ~+-25% across days (w8 A/B, round 7)",
+                "multi-sec ops vary ~+-25% across days (w8 A/B round 7; "
+                "dedup-family A/B round 8 — r6 tree vs r8 tree "
+                "indistinguishable, within-tree spread > between-tree gap)",
             }
         )
     )
