@@ -1018,3 +1018,122 @@ def t16_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank BIGINT, left_sym STRING, right_sym STRING, "
         "merged STRING, pair_count BIGINT",
     )
+
+
+# t17 — BPE ENCODE with the t16-learned merge table: tokenize the
+# corpus with the trained vocab and account tokens per document — the
+# production consumer of BPE training (token budgeting, sequence
+# packing, per-doc cost attribution all start from this count).
+def _t17_oracle(k: int = _T16_MERGES) -> str:
+    L, R = "chr(1)", "chr(2)"
+    sep = f"{R} || {L}"
+    # t16's unrolled merge chain, but the word table CARRIES the word
+    # through every rewrite so the final per-word token count can join
+    # back to the corpus.
+    ctes = [
+        f"""wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+w0 AS (
+  SELECT word,
+         {L} || array_to_string(string_split(word, ''), {sep}) || {R} AS enc,
+         freq
+  FROM wc
+)"""
+    ]
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT tl AS lft, tr AS rgt, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(t[1:len(t) - 1]) AS tl, unnest(t[2:len(t)]) AS tr, freq
+    FROM (SELECT string_split(substr(enc, 2, length(enc) - 2), {sep}) AS t,
+                 freq
+          FROM w{r - 1})
+  )
+  GROUP BY tl, tr
+),
+m{r} AS (
+  SELECT lft, rgt FROM p{r} ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1
+),
+w{r} AS (
+  SELECT word,
+         replace(enc, {L} || lft || {R} || {L} || rgt || {R},
+                 {L} || lft || rgt || {R}) AS enc, freq
+  FROM w{r - 1}, m{r}
+)"""
+        )
+    return (
+        "WITH\n"
+        + ",\n".join(ctes)
+        + f""",
+wtok AS (
+  SELECT word,
+         len(string_split(substr(enc, 2, length(enc) - 2), {sep})) AS n_tok
+  FROM w{k}
+),
+cnt AS (
+  SELECT doc_id, word, count(*) AS n
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_words,
+       CAST(sum(n * n_tok) AS BIGINT) AS n_bpe_tokens
+FROM cnt JOIN wtok USING (word)
+GROUP BY doc_id"""
+    )
+
+
+_T17_ORACLE = _t17_oracle()
+
+
+@register("t17_bpe_encode", _T17_ORACLE)
+def t17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the t16-trained BPE vocabulary: learn
+    the 8 merges (bpe_train), apply them IN ORDER to every distinct
+    word (8 chained literal replaces over the sentinel encoding — one
+    projection, no UDF), and account per-document token counts
+    (whitespace words vs BPE tokens — always words <= chars, with the
+    compression the merges bought).
+
+    Scale: the merge application runs on the |vocab| table (the t16
+    census economics), and the corpus-sized work is one groupBy
+    (doc_id, word) count + a join on word — at fixture scale the word
+    table broadcasts; at 10^8-word vocab it is an ordinary shuffle
+    join on a high-cardinality key. The oracle replays the identical
+    merge chain carrying the word through every rewrite, then joins
+    the same per-doc word counts."""
+    d = load_tables(spark, sf_dir).documents
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    merges = bpe_train(words)
+    L, R = _T16_L, _T16_R
+    enc = F.concat(F.lit(L), F.array_join(F.split("word", ""), R + L), F.lit(R))
+    for _, lft, rgt, merged, _ in merges:
+        enc = F.replace(enc, F.lit(L + lft + R + L + rgt + R), F.lit(L + merged + R))
+    wtok = words.select(
+        "word", enc.alias("enc")
+    ).select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(enc, 2, length(enc) - 2)"), R + L)
+        ).alias("n_tok"),
+    )
+    cnt = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    return cnt.join(F.broadcast(wtok), "word").groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.sum(F.col("n") * F.col("n_tok")).cast("bigint").alias("n_bpe_tokens"),
+    )

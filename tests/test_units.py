@@ -2009,3 +2009,36 @@ def test_t16_bpe_train_fixture_merges_are_hierarchical(spark, sf_dir):
             hierarchical = True
         produced.add(r.merged)
     assert hierarchical, "no merge built on an earlier merge's product"
+
+
+def test_t17_bpe_encode_counts_are_consistent_and_compress(spark, sf_dir):
+    """t17's accounting identities on real fixtures: every document
+    appears; n_words matches the whitespace token count; n_bpe_tokens
+    is bounded by [n_words, n_letters] (a token is >= 1 word piece,
+    <= 1 char each); and the 8 learned merges buy real compression —
+    strictly fewer tokens than characters for every doc (the fixture
+    vocabulary repeats heavily, so merges must bite everywhere)."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in queries()["t17_bpe_encode"](spark, sf_dir).collect()
+    }
+    base = {
+        r.doc_id: (r.nw, r.nl)
+        for r in load_tables(spark, sf_dir)
+        .documents.select(
+            "doc_id",
+            F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != ""))
+            .alias("nw"),
+            F.length(F.regexp_replace(F.lower("text"), " ", "")).alias("nl"),
+        )
+        .collect()
+    }
+    assert set(got) == set(base)
+    for did, (nw, nbpe) in got.items():
+        bw, bl = base[did]
+        assert nw == bw, (did, nw, bw)
+        assert nw <= nbpe < bl, (did, nw, nbpe, bl)

@@ -169,6 +169,7 @@ OPS = {
     "t16_bpe_train": (2.0, "corpus collapses to one word census; the k merge rounds are vocab-sized aggregates + literal replaces, so corpus growth prices only the census"),
     "e10_stream_stream_outer_join": (2.0, "e8's equi-key shuffle + residual time range, left-outer: output adds one NULL row per unmatched click, still O(matches + clicks)"),
     "m8_video_container": (2.0, "embarrassingly parallel container walk, no shuffle; output bounded by ceil(n_frames/2) <= 5 rows/doc"),
+    "t17_bpe_encode": (2.0, "t16's census economics + one (doc_id, word) count shuffle and a word join; merge application is vocab-sized"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
