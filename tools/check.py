@@ -44,8 +44,12 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; Spark-written scaled dirs
+        # (tools/scale_proof.py ladder) are directories of part files
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     return con
 

@@ -363,7 +363,7 @@ def main() -> int:
         pad = len(all_scales) - len(op_scales)
         t_cells = " | ".join([f"{t:.3f}" for t in ts] + ["—"] * pad)
         step_cells = " | ".join([f"{g:.2f}x" for g in steps] + ["—"] * pad)
-        row_cells = "/".join(str(r) for r in rows)
+        row_cells = "/".join([str(r) for r in rows] + ["—"] * pad)
         lines.append(
             f"| {op} | {t_cells} | {row_cells} | {b:.2f} | {b_model:.0f} "
             f"| {step_cells} | {verdict} |"
