@@ -145,6 +145,45 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int | None:
+    """Best-effort row count WITHOUT a Spark job, for plan-gate
+    decisions (ngram_jaccard_pairs' auto gate, ADVICE r8: the gate ran
+    a full count() action per call even at fixture scale where the
+    outcome is always 'blocked').
+
+    - Parquet-path sources: sum of footer row counts via pyarrow —
+      metadata-only, milliseconds, no executor involvement. This is
+      exactly what a cluster's file-listing phase already knows.
+    - Catalog sources: the CBO row-count statistic if ANALYZE ran.
+    - Anything else (or any failure): None — callers fall back to a
+      count() job, which stays correct, just costs one action.
+
+    A gate only needs order-of-magnitude accuracy, so a slightly stale
+    footer/stat count is fine; correctness never depends on it.
+    """
+    try:
+        if sf_dir.startswith(CATALOG_PREFIX):
+            db = sf_dir[len(CATALOG_PREFIX):]
+            row = spark.sql(f"DESCRIBE TABLE EXTENDED {db}.{name}").where(
+                F.col("col_name") == "Statistics"
+            ).collect()
+            for r in row:
+                # "X bytes, N rows" only present after ANALYZE
+                parts = (r.data_type or "").split(",")
+                for p in parts:
+                    p = p.strip()
+                    if p.endswith("rows"):
+                        return int(p.split()[0])
+            return None
+        import pyarrow.dataset as ds
+
+        return ds.dataset(
+            os.path.join(sf_dir, f"{name}.parquet"), format="parquet"
+        ).count_rows()
+    except Exception:
+        return None
+
+
 class Tables:
     """Lazy table accessor: ``t.lineitem`` reads on first touch.
 

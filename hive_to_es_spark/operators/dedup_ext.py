@@ -9,10 +9,15 @@ label/LSH bucket) — the all-pairs product never appears in any plan.
 
 from __future__ import annotations
 
+import logging
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_to_es_spark.io import load_tables
+from hive_to_es_spark.io import load_tables, table_row_count
+
+_LOG = logging.getLogger(__name__)
 from hive_to_es_spark.functions.lifecycle import materialize
 from hive_to_es_spark.operators.dedup import word_shingles
 from hive_to_es_spark.operators.similarity import _dbl, _dot, _norm
@@ -204,6 +209,7 @@ def ngram_jaccard_pairs(
     checkpoint_dir: str | None = None,
     plan: str = "auto",
     blocked_doc_limit: int = _D4_BLOCKED_DOC_LIMIT,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs from a (doc_id, text)
     DataFrame, blocked by shared shingle with a document-frequency cap.
@@ -241,10 +247,34 @@ def ngram_jaccard_pairs(
     probabilistic near t=0.2 — the Lee-et-al. production trade. Below
     the gate the blocked branch keeps the complete-recall exact
     contract; `plan` pins a branch for testing ("blocked" | "banded" |
-    "auto"). The gate is one count() — driver state one long.
+    "auto").
+
+    The auto gate's input is `n_docs` when the caller already knows it
+    (d4/d9 pass the parquet-footer count from io.table_row_count — no
+    job), else one count() action (driver state one long). When the
+    gate TRIPS to the banded branch, a UserWarning + log line names the
+    plan swap and its recall boundary, so the contract change is never
+    silent (ADVICE r8 medium): callers that need complete recall at
+    scale must pass plan="blocked" explicitly and own the Σ|block|²
+    cost; callers that accept the S-curve trade can silence the warning
+    by calling the banded plan (or d11) explicitly.
     """
     if plan == "auto":
-        plan = choose_jaccard_plan(docs.count(), blocked_doc_limit)
+        n = n_docs if n_docs is not None else docs.count()
+        plan = choose_jaccard_plan(n, blocked_doc_limit)
+        if plan == "banded":
+            msg = (
+                f"ngram_jaccard_pairs auto gate: {n} docs > "
+                f"{blocked_doc_limit} — switching candidate generator to "
+                f"banded MinHash (b=16, r=2). Reported Jaccard values stay "
+                f"exact, but recall for boundary pairs follows the banding "
+                f"S-curve (~50% near J=0.21 at threshold 0.2; >=97% at "
+                f"J>=0.5). Pass plan='blocked' to keep complete recall at "
+                f"quadratic candidate cost, or plan='banded' to accept the "
+                f"trade silently."
+            )
+            warnings.warn(msg, UserWarning, stacklevel=2)
+            _LOG.warning(msg)
     sh = capped_shingles(docs, df_cap, checkpoint_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     if plan == "banded":
@@ -592,7 +622,10 @@ def d4_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary semantics documented on ngram_jaccard_pairs).
     """
     d = load_tables(spark, sf_dir).documents
-    return ngram_jaccard_pairs(d, threshold=0.2, df_cap=1000)
+    return ngram_jaccard_pairs(
+        d, threshold=0.2, df_cap=1000,
+        n_docs=table_row_count(spark, sf_dir, "documents"),
+    )
 
 
 # Demo threshold 0.3: the fixture embeddings are diffuse (within-label
@@ -975,7 +1008,9 @@ def d9_text_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_to_es_spark.functions.graph import connected_components
 
     d = load_tables(spark, sf_dir).documents
-    pairs = ngram_jaccard_pairs(d, threshold=0.2).select("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(
+        d, threshold=0.2, n_docs=table_row_count(spark, sf_dir, "documents")
+    ).select("doc_a", "doc_b")
     comp = connected_components(
         d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
     )

@@ -1688,11 +1688,19 @@ def selective_partition_delete(spark, path, part_col, pred, affected=None):
     dynamic overwrite that reads and rewrites ``path`` in one job is
     non-atomic on S3A — a mid-commit failure could leave partitions
     half-replaced with NO surviving copy). Survivors are written once
-    to a SIBLING staging dir (same filesystem, executor-writable),
-    then each affected partition dir is swapped via delete+rename: if
-    the staging write fails the target is untouched; if a swap fails
-    mid-way the staging copy survives for manual recovery — at no
-    point do both copies of a partition cease to exist.
+    to a SIBLING staging dir (same filesystem, executor-writable); a
+    staging-write failure cleans the staging dir up (try/except — no
+    leaked temp dirs) and leaves the target untouched. Each affected
+    partition is then swapped RENAME-ASIDE-FIRST (ADVICE r8): rename
+    dst -> dst.old, rename staging copy -> dst, delete dst.old. A
+    crash between the renames leaves the old copy at dst.old — every
+    intermediate state keeps at least one on-disk copy of the
+    partition, and a failed rename-in restores dst from dst.old before
+    raising. Leftover .old dirs from a prior crashed run are cleared
+    at the start of each swap (idempotent re-run). While a swap is in
+    flight a concurrent reader may see the partition under the
+    transient "<part>.old" value — acceptable for a maintenance op
+    that owns the table during compaction/delete windows.
 
     Two further delete-helper traps (round-7 review):
     - NULL predicate rows are KEPT: ``~pred`` is NULL for NULL
@@ -1716,22 +1724,36 @@ def selective_partition_delete(spark, path, part_col, pred, affected=None):
         ]
     survivors = base.filter(F.col(part_col).isin(affected) & ~is_target)
     staging = path.rstrip("/") + "_delete_staging_" + uuid.uuid4().hex
-    (
-        survivors.repartition(F.col(part_col))
-        .write.mode("overwrite")
-        .partitionBy(part_col)
-        .parquet(staging)
-    )
+    try:
+        (
+            survivors.repartition(F.col(part_col))
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(staging)
+        )
+    except Exception:
+        fs_delete(spark, staging)  # never leak a half-written staging dir
+        raise
     for part in sorted(affected):
         src = f"{staging}/{part_col}={part}"
         dst = f"{path}/{part_col}={part}"
+        old = dst + ".old"
         fs, dst_p = _hadoop_fs(spark, dst)
         _, src_p = _hadoop_fs(spark, src)  # sibling => same filesystem
-        fs.delete(dst_p, True)
-        if fs.exists(src_p) and not fs.rename(src_p, dst_p):
+        _, old_p = _hadoop_fs(spark, old)
+        fs.delete(old_p, True)  # leftover from a prior crashed run
+        if fs.exists(dst_p) and not fs.rename(dst_p, old_p):
             raise IOError(
-                f"rename {src} -> {dst} failed; survivors intact at {src}"
+                f"rename-aside {dst} -> {old} failed; target untouched, "
+                f"survivors intact at {src}"
             )
+        if fs.exists(src_p) and not fs.rename(src_p, dst_p):
+            fs.rename(old_p, dst_p)  # restore: swap failed, nothing lost
+            raise IOError(
+                f"rename {src} -> {dst} failed; original restored from "
+                f"{old}, survivors intact at {src}"
+            )
+        fs.delete(old_p, True)
     fs_delete(spark, staging)
     spark.catalog.refreshByPath(path)
     return affected

@@ -1059,10 +1059,16 @@ m{r} AS (
   SELECT lft, rgt FROM p{r} ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1
 ),
 w{r} AS (
+  -- LEFT JOIN, not cross join: if the corpus exhausts mergeable pairs
+  -- before round {r}, m{r} is empty and a cross join would empty the
+  -- whole word table (while the Spark side just stops merging early).
+  -- With the left join an absent merge row leaves enc unchanged —
+  -- the exact semantics of "no merge learned this round" (ADVICE r8).
   SELECT word,
-         replace(enc, {L} || lft || {R} || {L} || rgt || {R},
-                 {L} || lft || rgt || {R}) AS enc, freq
-  FROM w{r - 1}, m{r}
+         CASE WHEN lft IS NULL THEN enc
+              ELSE replace(enc, {L} || lft || {R} || {L} || rgt || {R},
+                           {L} || lft || rgt || {R}) END AS enc, freq
+  FROM w{r - 1} LEFT JOIN m{r} ON TRUE
 )"""
         )
     return (

@@ -2042,3 +2042,66 @@ def test_t17_bpe_encode_counts_are_consistent_and_compress(spark, sf_dir):
         bw, bl = base[did]
         assert nw == bw, (did, nw, bw)
         assert nw <= nbpe < bl, (did, nw, nbpe, bl)
+
+
+def test_table_row_count_matches_count_without_job(spark, sf_dir):
+    """io.table_row_count (the auto-gate's no-job row count, ADVICE r8)
+    must agree with a real count() on every fixture table it claims to
+    know, and return None — never a wrong number — for unknowable
+    sources."""
+    from hive_to_es_spark.io import load_tables, table_row_count
+
+    t = load_tables(spark, sf_dir)
+    for name in ("documents", "orders", "region"):
+        n = table_row_count(spark, sf_dir, name)
+        assert n is not None
+        assert n == getattr(t, name).count(), name
+    assert table_row_count(spark, "/nonexistent/dir", "documents") is None
+
+
+def test_jaccard_auto_gate_warns_on_banded_swap(spark, sf_dir):
+    """ADVICE r8 (medium): when the auto gate swaps d4/d9's
+    complete-recall contract for banded-MinHash candidates, the swap
+    must be LOUD — a UserWarning naming the recall boundary — and the
+    caller-supplied n_docs must drive the gate (no count() action).
+    Below the gate, and on explicitly pinned plans, no warning."""
+    import warnings as w
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.dedup_ext import ngram_jaccard_pairs
+
+    d = load_tables(spark, sf_dir).documents
+    with pytest.warns(UserWarning, match="banded MinHash"):
+        ngram_jaccard_pairs(d, blocked_doc_limit=1, n_docs=2)
+    with w.catch_warnings():
+        w.simplefilter("error")  # any warning fails the test
+        ngram_jaccard_pairs(d, n_docs=2)  # under the gate: blocked
+        ngram_jaccard_pairs(d, plan="banded")  # explicit opt-in: silent
+
+
+def test_t17_oracle_survives_merge_exhaustion(duck):
+    """ADVICE r8: a corpus of single-char words exhausts mergeable
+    pairs at round 1 — every m{r} is empty. The oracle's per-round
+    LEFT JOIN must leave the word table intact (one row per doc, one
+    token per char), where the old cross-join emptied it to 0 rows
+    while Spark returned all docs."""
+    from hive_to_es_spark.operators.text_ext import _t17_oracle
+
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        "SELECT * FROM (VALUES (1, 'a b c'), (2, 'a a')) t(doc_id, text)"
+    )
+    try:
+        rows = duck.execute(_t17_oracle()).fetchall()
+        got = {r[0]: (r[1], r[2]) for r in rows}
+        # no merges apply => every BPE token is a single char
+        assert got == {1: (3, 3), 2: (2, 2)}
+    finally:
+        import os
+
+        # restore the shared session fixture's documents view
+        sf = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+        duck.execute(
+            "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
