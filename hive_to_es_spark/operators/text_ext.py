@@ -922,6 +922,44 @@ FROM ({union})"""
 _T16_ORACLE = _t16_oracle()
 
 
+def _bpe_encode_words(words: DataFrame) -> DataFrame:
+    """(word, freq) -> (enc, freq) with the sentinel symbol encoding
+    both trainers and the oracle share: \\x01 tok \\x02 per symbol."""
+    L, R = _T16_L, _T16_R
+    return words.select(
+        F.concat(
+            F.lit(L), F.array_join(F.split("word", ""), R + L), F.lit(R)
+        ).alias("enc"),
+        "freq",
+    )
+
+
+def _bpe_pair_counts(w: DataFrame) -> DataFrame:
+    """Adjacent-pair frequency table (lft, rgt, cnt) over an encoded
+    word census — ONE map-side-combinable aggregate on the |vocab|
+    table; pairs are counted per position ("aaa" contributes (a,a)
+    twice), the classic BPE counting rule."""
+    L, R = _T16_L, _T16_R
+    return (
+        w.withColumn(
+            "t",
+            F.split(F.expr("substring(enc, 2, length(enc) - 2)"), R + L),
+        )
+        .filter(F.size("t") >= 2)  # 1-symbol words carry no pairs
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i - 1] AS lft, t[i] AS rgt))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        .groupBy("p.lft", "p.rgt")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
 def bpe_train(words: DataFrame, n_merges: int = _T16_MERGES) -> list[tuple]:
     """Learn ``n_merges`` BPE merges from a (word, freq) census frame.
     Returns the merge table as [(rank, left, right, merged, count)].
@@ -939,33 +977,10 @@ def bpe_train(words: DataFrame, n_merges: int = _T16_MERGES) -> list[tuple]:
     from hive_to_es_spark.functions.lifecycle import materialize, release_checkpoint
 
     L, R = _T16_L, _T16_R
-    w = words.select(
-        F.concat(
-            F.lit(L), F.array_join(F.split("word", ""), R + L), F.lit(R)
-        ).alias("enc"),
-        "freq",
-    )
-    w = materialize(w)
+    w = materialize(_bpe_encode_words(words))
     merges: list[tuple] = []
     for r in range(1, n_merges + 1):
-        pr = (
-            w.withColumn(
-                "t",
-                F.split(F.expr("substring(enc, 2, length(enc) - 2)"), R + L),
-            )
-            .filter(F.size("t") >= 2)  # 1-symbol words carry no pairs
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(t) - 1), "
-                        "i -> struct(t[i - 1] AS lft, t[i] AS rgt))"
-                    )
-                ).alias("p"),
-                "freq",
-            )
-            .groupBy("p.lft", "p.rgt")
-            .agg(F.sum("freq").alias("cnt"))
-        )
+        pr = _bpe_pair_counts(w)
         top = pr.orderBy(F.col("cnt").desc(), "lft", "rgt").limit(1).collect()
         if not top:
             break  # vocabulary fully collapsed before n_merges
@@ -989,6 +1004,100 @@ def bpe_train(words: DataFrame, n_merges: int = _T16_MERGES) -> list[tuple]:
     return merges
 
 
+def bpe_train_batched(
+    words: DataFrame,
+    n_merges: int = _T16_MERGES,
+    batch_size: int = 4,
+) -> list[tuple]:
+    """bpe_train with BATCHED merge rounds: apply up to ``batch_size``
+    mutually non-interacting merges per Spark round, cutting the
+    sequential trainer's one-driver-roundtrip-per-merge loop to
+    ~ceil(k / batch_size) rounds (exactly k/batch_size when conflicts
+    are rare; never more than k) — the shape a production 32k-merge
+    vocabulary needs, where 32k sequential jobs is the wrong plan even
+    though each is cheap (r8 verdict task 3).
+
+    OUTPUT-IDENTICAL to bpe_train (the semantics pin — property-tested
+    on random corpora and hash-gated through t16's sequential oracle).
+    The batch acceptance rule is what makes that a theorem, not a
+    hope. Rank all pairs by (cnt DESC, lft, rgt) — sequential's argmax
+    order — and accept the maximal PREFIX such that:
+
+    1. accepted pairs are pairwise symbol-disjoint (a merge only
+       perturbs counts of pairs sharing one of its symbols; disjoint
+       pairs' counts are invariant under each other's application);
+    2. the prefix stops at the first conflicting pair, so every pair
+       sharing a symbol with an accepted merge ranks BELOW the stop
+       point — hence every NEW pair a batch merge creates (each
+       occurrence of (x, ab) / (ab, y) comes from an old occurrence of
+       (x, a) / (b, y), both conflicting) has count <= M, the count at
+       the stop point;
+    3. accepted pairs with cnt <= M are trimmed from the tail: each
+       survivor strictly beats every pair sequential could newly see,
+       so sequential's round-i argmax is exactly accepted[i] (old
+       pairs ranked below it only lose count; ties resolve by the
+       rank order already honored);
+    4. a self-pair (a,a) closes its batch: run rewrites ("aaa" ->
+       "aa a") can mint new pairs bounded only by the self-pair's own
+       count, outside M's guarantee.
+
+    The ranked read is a bounded top-(4*batch+1) collect — driver
+    state stays O(batch) rows per round, and each round is still one
+    map-side-combinable pair count + one literal-replace projection
+    over the |vocab| census."""
+    from hive_to_es_spark.functions.lifecycle import materialize, release_checkpoint
+
+    L, R = _T16_L, _T16_R
+    window = batch_size * 4 + 1
+    w = materialize(_bpe_encode_words(words))
+    merges: list[tuple] = []
+    while len(merges) < n_merges:
+        top = (
+            _bpe_pair_counts(w)
+            .orderBy(F.col("cnt").desc(), "lft", "rgt")
+            .limit(window)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully collapsed before n_merges
+        accepted: list = []
+        used: set[str] = set()
+        bound = None  # count upper bound for every non-accepted pair
+        for row in top:
+            if (
+                len(accepted) >= batch_size
+                or (accepted and accepted[-1].lft == accepted[-1].rgt)
+                or row.lft in used
+                or row.rgt in used
+            ):
+                bound = int(row.cnt)
+                break
+            accepted.append(row)
+            used.update((row.lft, row.rgt))
+        else:
+            if len(top) == window:
+                bound = int(top[-1].cnt)  # table may extend past the window
+        if bound is not None:
+            while len(accepted) > 1 and int(accepted[-1].cnt) <= bound:
+                accepted.pop()  # can't prove it beats a new pair: defer
+        accepted = accepted[: n_merges - len(merges)]
+        enc = F.col("enc")
+        for row in accepted:
+            merges.append(
+                (len(merges) + 1, row.lft, row.rgt, row.lft + row.rgt, int(row.cnt))
+            )
+            enc = F.replace(
+                enc,
+                F.lit(L + row.lft + R + L + row.rgt + R),
+                F.lit(L + row.lft + row.rgt + R),
+            )
+        nxt = materialize(w.select(enc.alias("enc"), "freq"))
+        release_checkpoint(w)
+        w = nxt
+    release_checkpoint(w)
+    return merges
+
+
 @register("t16_bpe_train", _T16_ORACLE)
 def t16_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training: learn the first
@@ -999,12 +1108,17 @@ def t16_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     i.e. the artifact a tokenizer trainer ships.
 
     The corpus-sized work is ONE word-frequency census (map-side
-    combinable groupBy); all k merge rounds run over the |vocab|
-    table via bpe_train (see its scale notes). The oracle unrolls the
-    same k rounds as chained CTEs generated from the same constants:
-    both engines express "apply merge (a,b)" as a literal replace
-    over a sentinel-encoded symbol string, so greedy L2R semantics
-    (including overlapping runs like "aaa") agree by construction."""
+    combinable groupBy); the merge rounds run over the |vocab| table
+    via bpe_train_batched (round 9: up to 4 non-interacting merges per
+    Spark round — ~k/4 driver roundtrips instead of k, the shape a 32k
+    production vocab needs; see its docstring for the equivalence
+    proof). The oracle unrolls the SEQUENTIAL k rounds as chained CTEs
+    generated from the same constants — the hash gate is therefore
+    also the empirical proof that batched == sequential on the
+    fixtures. Both engines express "apply merge (a,b)" as a literal
+    replace over a sentinel-encoded symbol string, so greedy L2R
+    semantics (including overlapping runs like "aaa") agree by
+    construction."""
     d = load_tables(spark, sf_dir).documents
     words = (
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
@@ -1012,7 +1126,7 @@ def t16_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
-    merges = bpe_train(words)
+    merges = bpe_train_batched(words)
     return d.sparkSession.createDataFrame(
         merges,
         "merge_rank BIGINT, left_sym STRING, right_sym STRING, "
@@ -1120,7 +1234,7 @@ def t17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
-    merges = bpe_train(words)
+    merges = bpe_train_batched(words)
     L, R = _T16_L, _T16_R
     enc = F.concat(F.lit(L), F.array_join(F.split("word", ""), R + L), F.lit(R))
     for _, lft, rgt, merged, _ in merges:

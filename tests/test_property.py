@@ -835,3 +835,39 @@ def test_bloom_never_false_negative(spark, dim_keys, fact_keys):
     )
     must_pass = {i for i, k in enumerate(fact_keys) if k in dim_keys}
     assert must_pass <= cand, f"false negatives: {must_pass - cand}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    batch=st.sampled_from([2, 3, 4, 8]),
+)
+def test_bpe_batched_equals_sequential(spark, data, batch):
+    """bpe_train_batched's acceptance rule claims OUTPUT-IDENTITY with
+    the sequential trainer (its docstring's four-step argument). Random
+    tiny-alphabet corpora hammer exactly the hostile cases: count ties,
+    self-pairs ("aa"), overlapping runs ("aaa"), and merges whose
+    products immediately dominate the next round — where a naive
+    top-m batch WOULD diverge."""
+    from hive_to_es_spark.operators.text_ext import bpe_train, bpe_train_batched
+
+    # collapse duplicate words into a census (bpe_train's input contract)
+    census: dict[str, int] = {}
+    for word, freq in data:
+        census[word] = census.get(word, 0) + freq
+    words = spark.createDataFrame(
+        list(census.items()), "word STRING, freq BIGINT"
+    )
+    seq = bpe_train(words, n_merges=6)
+    assert bpe_train_batched(words, n_merges=6, batch_size=batch) == seq
