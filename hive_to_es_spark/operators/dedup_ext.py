@@ -463,6 +463,46 @@ _D11_N_HASHES = 32
 _D11_ROWS_PER_BAND = 2
 
 
+def minhash_band_rows(
+    sh: DataFrame,
+    n_hashes: int = _D11_N_HASHES,
+    rows_per_band: int = _D11_ROWS_PER_BAND,
+) -> DataFrame:
+    """Banded-MinHash bucket rows (doc_id, band, k0..k{r-1}) from a
+    prepared (doc_id, shingle) relation — the joinable (and, for d16,
+    the PERSISTABLE) form of the signature: ~n_bands rows of a band id
+    plus r 8-byte minhash keys per document, independent of document
+    size. Factored out of minhash_candidate_pairs so an incremental
+    pipeline can write these rows as its near-dup index and band-join
+    later increments against them."""
+    assert n_hashes % rows_per_band == 0, "bands must tile the signature"
+
+    def h(i):
+        return F.xxhash64(F.lit(i), F.col("shingle"))
+
+    mh = sh.groupBy("doc_id").agg(
+        *[F.min(h(i)).alias(f"mh{i}") for i in range(n_hashes)]
+    )
+    n_bands = n_hashes // rows_per_band
+    return mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        *[
+                            F.col(f"mh{i * rows_per_band + r}").alias(f"k{r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.*")
+
+
 def minhash_candidate_pairs(
     sh: DataFrame,
     n_hashes: int = _D11_N_HASHES,
@@ -492,32 +532,7 @@ def minhash_candidate_pairs(
     bounded by Σ_bucket |bucket|² over band buckets, not over shingle
     buckets. Raising n_hashes or rows_per_band moves the recall/cost
     S-curve with no plan change."""
-    assert n_hashes % rows_per_band == 0, "bands must tile the signature"
-
-    def h(i):
-        return F.xxhash64(F.lit(i), F.col("shingle"))
-
-    mh = sh.groupBy("doc_id").agg(
-        *[F.min(h(i)).alias(f"mh{i}") for i in range(n_hashes)]
-    )
-    n_bands = n_hashes // rows_per_band
-    bands = mh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        *[
-                            F.col(f"mh{i * rows_per_band + r}").alias(f"k{r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.*")
+    bands = minhash_band_rows(sh, n_hashes, rows_per_band)
     key_cols = [f"k{r}" for r in range(rows_per_band)]
     x = bands.select(F.col("doc_id").alias("doc_a"), "band", *key_cols)
     y = bands.select(
@@ -1393,3 +1408,172 @@ def d15_subsumed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars_contained", "n_chars_container",
         )
     )
+
+
+# d16 — incremental NEAR-dup dedup against a persisted MinHash index:
+# p11's corpus-growth sync pattern (hash index, anti-join the batch)
+# upgraded from exact-hash identity to banded-MinHash similarity — the
+# production shape for "new crawl arrives, drop what the corpus
+# already has" (Lee et al. ACL'22 candidates-then-verify, persisted).
+# The oracle states pure semantics: an incoming doc (doc_id >= 200) is
+# a dup iff some partner — any already-indexed doc (< 250, INCLUDING
+# its own id: at-least-once redelivery) or an earlier doc of the same
+# batch (< its id) — has exact full-set Jaccard >= 0.2.
+_D16_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+      i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                          string_split(lower(text), ' ')[i+1],
+                          string_split(lower(text), ' ')[i+2])
+    ))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d, b.doc_id AS p, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id >= 200
+    AND (b.doc_id < 250 OR b.doc_id < a.doc_id)
+    AND (b.doc_id <> a.doc_id OR b.doc_id < 250)
+  GROUP BY a.doc_id, b.doc_id
+),
+matches AS (
+  SELECT d, min(p) AS dup_of
+  FROM common
+  JOIN sizes sa ON sa.doc_id = d
+  JOIN sizes sb ON sb.doc_id = p
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+  GROUP BY d
+)
+SELECT i.doc_id,
+       CAST(CASE WHEN m.d IS NULL THEN 1 ELSE 0 END AS INTEGER) AS accepted,
+       m.dup_of
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 200) i
+LEFT JOIN matches m ON m.d = i.doc_id
+"""
+
+
+def incremental_neardup(
+    spark: SparkSession,
+    docs: DataFrame,
+    incoming: DataFrame,
+    index_path: str,
+    threshold: float = 0.2,
+    rebuild_index: bool = True,
+) -> DataFrame:
+    """Near-dup-dedup an ``incoming`` batch against a PERSISTED banded-
+    MinHash index plus itself, exact-verifying every candidate; emits
+    one row per incoming doc (doc_id, accepted, dup_of) and APPENDS the
+    accepted docs' band rows to the index (the delta a next batch will
+    see). ``docs`` is the full corpus relation used for the exact
+    verify (the indexed docs' text still lives in the lake).
+
+    Candidate generation never touches text: incoming band rows join
+    the index's persisted band rows on (band, k0, k1) — a doc
+    re-delivered at-least-once collides with its own index entry on
+    ALL 16 bands (identical signature, not probabilistic) and is
+    rejected with dup_of = itself — plus a within-batch band self-join
+    (earlier id wins). Every candidate is then verified with exact
+    full-set Jaccard, so like d11 the reported decision carries no
+    approximation; only boundary-pair recall follows the (b=16, r=2)
+    S-curve (~1 for the J >= 0.5 mass where real dups live).
+
+    100 TB shape: the index is ~16 band rows x (1 int + 2 longs) per
+    document — ~300 bytes/doc, three orders below the corpus —
+    partitionable by band; the band join shuffles the increment's
+    band rows only; the verify joins shingles of just the candidate
+    partner set (here the full relation, because the fixture corpus IS
+    base ∪ increment; at scale prune ``docs`` with a semi-join on the
+    candidate ids first). The index delta append is bounded by the
+    accepted docs. Failure semantics are p11's at-least-once:
+    re-delivery of an already-indexed doc is rejected by its own index
+    entry, so replays converge instead of duplicating."""
+    sh_inc = materialize(
+        incoming.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+        )
+    )
+    bands_inc = minhash_band_rows(sh_inc)
+    # Pin the index bytes BEFORE the delta append: the returned frame
+    # must reflect the index as of batch start, not re-read the path
+    # after this function appends to it (lazy-read poisoning).
+    idx = materialize(spark.read.parquet(index_path))
+    key_cols = ["k0", "k1"]
+    x = bands_inc.select(F.col("doc_id").alias("d"), "band", *key_cols)
+    yi = idx.select(
+        F.col("doc_id").alias("p"),
+        F.col("band").alias("band_y"),
+        *[F.col(k).alias(f"{k}_y") for k in key_cols],
+    )
+    match = (F.col("band") == F.col("band_y")) & (
+        F.col("k0") == F.col("k0_y")
+    ) & (F.col("k1") == F.col("k1_y"))
+    cand_idx = x.join(yi, match).select("d", "p")
+    yb = bands_inc.select(
+        F.col("doc_id").alias("p"),
+        F.col("band").alias("band_y"),
+        *[F.col(k).alias(f"{k}_y") for k in key_cols],
+    )
+    cand_batch = (
+        x.join(yb, match & (F.col("p") < F.col("d"))).select("d", "p")
+    )
+    cand = cand_idx.unionByName(cand_batch).distinct()
+    # Exact verify over full shingle sets (partner side = corpus
+    # relation; incoming side reuses the materialized increment).
+    sh_all = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    sizes_inc = sh_inc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes_all = sh_all.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        cand.join(sh_inc.select(F.col("doc_id").alias("d"), "shingle"), "d")
+        .join(sh_all.select(F.col("doc_id").alias("p"), "shingle"), ["p", "shingle"])
+        .groupBy("d", "p")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jacc = (
+        common.join(sizes_inc.select(F.col("doc_id").alias("d"), F.col("n").alias("n_d")), "d")
+        .join(sizes_all.select(F.col("doc_id").alias("p"), F.col("n").alias("n_p")), "p")
+        .filter(
+            F.col("n_common")
+            / (F.col("n_d") + F.col("n_p") - F.col("n_common"))
+            >= threshold
+        )
+    )
+    m = materialize(jacc.groupBy("d").agg(F.min("p").alias("dup_of")))
+    # Index delta: band rows of the ACCEPTED docs only (the survivors a
+    # later batch must dedup against). m is materialized above, so this
+    # append cannot feed back into the decision or the returned frame.
+    delta = bands_inc.join(m, bands_inc.doc_id == m.d, "left_anti")
+    delta.write.mode("append").parquet(index_path)
+    out = incoming.select("doc_id").join(m, F.col("doc_id") == F.col("d"), "left")
+    return out.select(
+        "doc_id",
+        F.when(F.col("d").isNull(), 1).otherwise(0).cast("int").alias("accepted"),
+        "dup_of",
+    )
+
+
+@register("d16_incremental_neardup", _D16_ORACLE)
+def d16_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup of an incoming batch (doc_id >= 200,
+    overlapping the indexed base by 50 docs = simulated at-least-once
+    re-delivery) against a persisted banded-MinHash index of the base
+    corpus (doc_id < 250) — see incremental_neardup for the plan and
+    its 100 TB posture. The base index is (re)built and written in-op
+    (p11's discipline); the oracle restates the decision as pure exact
+    Jaccard over full shingle sets, so the hash gate also proves the
+    banded prefilter's empirical 100% recall on the fixtures."""
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+
+    docs = load_tables(spark, sf_dir).documents
+    base = docs.filter(F.col("doc_id") < 250)
+    incoming = docs.filter(F.col("doc_id") >= 200)
+    index_path = dataset_tmp_path("d16_minhash_index", sf_dir)
+    sh_base = base.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    minhash_band_rows(sh_base).write.mode("overwrite").parquet(index_path)
+    return incremental_neardup(spark, docs, incoming, index_path)

