@@ -657,3 +657,149 @@ def m8_video_container(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir).documents
     return video_frame_sample(encode_fixture_video(d), every_nth=2)
+
+
+# m9 — multimodal training-sequence packing: the step the m-ladder
+# decodes toward and p12 budgets for but nothing composed (r8 verdict
+# task 5). Every document becomes an ordered item stream — one image
+# item (its media payload priced in vision tokens from the SAME m2
+# dimension derivation: patches of 8, ceil(w/8)*ceil(h/8)) followed by
+# its 16-token text chunks (g8's chunker with stride == window: no
+# overlap, training not retrieval) — and the global stream is packed
+# greedily into 256-token sequences by START offset (p12's rule: items
+# never split, a sequence overflows by at most one item). Deterministic
+# end to end, so the whole packing is oracle-expressible.
+_M9_BUDGET = 256
+_M9_CHUNK = 16
+_M9_ORACLE = f"""
+WITH items AS (
+  SELECT doc_id, 0 AS item_no,
+         CAST(((1 + n_chars % 60 + 7) // 8) * ((1 + doc_id % 40 + 7) // 8)
+              AS BIGINT) AS w,
+         1 AS is_image
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(i AS INTEGER) AS item_no,
+         CAST(least({_M9_CHUNK}, nt - (i - 1) * {_M9_CHUNK}) AS BIGINT) AS w,
+         0 AS is_image
+  FROM (
+    SELECT doc_id,
+           unnest(range(1, (nt + {_M9_CHUNK - 1}) // {_M9_CHUNK} + 1)) AS i,
+           nt
+    FROM (SELECT doc_id, len(string_split(lower(text), ' ')) AS nt
+          FROM documents)
+  )
+),
+packed AS (
+  SELECT doc_id, w, is_image,
+         CAST((sum(w) OVER (ORDER BY doc_id, item_no) - w) // {_M9_BUDGET}
+              AS BIGINT) AS seq_id
+  FROM items
+)
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(is_image) AS BIGINT) AS n_images,
+       CAST(sum(CASE WHEN is_image = 0 THEN w ELSE 0 END) AS BIGINT)
+         AS text_tokens,
+       CAST(sum(CASE WHEN is_image = 1 THEN w ELSE 0 END) AS BIGINT)
+         AS image_tokens,
+       CAST(sum(w) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM packed GROUP BY seq_id
+"""
+
+
+@register("m9_multimodal_pack", _M9_ORACLE)
+def m9_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack interleaved (image, text-chunk) item streams into
+    256-token training sequences — the composition of m1's multimodal
+    record, g8's chunker (non-overlapping here), and p12's
+    weight-budgeted packing into ONE plan, with per-sequence modality
+    accounting (text vs vision tokens, docs spanned, boundaries).
+
+    Packing semantics (engine-identical by construction): items are
+    globally ordered (doc_id, item_no) with the image at item_no 0;
+    an item lands in sequence floor(start_offset / budget), so items
+    are never split and a sequence exceeds the budget by at most one
+    item (max 40 vision tokens here) — the standard greedy
+    sequence-packing a data loader performs, moved into the engine
+    where it parallelizes and audits.
+
+    Plan: p6/p12's two-pass range-offset discipline — NO global
+    window. Pass 1 ranges the stream arithmetically on doc_id (every
+    doc's items land in one range, so the within-range (doc_id,
+    item_no) window gives the exact global running weight after the
+    per-range offsets — |ranges| rows of driver state — are added
+    back). The item explode is scan-side (transform + explode, no
+    UDF); the only shuffle is the range-window sort plus the final
+    |sequences|-key aggregate. At 100 TB: ranges come from the
+    min/max scan exactly like p12, and the 2^20 item_no headroom of a
+    synthetic single key is unnecessary because the range key is
+    doc_id itself."""
+    d = load_tables(spark, sf_dir).documents
+    img = d.select(
+        "doc_id",
+        F.lit(0).alias("item_no"),
+        F.expr(
+            "CAST(((1 + n_chars % 60 + 7) div 8) "
+            "* ((1 + doc_id % 40 + 7) div 8) AS BIGINT)"
+        ).alias("w"),
+        F.lit(1).alias("is_image"),
+    )
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, (size(split(lower(text), ' ')) "
+                f"+ {_M9_CHUNK - 1}) div {_M9_CHUNK}), "
+                f"i -> struct(i AS item_no, "
+                f"CAST(least({_M9_CHUNK}, size(split(lower(text), ' ')) "
+                f"- (i - 1) * {_M9_CHUNK}) AS BIGINT) AS w))"
+            )
+        ).alias("it"),
+    ).select(
+        "doc_id",
+        F.col("it.item_no").alias("item_no"),
+        F.col("it.w").alias("w"),
+        F.lit(0).alias("is_image"),
+    )
+    items = img.unionByName(chunks)
+    n_parts = spark.sparkContext.defaultParallelism
+    lo, hi = items.agg(F.min("doc_id"), F.max("doc_id")).first()
+    width = max(1, -(-(hi - lo + 1) // n_parts))  # ceil-div
+    ranged = items.withColumn(
+        "_pid", F.floor((F.col("doc_id") - F.lit(lo)) / F.lit(width)).cast("int")
+    )
+    totals = sorted(
+        (r["_pid"], r["_t"])
+        for r in ranged.groupBy("_pid").agg(F.sum("w").alias("_t")).collect()
+    )
+    offset_entries: list = []
+    acc = 0
+    for pid, t in totals:
+        offset_entries += [F.lit(pid), F.lit(acc)]
+        acc += t
+    offset = F.element_at(F.create_map(*offset_entries), F.col("_pid"))
+    win = Window.partitionBy("_pid").orderBy("doc_id", "item_no")
+    cum = F.sum("w").over(win) + offset
+    return (
+        ranged.withColumn("_cum", cum)
+        .withColumn("seq_id", F.expr(f"(_cum - w) div {_M9_BUDGET}").cast("bigint"))
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("is_image").cast("bigint").alias("n_images"),
+            F.sum(F.when(F.col("is_image") == 0, F.col("w")).otherwise(0))
+            .cast("bigint")
+            .alias("text_tokens"),
+            F.sum(F.when(F.col("is_image") == 1, F.col("w")).otherwise(0))
+            .cast("bigint")
+            .alias("image_tokens"),
+            F.sum("w").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -70,7 +70,7 @@ EXPECTED_KEYS = {
     "s3_centroids", "t1_text_stats", "t2_tfidf_terms", "t3_langid_filter",
     "m1_multimodal_cols", "m2_media_decode", "m3_frame_sample", "m4_media_features",
     "m5_audio_features", "m6_image_signature", "m7_image_neardup",
-    "m8_video_container",
+    "m8_video_container", "m9_multimodal_pack",
     # LLM pipeline extensions (training-data set beyond SURVEY §2)
     "d3_dedup_simhash", "d4_dedup_ngram_jaccard", "d5_dedup_embedding",
     "d6_dedup_lsh_blocked", "d7_dedup_components", "d8_dedup_minhash_portable",

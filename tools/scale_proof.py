@@ -176,6 +176,7 @@ OPS = {
     # replicated-copy k² candidate class; the index band-join side
     # stays k-linear (k copies x fixed index).
     "d16_incremental_neardup": (4.0, "within-batch banded candidates over replicated copies are k² (d11's class); index join and signatures linear; exact verify prices the candidate stream"),
+    "m9_multimodal_pack": (2.0, "scan-side item explode + p12's two-pass range window + |sequences|-key agg, linear"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
