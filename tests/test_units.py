@@ -2105,3 +2105,41 @@ def test_t17_oracle_survives_merge_exhaustion(duck):
             "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
             f"read_parquet('{sf}/documents.parquet')"
         )
+
+
+def test_s16_serving_candidates_come_from_probed_cells_only(spark, sf_dir):
+    """s16's serving contract beyond the oracle hash: every returned
+    neighbor belongs to one of its query's 2 probed cells in the
+    PERSISTED inverted lists (the result is index-served, not a corpus
+    scan); every query returns <= 3 rows; and the persisted index
+    partitions the corpus exactly (each non-query vector in exactly
+    one bucket)."""
+    from pyspark.sql import functions as F
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+    from hive_to_es_spark.registry import queries
+
+    res = queries()["s16_ann_ivf_persisted"](spark, sf_dir).collect()
+    index_dir = dataset_tmp_path("s16_ivf_index", sf_dir)
+    inv = {
+        r.vec_id: r.bucket
+        for r in spark.read.parquet(index_dir + "/inverted").collect()
+    }
+    e = load_tables(spark, sf_dir).embeddings
+    n_corpus = e.filter(F.col("vec_id") % 50 != 0).count()
+    assert len(inv) == n_corpus  # exact partition of the corpus
+    qids = {
+        r.vec_id for r in e.filter(F.col("vec_id") % 50 == 0).select("vec_id").collect()
+    }
+    per_q: dict = {}
+    for r in res:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.vec_id in inv  # served from the index
+        assert r.query_id in qids
+    for qid, rows in per_q.items():
+        assert len(rows) <= 3
+        cells = {inv[r.vec_id] for r in rows}
+        assert len(cells) <= 2  # nprobe = 2
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)

@@ -177,6 +177,10 @@ OPS = {
     # stays k-linear (k copies x fixed index).
     "d16_incremental_neardup": (4.0, "within-batch banded candidates over replicated copies are k² (d11's class); index join and signatures linear; exact verify prices the candidate stream"),
     "m9_multimodal_pack": (2.0, "scan-side item explode + p12's two-pass range window + |sequences|-key agg, linear"),
+    # s16: offset vec_ids stay ≡ 0 mod 50, so corpus AND queries both
+    # grow k-fold; probed-cell occupancy × queries → k² candidates
+    # (s12/s13's class); index build is the linear term.
+    "s16_ann_ivf_persisted": (4.0, "index build linear; serving candidates = probed-cell occupancy x queries, both k-fold under offset-id scaling"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
@@ -203,6 +207,9 @@ EAGER_BUILD = {
     # d16 writes its base index and the accepted-docs delta at build
     # time; non-eager timing would price only the decision read-back
     "d16_incremental_neardup",
+    # s16 writes its codebook + inverted lists at build time; non-eager
+    # timing would price only the serving read
+    "s16_ann_ivf_persisted",
 }
 
 # Round 8 (VERDICT r7 task 5): a 16x rung for the multi-second ops,
@@ -433,6 +440,70 @@ def main() -> int:
         + " | rows | b | model b | verdict |",
         "|" + "---|" * (len(audit_k) + 5),
         *audit_rows_md,
+        "",
+    ]
+    # ---- Gated-plan posture (VERDICT r8 task 2): above the 100k-doc
+    # auto gate d4/d9's candidate GENERATOR routes to the banded
+    # MinHash branch — the plan a 100x caller actually gets — but the
+    # main table's d4 row measures the complete-recall blocked branch
+    # the fixture-scale keys take. Force plan="banded" at every rung
+    # so the post-gate plan has its own measured growth curve. Model:
+    # d11's class (linear 32-hash signature term dominates; banded
+    # candidates are k² under identical-copy scaling but suppressed by
+    # orders of magnitude), so like d11 a LOW verdict here is the gate
+    # WORKING — only FAIL (superlinear beyond even the k² model) is a
+    # defect.
+    def _d4_banded(spark_, sf_dir_):
+        from hive_to_es_spark.operators.dedup_ext import ngram_jaccard_pairs
+
+        from hive_to_es_spark.io import load_tables
+
+        d = load_tables(spark_, sf_dir_).documents
+        return ngram_jaccard_pairs(d, threshold=0.2, df_cap=1000, plan="banded")
+
+    banded_ts, banded_rows = [], []
+    for k in all_scales:
+        t, r = bench_one(spark, _d4_banded, dirs[k], eager=True)
+        banded_ts.append(t)
+        banded_rows.append(r)
+    banded_b = fit_exponent(all_scales, banded_ts)
+    banded_steps = [b_ / a_ for a_, b_ in zip(banded_ts, banded_ts[1:])]
+    banded_fail = any(g > 4.0 * SLACK for g in banded_steps)
+    any_fail |= banded_fail and not banded_ts[-1] < NOISE_FLOOR_S
+    blocked_ts = main_measurements["d4_dedup_ngram_jaccard"][0]
+    print(
+        f"gated d4 banded: t={['%.3f' % t for t in banded_ts]} "
+        f"b={banded_b:.2f} {'FAIL' if banded_fail else 'ok'}"
+    )
+    lines += [
+        "",
+        "## Gated-plan posture: d4 above the auto gate (forced banded)",
+        "",
+        "Above 100k docs ngram_jaccard_pairs' auto gate swaps the blocked",
+        "candidate generator (complete recall, Σ|block|² stream — the d4",
+        "row above) for d11's banded MinHash over the same capped shingle",
+        "stream (loud UserWarning, exact values, S-curve boundary recall).",
+        "This row measures that post-gate plan at every rung so the growth",
+        "class 100x callers actually get is empirical, not asserted:",
+        "",
+        "| plan | " + " | ".join(f"t({k}x) s" for k in all_scales)
+        + " | rows | b | verdict |",
+        "|" + "---|" * (len(all_scales) + 4),
+        "| d4 blocked (pre-gate, from main table) | "
+        + " | ".join(f"{t:.3f}" for t in blocked_ts)
+        + f" | {'/'.join(str(r) for r in main_measurements['d4_dedup_ngram_jaccard'][1])}"
+        + f" | {fit_exponent(all_scales, blocked_ts):.2f} | info |",
+        "| d4 banded (post-gate, forced) | "
+        + " | ".join(f"{t:.3f}" for t in banded_ts)
+        + f" | {'/'.join(str(r) for r in banded_rows)}"
+        + f" | {banded_b:.2f} | {'FAIL' if banded_fail else 'PASS'} |",
+        "",
+        "Identical-copy scaling grows every band bucket k-fold, so the",
+        "banded candidate stream is also k² — the CLASS is the same; the",
+        "lever is the constant (hundreds of times fewer candidates than",
+        "shared-shingle blocks, per d11's measurements), which is why the",
+        "banded curve should sit below the blocked one and stay",
+        "signature-dominated (b near 1) through 16x.",
         "",
     ]
     lines += [
