@@ -1257,3 +1257,83 @@ def t17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_words"),
         F.sum(F.col("n") * F.col("n_tok")).cast("bigint").alias("n_bpe_tokens"),
     )
+
+
+# t18 — repeated-passage mining: the memorization-risk / boilerplate
+# audit a training corpus runs BEFORE the dedup ladder decides what to
+# drop: which exact 5-word passages recur across documents, in how
+# many documents, how often in total. t13 dedups repeated LINES inside
+# a known boilerplate set; t14 scores contamination against a known
+# eval set; t18 has no reference set — it MINES the repeated passages
+# themselves, ranked, which is where both of those sets come from in
+# practice (and the standard first probe for verbatim-memorization
+# risk: passages duplicated across many documents are the ones a model
+# is most likely to regurgitate).
+_T18_MIN_DOCS = 2
+_T18_TOP = 20
+_T18_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, len(w) - 4 + 1),
+    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+  )) AS gram
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 5
+)
+SELECT gram,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(doc_id) AS first_doc
+FROM grams GROUP BY gram
+HAVING count(DISTINCT doc_id) >= {_T18_MIN_DOCS}
+ORDER BY n_docs DESC, n_occurrences DESC, gram ASC
+LIMIT {_T18_TOP}
+"""
+
+
+@register("t18_repeated_passages", _T18_ORACLE)
+def t18_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 exact 5-word passages repeated across >= 2 documents,
+    with document reach, total (per-position) occurrence count, and
+    the first containing doc — the corpus-wide duplicated-passage
+    census.
+
+    Plan: scan-side transform+explode (one pass, no UDF) into ONE
+    groupBy(gram) — the count-distinct is the standard two-phase
+    Expand, and per-position occurrence counting rides the same
+    aggregate. Hot passages are exactly what the op exists to find,
+    and a count aggregate handles them map-side (partial combine) —
+    unlike the dedup family there is no pair stream to block, so the
+    whole audit is linear in corpus token mass at any scale. The
+    top-20 is a total order with the gram itself as the unique
+    tiebreaker (TakeOrderedAndProject, never a global sort of the
+    census). At 100 TB the HAVING >= 2 prunes the (huge) unique-gram
+    tail before the limit; raising the n-gram length or min-docs
+    moves precision the way a production memorization audit tunes it."""
+    d = load_tables(spark, sf_dir).documents
+    grams = (
+        d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 4), "
+                    "i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))"
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= _T18_MIN_DOCS)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("gram").asc()
+        )
+        .limit(_T18_TOP)
+    )

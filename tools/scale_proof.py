@@ -181,6 +181,7 @@ OPS = {
     # grow k-fold; probed-cell occupancy × queries → k² candidates
     # (s12/s13's class); index build is the linear term.
     "s16_ann_ivf_persisted": (4.0, "index build linear; serving candidates = probed-cell occupancy x queries, both k-fold under offset-id scaling"),
+    "t18_repeated_passages": (2.0, "one explode + map-combined gram census + top-20 TakeOrdered; no pair stream, linear in token mass"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
