@@ -633,3 +633,184 @@ def foreach_batch_funnel(state_root: str):
         write_replace_parquet(spark, buf_path, new_buf)
 
     return body
+
+
+def foreach_batch_neardup_ingest(state_root: str, threshold: float = 0.2):
+    """foreachBatch body for streaming corpus ingestion with
+    cross-batch NEAR-dup dedup — foreach_batch_dedup_ingest upgraded
+    from exact content hashes to d16's banded-MinHash + exact-verify
+    (the Lee et al. candidates-then-verify composition run per
+    micro-batch, against a persisted, growing index).
+
+    State layout under ``state_root``:
+    - ``index``: band rows (doc_id, band, k0, k1) of every doc SEEN —
+      accepted or not (seen-set, not survivor-set, semantics: that is
+      what makes the fold micro-batch-invariant — a doc's verdict
+      depends only on the set of smaller-id docs, never on how they
+      were batched or on their own verdicts);
+    - ``docs``: (doc_id, text) of seen docs — the lake mirror the
+      exact verify fetches candidate partners from (at 100 TB this IS
+      the lake; the semi-join prune below is the real access pattern);
+    - ``survivors``: accepted (doc_id) rows, append-only.
+
+    Convergence contract (tests/test_streaming.py): with files
+    delivered in doc_id order, the final survivors equal the batch
+    e11 answer exactly. At-least-once safety: a re-delivered doc's id
+    is already in ``docs`` and is anti-joined out before any decision;
+    survivors are appended BEFORE the seen-state (so a crash between
+    the two replays the batch and re-appends — survivors are read
+    DISTINCT, making the append idempotent, never lost).
+
+    Per-batch cost: |batch| signatures + band join against the index +
+    an exact verify whose partner shingles are computed ONLY for docs
+    matching candidate ids (semi-join prune) — never a scan of the
+    accumulated corpus."""
+    from hive_to_es_spark.functions.merge import fs_exists
+    from hive_to_es_spark.operators.dedup import word_shingles
+    from hive_to_es_spark.operators.dedup_ext import minhash_band_rows
+
+    index_path = f"{state_root}/index"
+    docs_path = f"{state_root}/docs"
+    surv_path = f"{state_root}/survivors"
+
+    def _shingles(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+        )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        have_state = fs_exists(spark, index_path)
+        if have_state:
+            seen_ids = spark.read.parquet(docs_path).select("doc_id")
+            batch = batch.join(seen_ids, "doc_id", "left_anti")
+        # pin the batch: every downstream read (decision, three state
+        # appends) must see one consistent snapshot, not re-read the
+        # source after the index has grown
+        batch = batch.localCheckpoint(eager=True)
+        if batch.isEmpty():
+            return
+        sh_b = _shingles(batch).localCheckpoint(eager=True)
+        bands_b = minhash_band_rows(sh_b).localCheckpoint(eager=True)
+        key_cols = ["k0", "k1"]
+        x = bands_b.select(F.col("doc_id").alias("d"), "band", *key_cols)
+        yb = bands_b.select(
+            F.col("doc_id").alias("p"),
+            F.col("band").alias("band_y"),
+            *[F.col(k).alias(f"{k}_y") for k in key_cols],
+        )
+        match = (
+            (F.col("band") == F.col("band_y"))
+            & (F.col("k0") == F.col("k0_y"))
+            & (F.col("k1") == F.col("k1_y"))
+        )
+        cand = x.join(yb, match & (F.col("p") < F.col("d"))).select("d", "p")
+        if have_state:
+            yi = spark.read.parquet(index_path).select(
+                F.col("doc_id").alias("p"),
+                F.col("band").alias("band_y"),
+                *[F.col(k).alias(f"{k}_y") for k in key_cols],
+            )
+            cand = cand.unionByName(x.join(yi, match).select("d", "p"))
+        cand = cand.distinct()
+        # exact verify: partner shingles computed ONLY for candidate ids
+        partner_docs = (
+            spark.read.parquet(docs_path).unionByName(batch)
+            if have_state
+            else batch
+        ).join(cand.select(F.col("p").alias("doc_id")).distinct(), "doc_id", "left_semi")
+        sh_p = _shingles(partner_docs)
+        sizes_b = sh_b.groupBy("doc_id").agg(F.count("*").alias("n"))
+        sizes_p = sh_p.groupBy("doc_id").agg(F.count("*").alias("n"))
+        common = (
+            cand.join(sh_b.select(F.col("doc_id").alias("d"), "shingle"), "d")
+            .join(sh_p.select(F.col("doc_id").alias("p"), "shingle"), ["p", "shingle"])
+            .groupBy("d", "p")
+            .agg(F.count("*").alias("n_common"))
+        )
+        dup_ids = (
+            common.join(
+                sizes_b.select(F.col("doc_id").alias("d"), F.col("n").alias("n_d")), "d"
+            )
+            .join(
+                sizes_p.select(F.col("doc_id").alias("p"), F.col("n").alias("n_p")), "p"
+            )
+            .filter(
+                F.col("n_common")
+                / (F.col("n_d") + F.col("n_p") - F.col("n_common"))
+                >= threshold
+            )
+            .select(F.col("d").alias("doc_id"))
+            .distinct()
+        )
+        accepted = batch.select("doc_id").join(dup_ids, "doc_id", "left_anti")
+        # order matters (at-least-once): survivors first, then the seen
+        # state — see docstring
+        accepted.write.mode("append").parquet(surv_path)
+        bands_b.write.mode("append").parquet(index_path)
+        batch.write.mode("append").parquet(docs_path)
+
+    return body
+
+
+# e11 batch equivalent: every doc is accepted iff NO smaller-id doc
+# has exact full-set Jaccard >= 0.2 with it — the id-ordered fold of
+# the near-dup ladder (d16 with an empty base index over the whole
+# corpus). Pure pair semantics, so the oracle is one statement.
+_E11_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+      i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                          string_split(lower(text), ' ')[i+1],
+                          string_split(lower(text), ' ')[i+2])
+    ))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d, b.doc_id AS p, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id < a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+matches AS (
+  SELECT d, min(p) AS dup_of
+  FROM common
+  JOIN sizes sa ON sa.doc_id = d
+  JOIN sizes sb ON sb.doc_id = p
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+  GROUP BY d
+)
+SELECT doc_id,
+       CAST(CASE WHEN m.d IS NULL THEN 1 ELSE 0 END AS INTEGER) AS accepted,
+       m.dup_of
+FROM documents LEFT JOIN matches m ON m.d = doc_id
+"""
+
+
+@register("e11_stream_neardup_ingest", _E11_ORACLE)
+def e11_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch convergence target of the streaming near-dup ingest
+    (foreach_batch_neardup_ingest): every document accepted iff no
+    SMALLER-id document is a near-dup (exact full-set Jaccard >= 0.2,
+    banded-MinHash candidates) — d16's fold with an empty base index
+    over the whole corpus, which is exactly what the streaming state
+    converges to under in-order, at-least-once delivery
+    (tests/test_streaming.py replays micro-batched files with a
+    redelivery and asserts survivor equality)."""
+    from hive_to_es_spark.operators.dedup import word_shingles
+    from hive_to_es_spark.operators.dedup_ext import (
+        incremental_neardup,
+        minhash_band_rows,
+    )
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+
+    docs = load_tables(spark, sf_dir).documents
+    index_path = dataset_tmp_path("e11_empty_index", sf_dir)
+    empty = docs.filter(F.col("doc_id") < 0).select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    minhash_band_rows(empty).write.mode("overwrite").parquet(index_path)
+    return incremental_neardup(spark, docs, docs, index_path)

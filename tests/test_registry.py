@@ -64,7 +64,7 @@ EXPECTED_KEYS = {
     "e1_tumbling", "e2_sliding", "e3_session", "e4_watermark_late",
     "e5_stream_dedup", "e6_stream_static_join", "e7_stateful_custom",
     "e8_stream_stream_join", "e9_stream_upsert",
-    "e10_stream_stream_outer_join",
+    "e10_stream_stream_outer_join", "e11_stream_neardup_ingest",
     # LLM pipeline
     "d1_dedup_exact", "d2_dedup_minhash", "s1_knn_cosine", "s2_pairwise_topk",
     "s3_centroids", "t1_text_stats", "t2_tfidf_terms", "t3_langid_filter",

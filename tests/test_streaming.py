@@ -891,3 +891,82 @@ def test_stream_funnel_converges_to_batch_answer(spark, sf_dir, tmp_path):
         r.event_id: r.bucket for r in sliced.select("event_id", "bucket").collect()
     }
     assert len(set(by_bucket.values())) == 6
+
+
+def test_stream_neardup_ingest_converges_to_batch_answer(spark, sf_dir, tmp_path):
+    """The streaming NEAR-dup ingest must converge to e11's batch
+    answer (accepted iff no smaller-id near-dup at exact Jaccard >=
+    0.2) under in-order, at-least-once delivery: documents split into
+    5 doc_id-ranged files streamed oldest-first (maxFilesPerTrigger=1),
+    with file 1 REDELIVERED at the end. The final survivors state must
+    equal the batch op's accepted set exactly — cross-batch dups (a
+    doc whose near-dup partner arrived in an earlier file) ride the
+    persisted index; the replayed file must perturb nothing (its ids
+    are already in the seen state)."""
+    import os
+
+    from hive_to_es_spark.io import read_table
+    from hive_to_es_spark.registry import queries
+    from hive_to_es_spark.streaming.ops import foreach_batch_neardup_ingest
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("doc_id").asc())
+    sliced = docs.withColumn(
+        "bucket", ((F.row_number().over(w) - 1) * 5 / n).cast("int")
+    )
+    src = str(tmp_path / "neardup_stream")
+    os.makedirs(src)
+    staging = str(tmp_path / "nd_staging")
+    for i in range(5):
+        part_dir = os.path.join(staging, f"b{i}")
+        (
+            sliced.filter(F.col("bucket") == i)
+            .select("doc_id", "text")
+            .coalesce(1)
+            .write.parquet(part_dir)
+        )
+        part = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(os.path.join(part_dir, part), dst)
+        # file source triggers oldest-mtime-first: pin strictly
+        # increasing mtimes so delivery order IS doc_id order
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    late = os.path.join(src, "zz_redelivered.parquet")
+    shutil.copy(os.path.join(src, "001.parquet"), late)
+    os.utime(late, (1_700_000_000 + 5 * 10, 1_700_000_000 + 5 * 10))
+
+    state = str(tmp_path / "neardup_state")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_neardup_ingest(state))
+        .option("checkpointLocation", str(tmp_path / "ckpt_neardup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{state}/survivors").distinct().collect()
+    )
+    batch = queries()["e11_stream_neardup_ingest"](spark, sf_dir).collect()
+    expected = sorted(r.doc_id for r in batch if r.accepted == 1)
+    assert got == expected
+    # the fold had cross-batch work: at least one rejected doc's
+    # earliest partner sits in a DIFFERENT file than the doc itself
+    bucket_of = {r.doc_id: r.bucket for r in sliced.select("doc_id", "bucket").collect()}
+    cross = [
+        r for r in batch
+        if r.accepted == 0 and bucket_of[r.dup_of] != bucket_of[r.doc_id]
+    ]
+    assert cross, "fixture must contain a cross-file near-dup pair"
+    # and redelivery really delivered duplicates
+    assert spark.read.parquet(src).count() > n

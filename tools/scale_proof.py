@@ -182,6 +182,7 @@ OPS = {
     # (s12/s13's class); index build is the linear term.
     "s16_ann_ivf_persisted": (4.0, "index build linear; serving candidates = probed-cell occupancy x queries, both k-fold under offset-id scaling"),
     "t18_repeated_passages": (2.0, "one explode + map-combined gram census + top-20 TakeOrdered; no pair stream, linear in token mass"),
+    "e11_stream_neardup_ingest": (4.0, "whole-corpus banded candidates over replicated copies are k² (d11's class); signatures + verify ride the candidate stream"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
@@ -211,6 +212,9 @@ EAGER_BUILD = {
     # s16 writes its codebook + inverted lists at build time; non-eager
     # timing would price only the serving read
     "s16_ann_ivf_persisted",
+    # e11 writes its (empty) index and the survivors delta at build
+    # time (d16's machinery)
+    "e11_stream_neardup_ingest",
 }
 
 # Round 8 (VERDICT r7 task 5): a 16x rung for the multi-second ops,
