@@ -111,6 +111,19 @@ EXTENSION = [
     "j18_bloom_prefilter",
     "m7_image_neardup",
     "w16_seq_pattern",
+    # round 8: distributed BPE training (census + batched merge
+    # rounds) and its corpus-encode consumer
+    "t16_bpe_train",
+    "t17_bpe_encode",
+    # round 9: the incremental/persisted-index family (near-dup batch
+    # vs index, IVF serving from a loaded index, streaming fold's
+    # batch twin), the multimodal sequence packer, and the
+    # repeated-passage census
+    "d16_incremental_neardup",
+    "s16_ann_ivf_persisted",
+    "e11_stream_neardup_ingest",
+    "m9_multimodal_pack",
+    "t18_repeated_passages",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -146,6 +159,16 @@ EAGER_BUILD = {
     # d15 materializes its capped shingle table (localCheckpoint) at
     # build — rebuild so the number prices explode + cap + verify
     "d15_subsumed_docs",
+    # t16/t17 run the batched merge loop (driver roundtrips +
+    # localCheckpoints) at build
+    "t16_bpe_train",
+    "t17_bpe_encode",
+    # the persisted-index family writes its index (and delta) at build
+    "d16_incremental_neardup",
+    "s16_ann_ivf_persisted",
+    "e11_stream_neardup_ingest",
+    # m9 collects its per-range weight offsets at build
+    "m9_multimodal_pack",
 }
 
 

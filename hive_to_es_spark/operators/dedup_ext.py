@@ -503,6 +503,59 @@ def minhash_band_rows(
     ).select("doc_id", "b.*")
 
 
+def band_candidates(
+    bands_d: DataFrame, bands_p: DataFrame, require_smaller: bool = False
+) -> DataFrame:
+    """(d, p) candidate pairs from two band-row relations equi-joined
+    on (band, k0..k{r-1}); ``require_smaller`` adds p < d (the
+    within-batch "earlier id wins" rule). Shared by the incremental
+    batch path and the streaming fold so the candidate condition
+    cannot drift between them (round-9 review)."""
+    key_cols = [c for c in bands_d.columns if c.startswith("k")]
+    x = bands_d.select(F.col("doc_id").alias("d"), "band", *key_cols)
+    y = bands_p.select(
+        F.col("doc_id").alias("p"),
+        F.col("band").alias("band_y"),
+        *[F.col(k).alias(f"{k}_y") for k in key_cols],
+    )
+    cond = F.col("band") == F.col("band_y")
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"{k}_y"))
+    if require_smaller:
+        cond = cond & (F.col("p") < F.col("d"))
+    return x.join(y, cond).select("d", "p")
+
+
+def verified_jaccard_matches(
+    cand: DataFrame, sh_d: DataFrame, sh_p: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-verify (d, p) candidates against two (doc_id, shingle)
+    relations: keep pairs with true full-set Jaccard >= threshold.
+    The one definition of |A∩B| / (|A|+|B|-|A∩B|) the incremental
+    batch path, the streaming fold, and their oracles all share."""
+    sizes_d = sh_d.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes_p = sh_p.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        cand.join(sh_d.select(F.col("doc_id").alias("d"), "shingle"), "d")
+        .join(sh_p.select(F.col("doc_id").alias("p"), "shingle"), ["p", "shingle"])
+        .groupBy("d", "p")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes_d.select(F.col("doc_id").alias("d"), F.col("n").alias("n_d")), "d"
+        )
+        .join(
+            sizes_p.select(F.col("doc_id").alias("p"), F.col("n").alias("n_p")), "p"
+        )
+        .filter(
+            F.col("n_common") / (F.col("n_d") + F.col("n_p") - F.col("n_common"))
+            >= threshold
+        )
+        .select("d", "p")
+    )
+
+
 def minhash_candidate_pairs(
     sh: DataFrame,
     n_hashes: int = _D11_N_HASHES,
@@ -1461,7 +1514,6 @@ def incremental_neardup(
     incoming: DataFrame,
     index_path: str,
     threshold: float = 0.2,
-    rebuild_index: bool = True,
 ) -> DataFrame:
     """Near-dup-dedup an ``incoming`` batch against a PERSISTED banded-
     MinHash index plus itself, exact-verifying every candidate; emits
@@ -1483,13 +1535,14 @@ def incremental_neardup(
     100 TB shape: the index is ~16 band rows x (1 int + 2 longs) per
     document — ~300 bytes/doc, three orders below the corpus —
     partitionable by band; the band join shuffles the increment's
-    band rows only; the verify joins shingles of just the candidate
-    partner set (here the full relation, because the fixture corpus IS
-    base ∪ increment; at scale prune ``docs`` with a semi-join on the
-    candidate ids first). The index delta append is bounded by the
-    accepted docs. Failure semantics are p11's at-least-once:
-    re-delivery of an already-indexed doc is rejected by its own index
-    entry, so replays converge instead of duplicating."""
+    band rows only; the verify SEMI-JOIN-PRUNES ``docs`` to the
+    candidate partner ids before shingling (round-9 review: the prune
+    is unconditionally correct, so the helper does it rather than
+    documenting it), making partner IO proportional to candidates,
+    never the lake. The index delta append is bounded by the accepted
+    docs. Failure semantics are p11's at-least-once: re-delivery of
+    an already-indexed doc is rejected by its own index entry, so
+    replays converge instead of duplicating."""
     sh_inc = materialize(
         incoming.select(
             "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
@@ -1500,48 +1553,22 @@ def incremental_neardup(
     # must reflect the index as of batch start, not re-read the path
     # after this function appends to it (lazy-read poisoning).
     idx = materialize(spark.read.parquet(index_path))
-    key_cols = ["k0", "k1"]
-    x = bands_inc.select(F.col("doc_id").alias("d"), "band", *key_cols)
-    yi = idx.select(
-        F.col("doc_id").alias("p"),
-        F.col("band").alias("band_y"),
-        *[F.col(k).alias(f"{k}_y") for k in key_cols],
+    # Materialized: cand feeds the partner prune AND the verify join —
+    # unmaterialized, the band joins would run twice.
+    cand = materialize(
+        band_candidates(bands_inc, idx)
+        .unionByName(band_candidates(bands_inc, bands_inc, require_smaller=True))
+        .distinct()
     )
-    match = (F.col("band") == F.col("band_y")) & (
-        F.col("k0") == F.col("k0_y")
-    ) & (F.col("k1") == F.col("k1_y"))
-    cand_idx = x.join(yi, match).select("d", "p")
-    yb = bands_inc.select(
-        F.col("doc_id").alias("p"),
-        F.col("band").alias("band_y"),
-        *[F.col(k).alias(f"{k}_y") for k in key_cols],
+    # Exact verify over full shingle sets; partner side = corpus docs
+    # pruned to candidate partner ids (the lake fetch, candidate-bounded).
+    partner_docs = docs.join(
+        cand.select(F.col("p").alias("doc_id")).distinct(), "doc_id", "left_semi"
     )
-    cand_batch = (
-        x.join(yb, match & (F.col("p") < F.col("d"))).select("d", "p")
-    )
-    cand = cand_idx.unionByName(cand_batch).distinct()
-    # Exact verify over full shingle sets (partner side = corpus
-    # relation; incoming side reuses the materialized increment).
-    sh_all = docs.select(
+    sh_p = partner_docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
     )
-    sizes_inc = sh_inc.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sizes_all = sh_all.groupBy("doc_id").agg(F.count("*").alias("n"))
-    common = (
-        cand.join(sh_inc.select(F.col("doc_id").alias("d"), "shingle"), "d")
-        .join(sh_all.select(F.col("doc_id").alias("p"), "shingle"), ["p", "shingle"])
-        .groupBy("d", "p")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jacc = (
-        common.join(sizes_inc.select(F.col("doc_id").alias("d"), F.col("n").alias("n_d")), "d")
-        .join(sizes_all.select(F.col("doc_id").alias("p"), F.col("n").alias("n_p")), "p")
-        .filter(
-            F.col("n_common")
-            / (F.col("n_d") + F.col("n_p") - F.col("n_common"))
-            >= threshold
-        )
-    )
+    jacc = verified_jaccard_matches(cand, sh_inc, sh_p, threshold)
     m = materialize(jacc.groupBy("d").agg(F.min("p").alias("dup_of")))
     # Index delta: band rows of the ACCEPTED docs only (the survivors a
     # later batch must dedup against). m is materialized above, so this

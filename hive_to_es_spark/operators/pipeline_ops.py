@@ -1696,11 +1696,19 @@ def selective_partition_delete(spark, path, part_col, pred, affected=None):
     crash between the renames leaves the old copy at dst.old — every
     intermediate state keeps at least one on-disk copy of the
     partition, and a failed rename-in restores dst from dst.old before
-    raising. Leftover .old dirs from a prior crashed run are cleared
-    at the start of each swap (idempotent re-run). While a swap is in
-    flight a concurrent reader may see the partition under the
-    transient "<part>.old" value — acceptable for a maintenance op
-    that owns the table during compaction/delete windows.
+    raising. A REPAIR PRE-PASS runs before anything reads ``path``:
+    every leftover "<part>.old" dir from a prior crashed run is
+    restored (renamed back) when its partition dir is missing, or
+    dropped as a stale duplicate when the swap had already completed —
+    repairing BEFORE the read matters because parquet partition
+    discovery would otherwise parse the .old dir as a bogus partition
+    value "<part>.old" and this run's survivor scan (and a naive
+    cleanup's delete) would operate on a corrupted view (round-9
+    review: clearing .old inside the swap loop could delete the ONLY
+    copy of a partition on re-run). While a swap is in flight a
+    concurrent reader may see the partition under the transient
+    "<part>.old" value — acceptable for a maintenance op that owns
+    the table during compaction/delete windows.
 
     Two further delete-helper traps (round-7 review):
     - NULL predicate rows are KEPT: ``~pred`` is NULL for NULL
@@ -1714,6 +1722,24 @@ def selective_partition_delete(spark, path, part_col, pred, affected=None):
     import uuid
 
     from hive_to_es_spark.functions.merge import _hadoop_fs, fs_delete
+
+    # repair pre-pass: heal any crashed swap BEFORE reading the table
+    fs, root_p = _hadoop_fs(spark, path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    if fs.exists(root_p):
+        for st in fs.listStatus(root_p):
+            name = st.getPath().getName()
+            if not (name.startswith(f"{part_col}=") and name.endswith(".old")):
+                continue
+            dst_p = jvm_path(root_p, name[: -len(".old")])
+            if fs.exists(dst_p):
+                fs.delete(st.getPath(), True)  # swap completed: stale copy
+            elif not fs.rename(st.getPath(), dst_p):  # crashed mid-swap
+                raise IOError(
+                    f"repair rename {st.getPath()} -> {dst_p} failed; "
+                    f"old copy left in place"
+                )
+        spark.catalog.refreshByPath(path)
 
     base = spark.read.parquet(path)
     is_target = pred.eqNullSafe(True)
@@ -1741,7 +1767,7 @@ def selective_partition_delete(spark, path, part_col, pred, affected=None):
         fs, dst_p = _hadoop_fs(spark, dst)
         _, src_p = _hadoop_fs(spark, src)  # sibling => same filesystem
         _, old_p = _hadoop_fs(spark, old)
-        fs.delete(old_p, True)  # leftover from a prior crashed run
+        # the repair pre-pass guarantees no .old dir exists here
         if fs.exists(dst_p) and not fs.rename(dst_p, old_p):
             raise IOError(
                 f"rename-aside {dst} -> {old} failed; target untouched, "

@@ -1074,9 +1074,12 @@ def bpe_train_batched(
                 break
             accepted.append(row)
             used.update((row.lft, row.rgt))
-        else:
-            if len(top) == window:
-                bound = int(top[-1].cnt)  # table may extend past the window
+        # no break => the pair table was exhausted inside the window
+        # (window > batch_size forces the break otherwise), so no
+        # non-accepted pair exists and bound stays None: nothing a
+        # batch merge creates can beat a pair that doesn't exist —
+        # except via a self-pair's run rewrites, which the self-pair
+        # batch-close above already walls off.
         if bound is not None:
             while len(accepted) > 1 and int(accepted[-1].cnt) <= bound:
                 accepted.pop()  # can't prove it beats a new pair: defer

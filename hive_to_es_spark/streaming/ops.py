@@ -657,17 +657,28 @@ def foreach_batch_neardup_ingest(state_root: str, threshold: float = 0.2):
     delivered in doc_id order, the final survivors equal the batch
     e11 answer exactly. At-least-once safety: a re-delivered doc's id
     is already in ``docs`` and is anti-joined out before any decision;
-    survivors are appended BEFORE the seen-state (so a crash between
-    the two replays the batch and re-appends — survivors are read
-    DISTINCT, making the append idempotent, never lost).
+    the three state appends run survivors -> index -> docs, and the
+    replay gate is ``docs`` — the LAST write — so a crash anywhere in
+    the sequence replays the whole batch (round-9 review: gating on
+    the index, the first write, left a crash window where the replay
+    found half-written state and wedged). Replayed appends are
+    harmless by construction: survivors are read DISTINCT, and
+    duplicate index band rows only duplicate candidates, which
+    ``distinct()`` collapses.
 
     Per-batch cost: |batch| signatures + band join against the index +
     an exact verify whose partner shingles are computed ONLY for docs
     matching candidate ids (semi-join prune) — never a scan of the
-    accumulated corpus."""
+    accumulated corpus. Candidate and verify logic is shared verbatim
+    with the batch path (band_candidates / verified_jaccard_matches),
+    so the streaming fold cannot drift from its convergence target."""
     from hive_to_es_spark.functions.merge import fs_exists
     from hive_to_es_spark.operators.dedup import word_shingles
-    from hive_to_es_spark.operators.dedup_ext import minhash_band_rows
+    from hive_to_es_spark.operators.dedup_ext import (
+        band_candidates,
+        minhash_band_rows,
+        verified_jaccard_matches,
+    )
 
     index_path = f"{state_root}/index"
     docs_path = f"{state_root}/docs"
@@ -681,7 +692,9 @@ def foreach_batch_neardup_ingest(state_root: str, threshold: float = 0.2):
     def body(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
-        have_state = fs_exists(spark, index_path)
+        # gate on the LAST-written state dir: if docs exists, the
+        # index write before it is guaranteed complete (see docstring)
+        have_state = fs_exists(spark, docs_path)
         if have_state:
             seen_ids = spark.read.parquet(docs_path).select("doc_id")
             batch = batch.join(seen_ids, "doc_id", "left_anti")
@@ -693,60 +706,26 @@ def foreach_batch_neardup_ingest(state_root: str, threshold: float = 0.2):
             return
         sh_b = _shingles(batch).localCheckpoint(eager=True)
         bands_b = minhash_band_rows(sh_b).localCheckpoint(eager=True)
-        key_cols = ["k0", "k1"]
-        x = bands_b.select(F.col("doc_id").alias("d"), "band", *key_cols)
-        yb = bands_b.select(
-            F.col("doc_id").alias("p"),
-            F.col("band").alias("band_y"),
-            *[F.col(k).alias(f"{k}_y") for k in key_cols],
-        )
-        match = (
-            (F.col("band") == F.col("band_y"))
-            & (F.col("k0") == F.col("k0_y"))
-            & (F.col("k1") == F.col("k1_y"))
-        )
-        cand = x.join(yb, match & (F.col("p") < F.col("d"))).select("d", "p")
+        cand = band_candidates(bands_b, bands_b, require_smaller=True)
         if have_state:
-            yi = spark.read.parquet(index_path).select(
-                F.col("doc_id").alias("p"),
-                F.col("band").alias("band_y"),
-                *[F.col(k).alias(f"{k}_y") for k in key_cols],
+            cand = cand.unionByName(
+                band_candidates(bands_b, spark.read.parquet(index_path))
             )
-            cand = cand.unionByName(x.join(yi, match).select("d", "p"))
-        cand = cand.distinct()
+        cand = cand.distinct().localCheckpoint(eager=True)
         # exact verify: partner shingles computed ONLY for candidate ids
         partner_docs = (
             spark.read.parquet(docs_path).unionByName(batch)
             if have_state
             else batch
         ).join(cand.select(F.col("p").alias("doc_id")).distinct(), "doc_id", "left_semi")
-        sh_p = _shingles(partner_docs)
-        sizes_b = sh_b.groupBy("doc_id").agg(F.count("*").alias("n"))
-        sizes_p = sh_p.groupBy("doc_id").agg(F.count("*").alias("n"))
-        common = (
-            cand.join(sh_b.select(F.col("doc_id").alias("d"), "shingle"), "d")
-            .join(sh_p.select(F.col("doc_id").alias("p"), "shingle"), ["p", "shingle"])
-            .groupBy("d", "p")
-            .agg(F.count("*").alias("n_common"))
-        )
         dup_ids = (
-            common.join(
-                sizes_b.select(F.col("doc_id").alias("d"), F.col("n").alias("n_d")), "d"
-            )
-            .join(
-                sizes_p.select(F.col("doc_id").alias("p"), F.col("n").alias("n_p")), "p"
-            )
-            .filter(
-                F.col("n_common")
-                / (F.col("n_d") + F.col("n_p") - F.col("n_common"))
-                >= threshold
-            )
+            verified_jaccard_matches(cand, sh_b, _shingles(partner_docs), threshold)
             .select(F.col("d").alias("doc_id"))
             .distinct()
         )
         accepted = batch.select("doc_id").join(dup_ids, "doc_id", "left_anti")
-        # order matters (at-least-once): survivors first, then the seen
-        # state — see docstring
+        # write order matters (at-least-once): survivors, then index,
+        # then docs (the gate) — see docstring
         accepted.write.mode("append").parquet(surv_path)
         bands_b.write.mode("append").parquet(index_path)
         batch.write.mode("append").parquet(docs_path)

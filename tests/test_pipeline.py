@@ -419,3 +419,42 @@ def test_d16_redelivery_and_index_delta(spark, sf_dir):
     out2 = queries()["d16_incremental_neardup"](spark, sf_dir).collect()
     again = {r.doc_id for r in out2 if r.accepted == 1}
     assert again == accepted_ids  # op rebuilds its base index: idempotent
+
+
+def test_selective_delete_repairs_crashed_swap(spark, tmp_path):
+    """Round-9 review: a run that crashed between the two swap renames
+    leaves the partition only at '<part>.old' — parquet discovery
+    would parse that as a bogus partition value, and the old cleanup
+    deleted it blindly. The repair pre-pass must (a) RESTORE an .old
+    dir whose partition dir is missing before anything reads the
+    table, and (b) DROP an .old dir whose swap had already completed
+    (both dirs present), keeping exactly one copy either way."""
+    import os
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from hive_to_es_spark.operators.pipeline_ops import selective_partition_delete
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("p1", 1), ("p1", 2), ("p2", 2), ("p3", 1), ("p3", 2)],
+        "part STRING, k INT",
+    )
+    df.repartition(F.col("part")).write.partitionBy("part").parquet(path)
+    # simulate crash A: p1's swap died between rename-aside and
+    # rename-in — only the .old copy exists
+    os.rename(os.path.join(path, "part=p1"), os.path.join(path, "part=p1.old"))
+    # simulate crash B: p2's swap completed but died before dropping
+    # the aside copy — both dirs exist (the .old is a stale duplicate)
+    sh.copytree(os.path.join(path, "part=p2"), os.path.join(path, "part=p2.old"))
+    spark.catalog.refreshByPath(path)
+
+    affected = selective_partition_delete(spark, path, "part", F.col("k") == 1)
+    # p1 was restored BEFORE the survivor scan: its k=1 row was seen,
+    # deleted, and its k=2 row survives; p2's stale .old never
+    # double-counted; no .old dir remains anywhere
+    assert sorted(affected) == ["p1", "p3"]
+    assert not any(n.endswith(".old") for n in os.listdir(path)), os.listdir(path)
+    rows = {(r.part, r.k) for r in spark.read.parquet(path).collect()}
+    assert rows == {("p1", 2), ("p2", 2), ("p3", 2)}
