@@ -217,6 +217,16 @@ EAGER_BUILD = {
     "e11_stream_neardup_ingest",
 }
 
+# Ops whose OUTPUT is corpus-sized (d13 emits the ENTIRE candidate
+# audit table: 5.4M rows at 8x, 21.7M at 16x — k² by design). Timing
+# collect() on those prices the driver's single-threaded row pickling
+# (measured round 9: the 16x step jumped 7.1x and FAILed the k² model
+# while the distributed compute itself was FLAT, 13.5s@8x vs 12s@16x
+# by count()), which no production deployment of an audit TABLE
+# executes — they sink it. These ops are timed through the noop sink:
+# the full plan runs distributed, rows are discarded executor-side.
+SINK_TIMED = {"d13_sketch_accuracy"}
+
 # Round 8 (VERDICT r7 task 5): a 16x rung for the multi-second ops,
 # so their exponents are fit over the full 16x range where the
 # asymptote can actually emerge (several were still overhead-bent at
@@ -283,22 +293,31 @@ def build_scaled(spark, k: int) -> None:
         scaled.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
 
 
-def bench_one(spark, fn, sf_dir: str, eager: bool = False) -> tuple[float, int]:
+def bench_one(
+    spark, fn, sf_dir: str, eager: bool = False, sink: bool = False
+) -> tuple[float, int]:
+    def run(df) -> None:
+        if sink:  # SINK_TIMED: full plan, rows discarded executor-side
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+
     if eager:
-        rows = len(fn(spark, sf_dir).collect())  # warm-up: full build + read
+        df0 = fn(spark, sf_dir)
+        rows = df0.count() if sink else len(df0.collect())  # warm-up
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            run(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         release_all_persistent(spark)  # eager builders checkpoint per build
         return best, rows
     df = fn(spark, sf_dir)
-    rows = len(df.collect())  # warm-up
+    rows = df.count() if sink else len(df.collect())  # warm-up
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        df.collect()
+        run(df)
         best = min(best, time.perf_counter() - t0)
     release_all_persistent(spark)
     return best, rows
@@ -336,7 +355,10 @@ def main() -> int:
         f"Generated by tools/scale_proof.py at {SF_DIR} vs synthetically",
         f"scaled copies at k={scale_list} (see the tool's docstring for the",
         "scaling strategy and why each expectation holds). Times are",
-        "best-of-2 collect() after a warm-up, local[32]; eager-build ops",
+        "best-of-2 collect() after a warm-up, local[32] (corpus-sized-OUTPUT",
+        "ops — d13's full audit table — time a noop SINK instead: collect()",
+        "would price single-threaded driver pickling of k²-many rows, not",
+        "the plan; see SINK_TIMED); eager-build ops",
         "(d4, d7, d9, d10, d11) rebuild inside the timed section. `b` is",
         f"the least-squares exponent of t vs k over the op's measured",
         f"rung set; model b = log2(per-doubling factor). Multi-second ops",
@@ -362,7 +384,13 @@ def main() -> int:
         op_scales = all_scales if op in SCALE16_OPS else SCALES
         ts, rows = [], []
         for k in op_scales:
-            t, r = bench_one(spark, qs[op], dirs[k], eager=op in EAGER_BUILD)
+            t, r = bench_one(
+                spark,
+                qs[op],
+                dirs[k],
+                eager=op in EAGER_BUILD,
+                sink=op in SINK_TIMED,
+            )
             ts.append(t)
             rows.append(r)
         main_measurements[op] = (ts, rows)
