@@ -662,3 +662,78 @@ def test_jaccard_banded_branch_matches_blocked_on_fixtures(spark, sf_dir):
     assert blocked, "fixture must produce near-dup pairs"
     assert canon(ngram_jaccard_pairs(d, plan="banded")) == blocked
     assert canon(ngram_jaccard_pairs(d, blocked_doc_limit=1)) == blocked
+
+
+def test_t18_single_scan_take_ordered(spark, sf_dir):
+    """t18's census must be one scan into one aggregate with a
+    TakeOrderedAndProject top-20 — no join, no global sort of the
+    gram census, no Python."""
+    plan = _simple_plan(spark, sf_dir, "t18_repeated_passages")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_m9_no_global_window(spark, sf_dir):
+    """m9's running weight must ride the two-pass range plan: the
+    window is partitioned by the arithmetic range id (_pid), never
+    unpartitioned, and the item explode stays scan-side (two scans of
+    documents — image items + chunk items — no UDF)."""
+    plan = _simple_plan(spark, sf_dir, "m9_multimodal_pack")
+    assert "Window [" in plan and "windowspecdefinition(_pid" in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_d16_decision_is_pinned_and_partner_prune_is_semi_join(spark, sf_dir):
+    """Two d16 pins. (a) The RETURNED frame must be a left join of the
+    increment against the MATERIALIZED decision (Scan ExistingRDD =
+    localCheckpoint blocks): if the decision were still lazy, the
+    in-op index-delta append could poison a later evaluation. (b) The
+    round-9 review fix: inside the decision, partner shingles must be
+    fetched through a LeftSemi prune on candidate ids — asserted on
+    the pre-materialization plan built from the same helpers."""
+    from pyspark.sql import functions as F
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.dedup import word_shingles
+    from hive_to_es_spark.operators.dedup_ext import (
+        band_candidates,
+        minhash_band_rows,
+        verified_jaccard_matches,
+    )
+
+    plan = _simple_plan(spark, sf_dir, "d16_incremental_neardup")
+    assert "LeftOuter" in plan, plan
+    assert "ExistingRDD" in plan, plan  # decision pinned before the append
+    # (b): replicate the helper composition lazily and check the prune
+    docs = load_tables(spark, sf_dir).documents
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    cand = band_candidates(minhash_band_rows(sh), minhash_band_rows(sh), True)
+    partner = docs.join(
+        cand.select(F.col("p").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    )
+    sh_p = partner.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    lazy = verified_jaccard_matches(cand, sh, sh_p, 0.2)
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lazy.explain()
+    assert "LeftSemi" in buf.getvalue()
+
+
+def test_s16_serving_broadcasts_query_probes(spark, sf_dir):
+    """s16's serving join must broadcast the |q| x nprobe probe rows
+    against the persisted inverted lists (never shuffle the index for
+    a bounded query batch), and the final top-3 window must partition
+    by query_id."""
+    plan = _simple_plan(spark, sf_dir, "s16_ann_ivf_persisted")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "windowspecdefinition(query_id" in plan, plan
