@@ -13,7 +13,7 @@ types).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_to_es_spark.io import load_tables
@@ -476,6 +476,130 @@ GROUP BY 1
 """
 
 
+def _deletions_sql(s: str) -> str:
+    """SQL array expression: every string obtainable from ``s`` by
+    deleting exactly ONE character (empty array for the empty string).
+    Pure codegen'd higher-order functions — no Python in the path.
+    The empty-string guard matters because Spark's ``sequence(1, 0)``
+    infers step -1 and returns [1, 0], not []."""
+    return (
+        f"CASE WHEN length({s}) < 1 THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, length({s})), "
+        f"i -> concat(substring({s}, 1, i - 1), "
+        f"substring({s}, i + 1, length({s})))) END"
+    )
+
+
+def deletion_neighborhood(col: str) -> Column:
+    """All distinct strings obtainable from ``col`` by deleting AT
+    MOST 2 characters — the SymSpell deletion neighborhood D_2.
+
+    Completeness theorem (the reason x13 can use this as a candidate
+    generator without changing its exact-match contract): if
+    levenshtein(a, b) <= 2 then D_2(a) ∩ D_2(b) != {} — walk an
+    optimal edit script; for each substitution delete the substituted
+    character from BOTH sides, for each insertion delete the inserted
+    character from b, for each deletion delete from a. Each side
+    accumulates at most 2 deletions and both reach the same string.
+    (Garbe's SymSpell lemma; tests/test_property.py re-proves it by
+    random edit scripts against this exact expression.)
+
+    Cost: 1 + L + L·(L-1) strings before dedup for length L — ~330
+    for a customer name, collapsing to ~150 after array_distinct.
+    Linear per row, codegen'd end to end."""
+    d1 = _deletions_sql(col)
+    d2 = f"flatten(transform({d1}, t -> {_deletions_sql('t')}))"
+    return F.expr(f"array_distinct(concat(array({col}), {d1}, {d2}))")
+
+
+def fuzzy_name_candidates(names: DataFrame) -> DataFrame:
+    """Candidate DISTINCT-name pairs for levenshtein <= 2 within a
+    blocking key: explode each name's deletion neighborhood and
+    equi-join on (blk, variant). Input columns: (blk, c_name),
+    already distinct. Output: (blk, name_a, name_b) with
+    name_a < name_b.
+
+    Complete for lev <= 2 (see deletion_neighborhood) and CHEAP where
+    the suffix-block pair stream is quadratic: the join key is
+    (blk, variant), so two names only meet if they already agree on
+    the block AND are within joint deletion distance 4 — candidate
+    pairs track the true-match count instead of Σ|block|²
+    (tests/test_plans.py pins the >= 10x reduction on a sparse-match
+    corpus, d11's bound). The exploded variant relation feeds both
+    join sides, so it is materialized once (the d10 lesson —
+    unmaterialized, the 100x explode re-runs per side)."""
+    from hive_to_es_spark.functions.lifecycle import materialize
+
+    v = materialize(
+        names.select(
+            "blk", "c_name", F.explode(deletion_neighborhood("c_name")).alias("_var")
+        )
+    )
+    a = v.select("blk", F.col("c_name").alias("name_a"), "_var")
+    b = v.select("blk", F.col("c_name").alias("name_b"), "_var")
+    return (
+        a.join(b, ["blk", "_var"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("blk", "name_a", "name_b")
+        .distinct()
+    )
+
+
+# Above this many DISTINCT names the repartition-pinned block join's
+# Σ|block|² pair stream (suffix blocks grow linearly with distinct
+# names) gives way to the deletion-neighborhood candidate generator,
+# whose candidates track the true-match count. ~50k names with ~100
+# suffix blocks ≈ 12M name pairs — the last point where pricing every
+# block pair beats pricing candidates.
+_X13_BLOCKED_NAME_LIMIT = 50_000
+
+
+def choose_fuzzy_plan(n_names: int, blocked_name_limit: int = _X13_BLOCKED_NAME_LIMIT) -> str:
+    """d4-style auto gate for the x13 name-pair matcher."""
+    return "blocked" if n_names <= blocked_name_limit else "symspell"
+
+
+def fuzzy_name_matches(names: DataFrame, plan: str = "auto") -> DataFrame:
+    """Distinct-name pairs with levenshtein <= 2 inside a suffix
+    block: (blk, name_a < name_b, lev). Two physical plans under one
+    contract (the d4/d9 gate discipline):
+
+    - ``blocked``: equi-join on blk with an explicit
+      ``repartition(n, blk)`` pin on BOTH sides. The pin is
+      load-bearing: the name relation is byte-tiny, so AQE coalesces
+      the blk shuffle to one partition and every levenshtein runs on
+      a single core (measured 6.0s -> 1.0s at sf0.1 — the g6
+      cogroup pitfall, same fix). Right while Σ|block|² stays small.
+    - ``symspell``: fuzzy_name_candidates' deletion-neighborhood
+      equi-join prices candidates instead of block pairs — the
+      organic-growth path, where blocks grow linearly with distinct
+      names and the block pair stream is the inventory's last
+      quadratic.
+
+    ``auto`` counts distinct names (one cheap aggregate over an
+    already-distinct relation) and gates at _X13_BLOCKED_NAME_LIMIT.
+    Both branches end in the same exact levenshtein predicate, so
+    they are output-identical (pinned by tests/test_plans.py on the
+    fixtures)."""
+    if plan == "auto":
+        plan = choose_fuzzy_plan(names.count())
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    if plan == "blocked":
+        n_part = int(names.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        a = names.select("blk", F.col("c_name").alias("name_a")).repartition(
+            n_part, "blk"
+        )
+        b = names.select("blk", F.col("c_name").alias("name_b")).repartition(
+            n_part, "blk"
+        )
+        pairs = a.join(b, "blk").filter(F.col("name_a") < F.col("name_b"))
+    elif plan == "symspell":
+        pairs = fuzzy_name_candidates(names)
+    else:
+        raise ValueError(f"unknown fuzzy plan {plan!r}")
+    return pairs.filter(lev <= 2).select("blk", "name_a", "name_b", lev.alias("lev"))
+
+
 @register("x13_fuzzy_match", _X13_ORACLE)
 def x13_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching: near-identical customer names found via
@@ -484,18 +608,31 @@ def x13_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     CRMs). Both engines ship the same Wagner-Fischer levenshtein, so
     the whole match set value-verifies.
 
-    The blocking key (name suffix) is what makes this scale: edit
-    distance is O(len²) per pair and cannot be indexed directly, so
-    NEVER all-pairs — candidates come from a block equi-join
-    (Σ|block|² pairs, the d4/d5 discipline), and the quadratic
-    predicate runs only inside blocks. Production blocks on phonetic
-    codes (soundex — also a built-in in both engines) or q-gram
-    prefixes (d10's filter); a suffix block is the fixture-honest
-    choice because these names differ in trailing digits. The
-    WHERE-side distance keeps the filter ABOVE the join (not in the
-    join condition) so the planner still sees a hash-joinable equi
-    key."""
-    c = load_tables(spark, sf_dir).customer.select(
+    Scale story (round 10 — this op was the inventory's last
+    quadratic): edit distance is O(len²) per pair and cannot be
+    indexed directly, so the pair stream must be priced before the
+    verify. The old plan equi-joined raw customer ROWS on the suffix
+    block — Σ|block|² levenshtein pairs over an AQE-serialized
+    single-partition shuffle (7.0 s at sf0.1, 73.8 s at 8x where the
+    ladder's identical-name copies grow every block k-fold). The
+    round-10 plan has three stages, each priced by its own output:
+
+    1. collapse to DISTINCT names — exact duplicates (the bulk of any
+       real CRM, and exactly how the scale ladder replicates this
+       table) never enter the pair stream; replication changes this
+       stage's cost not at all;
+    2. fuzzy_name_matches — the gated name-level matcher (repartition-
+       pinned block join below 50k distinct names, SymSpell deletion-
+       neighborhood candidates above; both end in the same exact
+       levenshtein predicate, so the match set is bit-identical to
+       the oracle's exhaustive block scan). lev is computed HERE,
+       once per matched name pair, never per expanded key pair;
+    3. a (c_name)-keyed expansion join back to customer rows emits
+       every (k_a < k_b) key pair with the smaller key's nation —
+       equal-name groups pair within themselves at lev 0. This stage
+       is OUTPUT-sized: the oracle's n_match_pairs counts exactly
+       these rows, so no plan can do less work here."""
+    base = load_tables(spark, sf_dir).customer.select(
         "c_custkey",
         "c_name",
         "c_nationkey",
@@ -504,20 +641,49 @@ def x13_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         # start — the shared positive-start form cannot diverge
         F.expr("substring(c_name, greatest(length(c_name) - 1, 1), 2)").alias("blk"),
     )
-    a, b = c.alias("a"), c.alias("b")
-    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    names = base.select("blk", "c_name").distinct()
+    matched = fuzzy_name_matches(names)
+    # equal-name pairs: same name => same blk (blk is a function of
+    # the name) and lev = 0 — groups with >= 2 keys pair within
+    # themselves, no pair matcher needed
+    eq = (
+        base.groupBy("blk", "c_name")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select(
+            "blk",
+            F.col("c_name").alias("name_a"),
+            F.col("c_name").alias("name_b"),
+            F.lit(0).alias("lev"),
         )
-        .filter(lev <= 2)
-        .groupBy(F.col("a.c_nationkey").alias("nation"))
+    )
+    pairs = matched.unionByName(eq)
+    ka = base.select(
+        F.col("c_name").alias("name_a"),
+        F.col("c_custkey").alias("k_a"),
+        F.col("c_nationkey").alias("nat_a"),
+    )
+    kb = base.select(
+        F.col("c_name").alias("name_b"),
+        F.col("c_custkey").alias("k_b"),
+        F.col("c_nationkey").alias("nat_b"),
+    )
+    return (
+        pairs.join(ka, "name_a")
+        .join(kb, "name_b")
+        # distinct-name pairs: every key cross-pair counts once (the
+        # name order fixed the orientation); equal-name pairs: keep
+        # the k_a < k_b half of the self-cross
+        .filter((F.col("name_a") < F.col("name_b")) | (F.col("k_a") < F.col("k_b")))
+        .groupBy(
+            F.when(F.col("k_a") < F.col("k_b"), F.col("nat_a"))
+            .otherwise(F.col("nat_b"))
+            .alias("nation")
+        )
         .agg(
             F.count("*").cast("bigint").alias("n_match_pairs"),
-            F.min(lev).cast("bigint").alias("min_lev"),
-            F.max(lev).cast("bigint").alias("max_lev"),
+            F.min("lev").cast("bigint").alias("min_lev"),
+            F.max("lev").cast("bigint").alias("max_lev"),
         )
     )
 

@@ -737,3 +737,95 @@ def test_s16_serving_broadcasts_query_probes(spark, sf_dir):
     plan = _simple_plan(spark, sf_dir, "s16_ann_ivf_persisted")
     assert "BroadcastHashJoin" in plan, plan
     assert "windowspecdefinition(query_id" in plan, plan
+
+
+def test_x13_gate_decision_and_blocked_pin(spark, sf_dir):
+    """x13's round-10 matcher: the auto gate picks the repartition-
+    pinned block join at fixture scale (and the pin must be visible
+    in the plan — without REPARTITION_BY_NUM, AQE coalesces the
+    byte-tiny blk shuffle to one partition and serializes every
+    levenshtein, the g6 pitfall: measured 6.0s -> 1.0s at sf0.1)."""
+    from hive_to_es_spark.operators.scalars import (
+        _X13_BLOCKED_NAME_LIMIT,
+        choose_fuzzy_plan,
+    )
+
+    assert choose_fuzzy_plan(15_000) == "blocked"
+    assert choose_fuzzy_plan(_X13_BLOCKED_NAME_LIMIT) == "blocked"
+    assert choose_fuzzy_plan(_X13_BLOCKED_NAME_LIMIT + 1) == "symspell"
+    plan = _simple_plan(spark, sf_dir, "x13_fuzzy_match")
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_x13_symspell_branch_matches_blocked(spark, sf_dir):
+    """The gated symspell branch must reproduce the blocked branch's
+    exact name-level match set on the fixtures — the deletion-
+    neighborhood candidate join is provably complete for lev <= 2
+    (SymSpell lemma), so this equality is a theorem, not luck."""
+    from pyspark.sql import functions as F
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.scalars import fuzzy_name_matches
+
+    names = (
+        load_tables(spark, sf_dir)
+        .customer.select(
+            F.expr(
+                "substring(c_name, greatest(length(c_name) - 1, 1), 2)"
+            ).alias("blk"),
+            "c_name",
+        )
+        .distinct()
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    blocked = canon(fuzzy_name_matches(names, plan="blocked"))
+    assert blocked, "fixture must produce fuzzy matches"
+    assert canon(fuzzy_name_matches(names, plan="symspell")) == blocked
+
+
+def test_x13_symspell_candidate_bound_sparse_corpus(spark):
+    """d11's candidate-count discipline for x13: on a corpus whose
+    names are NOT near-identical digit strings (one hot suffix block,
+    sparse true matches — the realistic CRM shape), the deletion-
+    neighborhood candidate stream must be >= 10x below the block
+    join's Sigma|block|^2 pair stream, while still finding every
+    planted near-dup (completeness)."""
+    from pyspark.sql import functions as F
+
+    from hive_to_es_spark.operators.scalars import (
+        fuzzy_name_candidates,
+        fuzzy_name_matches,
+    )
+
+    raw = spark.range(1200).select(
+        F.concat(F.md5(F.col("id").cast("string")), F.lit("zz")).alias("c_name")
+    )
+    # plant near-dups: mutate one inner character of three names,
+    # preserving the suffix block (lev = 1 from the original)
+    planted = spark.range(3).select(
+        F.concat(
+            F.lit("Z"),
+            F.substring(F.md5(F.col("id").cast("string")), 2, 31),
+            F.lit("zz"),
+        ).alias("c_name")
+    )
+    names = (
+        raw.unionByName(planted)
+        .select(
+            F.expr(
+                "substring(c_name, greatest(length(c_name) - 1, 1), 2)"
+            ).alias("blk"),
+            "c_name",
+        )
+        .distinct()
+    )
+    sizes = [r["n"] for r in names.groupBy("blk").agg(F.count("*").alias("n")).collect()]
+    blocked_pairs = sum(n * (n - 1) // 2 for n in sizes)
+    n_cand = fuzzy_name_candidates(names).count()
+    assert n_cand * 10 <= blocked_pairs, (n_cand, blocked_pairs)
+    # completeness: each planted mutation is lev-1 from its original
+    matches = fuzzy_name_matches(names, plan="symspell")
+    assert matches.count() >= 3, "planted near-dups must be found"

@@ -871,3 +871,64 @@ def test_bpe_batched_equals_sequential(spark, data, batch):
     )
     seq = bpe_train(words, n_merges=6)
     assert bpe_train_batched(words, n_merges=6, batch_size=batch) == seq
+
+
+def _py_del1(s: str) -> set[str]:
+    return {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+def _py_d2(s: str) -> set[str]:
+    d1 = _py_del1(s)
+    out = {s} | d1
+    for t in d1:
+        out |= _py_del1(t)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    s=st.text(alphabet="ab0", min_size=0, max_size=8),
+    edits=st.lists(
+        st.tuples(
+            st.sampled_from(["ins", "del", "sub"]),
+            st.integers(min_value=0, max_value=8),
+            st.sampled_from("ab0"),
+        ),
+        min_size=0,
+        max_size=2,
+    ),
+)
+def test_deletion_neighborhood_expr_and_symspell_lemma(spark, s, edits):
+    """x13's candidate generator rests on two facts, both re-proven
+    here on random inputs: (a) the codegen'd SQL deletion-
+    neighborhood expression computes exactly D_2 (vs a Python
+    reference, including the empty-string sequence(1,0) guard);
+    (b) the SymSpell lemma — b within <= 2 edit operations of a
+    implies D_2(a) and D_2(b) intersect — which is what makes the
+    candidate join COMPLETE for lev <= 2 and the oracle hash exact."""
+    from hive_to_es_spark.operators.scalars import deletion_neighborhood
+
+    row = (
+        spark.range(1)
+        .select(F.lit(s).alias("s"))
+        .select(deletion_neighborhood("s").alias("v"))
+        .collect()[0]
+    )
+    assert set(row.v) == _py_d2(s)
+    # apply <= 2 random edit operations -> lev(s, b) <= 2
+    b = s
+    for op, pos, ch in edits:
+        p = min(pos, len(b))
+        if op == "ins":
+            b = b[:p] + ch + b[p:]
+        elif op == "del" and b:
+            p = min(pos, len(b) - 1)
+            b = b[:p] + b[p + 1 :]
+        elif op == "sub" and b:
+            p = min(pos, len(b) - 1)
+            b = b[:p] + ch + b[p + 1 :]
+    assert _py_d2(s) & _py_d2(b), (s, b)

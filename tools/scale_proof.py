@@ -12,9 +12,11 @@ Scaling strategy (k copies written to .tmp/scale{k}x as parquet):
   (d4, s2, d6) should grow ~k² (Σ|block|² with k-fold blocks),
   validating that runtime tracks Σ|block|², not corpus size alone.
 - customer: k copies with offset c_custkey, names UNCHANGED — x13's
-  fixed suffix blocks each grow k-fold (pairs ~k²), and the scaled
-  orders' offset custkeys keep matching customers (q8/p19 joins stay
-  honest instead of dangling).
+  match-pair OUTPUT grows k² (every copy of a matching name pairs
+  with every copy of its partner; since round 10 the name-level
+  matcher is distinct-name-collapsed, so only the output-sized
+  expansion scales), and the scaled orders' offset custkeys keep
+  matching customers (q8/p19 joins stay honest instead of dangling).
 - orders: k copies with offset o_orderkey AND o_custkey — the block
   COUNT grows k-fold instead, so j10 should grow ~k (linear).
 - lineitem / events: offset keys, linear shapes (t2, w4) ~k.
@@ -113,12 +115,13 @@ OPS = {
     # (identical copies grow every band bucket k-fold -> pairs k²,
     # then an exact verify join per pair); s12's brute arm is corpus x
     # query-batch and BOTH grow k-fold with offset vec_ids -> k²;
-    # x13's suffix blocks are fixed in number so copies grow every
-    # block k-fold -> pairs k²; p19 is one aggregate scan per table +
-    # two anti-joins, linear.
+    # x13's OUTPUT pair count grows k² under identical-name copies
+    # (since round 10 the matcher itself is distinct-name-collapsed
+    # and constant; only the answer-sized expansion scales); p19 is
+    # one aggregate scan per table + two anti-joins, linear.
     "d13_sketch_accuracy": (4.0, "d8's banded candidates (k² with identical copies) + per-pair exact shingle verify"),
     "s12_recall_report": (4.0, "brute arm corpus x queries, both k-fold under offset-id scaling"),
-    "x13_fuzzy_match": (4.0, "identical-name copies grow every fixed suffix block k-fold -> Σ|block|² pairs"),
+    "x13_fuzzy_match": (4.0, "round 10: name-level matching collapses to DISTINCT names (constant under the replicated-copy ladder); the k² term is the OUTPUT-sized expansion join — the oracle's n_match_pairs counts k² key pairs, so the answer itself grows 4x per doubling"),
     "p19_data_quality": (2.0, "count_if aggregate scans + two anti-joins, linear"),
     # round 7: s13's corpus AND query sides both grow k-fold under
     # offset-id scaling (offset ids stay ≡ 0 mod 50) -> k² flops in
