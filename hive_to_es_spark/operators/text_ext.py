@@ -1007,7 +1007,7 @@ def bpe_train(words: DataFrame, n_merges: int = _T16_MERGES) -> list[tuple]:
 def bpe_train_batched(
     words: DataFrame,
     n_merges: int = _T16_MERGES,
-    batch_size: int = 4,
+    batch_size: int = 16,
 ) -> list[tuple]:
     """bpe_train with BATCHED merge rounds: apply up to ``batch_size``
     mutually non-interacting merges per Spark round, cutting the
@@ -1023,9 +1023,15 @@ def bpe_train_batched(
     hope. Rank all pairs by (cnt DESC, lft, rgt) — sequential's argmax
     order — and accept the maximal PREFIX such that:
 
-    1. accepted pairs are pairwise symbol-disjoint (a merge only
-       perturbs counts of pairs sharing one of its symbols; disjoint
-       pairs' counts are invariant under each other's application);
+    1. accepted pairs are pairwise symbol-disjoint, where a pair's
+       symbols are its left input, right input AND its merged OUTPUT
+       (a merge only perturbs counts of pairs sharing one of these;
+       disjoint pairs' counts and rewrites are invariant under each
+       other's application). Output-inclusion closes the round-9
+       hole: a lower-ranked pair like (q, 'abc') is NOT count-
+       invariant under an accepted (ab, c) — applying it mints new
+       (q, 'abc') occurrences — and is now conflicting because 'abc'
+       is in the accepted merge's symbol set;
     2. the prefix stops at the first conflicting pair, so every pair
        sharing a symbol with an accepted merge ranks BELOW the stop
        point — hence every NEW pair a batch merge creates (each
@@ -1039,12 +1045,35 @@ def bpe_train_batched(
        rank order already honored);
     4. a self-pair (a,a) closes its batch: run rewrites ("aaa" ->
        "aa a") can mint new pairs bounded only by the self-pair's own
-       count, outside M's guarantee.
+       count, outside M's guarantee;
+    5. a TWO-PATH SYMBOL COLLISION closes its batch: if an accepted
+       merge's output string equals a symbol that already exists
+       (reachable when the same string arises via two merge paths —
+       'abc' minted earlier by (a, bc) while (ab, c) is accepted
+       now), pairs touching that symbol have PRE-EXISTING counts, so
+       a fresh (x, 'abc') occurrence ADDS to an old count and the
+       new total can exceed M (up to old + minted <= 2M), escaping
+       step 3's trim. The existing-symbol set is exactly known
+       without touching the census — multi-char symbols only ever
+       enter via a merge, so it is {outputs of all prior merges} —
+       and a colliding merge is accepted ALONE at the end of its
+       batch (a 1-suffix batch is literally a sequential step, so
+       the recount that follows restores every invariant).
 
     The ranked read is a bounded top-(4*batch+1) collect — driver
     state stays O(batch) rows per round, and each round is still one
     map-side-combinable pair count + one literal-replace projection
-    over the |vocab| census."""
+    over the |vocab| census.
+
+    Measured width economics (round 10, 64 merges over the sf0.01
+    documents census): rounds 64 -> 54 at batch_size=4 and PLATEAU at
+    54 for batch 8/16/32 — on Zipfian natural text the top-ranked
+    pairs share their hottest symbols, so the conflict-free prefix
+    rarely exceeds ~2 and the binding constraint is symbol overlap +
+    the trim rule, not the width cap. The default is 16 (the cap is
+    free when conflicts bind first); for a 32k-vocab production run
+    the remaining lever is per-round cost (the census shrinks as
+    merges land), not width."""
     from hive_to_es_spark.functions.lifecycle import materialize, release_checkpoint
 
     L, R = _T16_L, _T16_R
@@ -1062,18 +1091,27 @@ def bpe_train_batched(
             break  # vocabulary fully collapsed before n_merges
         accepted: list = []
         used: set[str] = set()
+        # multi-char symbols only enter the census as merge outputs,
+        # so this set is exactly "which merged strings already exist"
+        prior_outputs = {m[3] for m in merges}
         bound = None  # count upper bound for every non-accepted pair
         for row in top:
+            last = accepted[-1] if accepted else None
             if (
                 len(accepted) >= batch_size
-                or (accepted and accepted[-1].lft == accepted[-1].rgt)
+                # self-pair closes its batch (rule 4)
+                or (last is not None and last.lft == last.rgt)
+                # two-path output collision closes its batch (rule 5)
+                or (last is not None and last.lft + last.rgt in prior_outputs)
+                # symbol-disjointness including OUTPUTS (rule 1)
                 or row.lft in used
                 or row.rgt in used
+                or row.lft + row.rgt in used
             ):
                 bound = int(row.cnt)
                 break
             accepted.append(row)
-            used.update((row.lft, row.rgt))
+            used.update((row.lft, row.rgt, row.lft + row.rgt))
         # no break => the pair table was exhausted inside the window
         # (window > batch_size forces the break otherwise), so no
         # non-accepted pair exists and bound stays None: nothing a

@@ -845,21 +845,27 @@ def test_bloom_never_false_negative(spark, dim_keys, fact_keys):
 @given(
     data=st.lists(
         st.tuples(
-            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.text(alphabet="ab", min_size=1, max_size=10),
             st.integers(min_value=1, max_value=9),
         ),
         min_size=1,
         max_size=12,
     ),
-    batch=st.sampled_from([2, 3, 4, 8]),
+    batch=st.sampled_from([2, 3, 4, 8, 16]),
 )
 def test_bpe_batched_equals_sequential(spark, data, batch):
     """bpe_train_batched's acceptance rule claims OUTPUT-IDENTITY with
-    the sequential trainer (its docstring's four-step argument). Random
+    the sequential trainer (its docstring's five-step argument). Random
     tiny-alphabet corpora hammer exactly the hostile cases: count ties,
-    self-pairs ("aa"), overlapping runs ("aaa"), and merges whose
-    products immediately dominate the next round — where a naive
-    top-m batch WOULD diverge."""
+    self-pairs ("aa"), overlapping runs ("aaa"), merges whose products
+    immediately dominate the next round, and — the round-10 extension
+    (2-letter alphabet, depth-8 merges, words to 10 chars) — deep merge
+    chains where one string could be reachable via two merge paths
+    (the two-path output collision rule 5 guards; a 150k-corpus offline
+    sweep of this generator never even fired the collision
+    precondition, consistent with it being unreachable under global-
+    rank greedy L2R BPE, but the rule keeps the equivalence a theorem
+    rather than a conjecture)."""
     from hive_to_es_spark.operators.text_ext import bpe_train, bpe_train_batched
 
     # collapse duplicate words into a census (bpe_train's input contract)
@@ -869,8 +875,8 @@ def test_bpe_batched_equals_sequential(spark, data, batch):
     words = spark.createDataFrame(
         list(census.items()), "word STRING, freq BIGINT"
     )
-    seq = bpe_train(words, n_merges=6)
-    assert bpe_train_batched(words, n_merges=6, batch_size=batch) == seq
+    seq = bpe_train(words, n_merges=8)
+    assert bpe_train_batched(words, n_merges=8, batch_size=batch) == seq
 
 
 def _py_del1(s: str) -> set[str]:
