@@ -1522,6 +1522,14 @@ def incremental_neardup(
     see). ``docs`` is the full corpus relation used for the exact
     verify (the indexed docs' text still lives in the lake).
 
+    Like d4/d9's banded gate, a threshold below the (b=16, r=2)
+    S-curve's reliable zone emits a UserWarning + log line (ADVICE r9:
+    this path's accept/reject decision is made from banded candidates,
+    so boundary-pair recall at J ~= threshold follows the S-curve —
+    ~50% near J = 0.21 — even though every SURFACED candidate is
+    exact-verified; the default 0.2 contract accepts that trade, but
+    it must never be silent in production ingest).
+
     Candidate generation never touches text: incoming band rows join
     the index's persisted band rows on (band, k0, k1) — a doc
     re-delivered at-least-once collides with its own index entry on
@@ -1543,6 +1551,18 @@ def incremental_neardup(
     docs. Failure semantics are p11's at-least-once: re-delivery of
     an already-indexed doc is rejected by its own index entry, so
     replays converge instead of duplicating."""
+    if threshold < 0.5:
+        msg = (
+            f"incremental_neardup: threshold {threshold} sits below the "
+            f"(b=16, r=2) banded candidate generator's reliable zone — "
+            f"boundary-pair recall follows the S-curve (~50% near "
+            f"J=0.21, ~1 for J>=0.5). Surfaced candidates are still "
+            f"exact-verified, but near-threshold dups may be silently "
+            f"ACCEPTED; raise rows_per_band/n_hashes (more bands) or "
+            f"the threshold for complete boundary recall."
+        )
+        warnings.warn(msg, UserWarning, stacklevel=2)
+        _LOG.warning(msg)
     sh_inc = materialize(
         incoming.select(
             "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")

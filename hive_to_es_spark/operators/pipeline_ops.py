@@ -1692,23 +1692,29 @@ def selective_partition_delete(spark, path, part_col, pred, affected=None):
     staging-write failure cleans the staging dir up (try/except — no
     leaked temp dirs) and leaves the target untouched. Each affected
     partition is then swapped RENAME-ASIDE-FIRST (ADVICE r8): rename
-    dst -> dst.old, rename staging copy -> dst, delete dst.old. A
-    crash between the renames leaves the old copy at dst.old — every
-    intermediate state keeps at least one on-disk copy of the
-    partition, and a failed rename-in restores dst from dst.old before
-    raising. A REPAIR PRE-PASS runs before anything reads ``path``:
-    every leftover "<part>.old" dir from a prior crashed run is
-    restored (renamed back) when its partition dir is missing, or
-    dropped as a stale duplicate when the swap had already completed —
-    repairing BEFORE the read matters because parquet partition
-    discovery would otherwise parse the .old dir as a bogus partition
-    value "<part>.old" and this run's survivor scan (and a naive
-    cleanup's delete) would operate on a corrupted view (round-9
-    review: clearing .old inside the swap loop could delete the ONLY
-    copy of a partition on re-run). While a swap is in flight a
-    concurrent reader may see the partition under the transient
-    "<part>.old" value — acceptable for a maintenance op that owns
-    the table during compaction/delete windows.
+    dst -> "_old.<part_col>=<v>", rename staging copy -> dst, delete
+    the aside. The aside name lives OUTSIDE the partition namespace
+    (ADVICE r9: the earlier "<part_col>=<v>.old" form was ambiguous —
+    a legitimate string partition whose value ends in ".old" would be
+    classified as a crashed-swap leftover and deleted, and the swap's
+    aside target could collide with it) and starts with an underscore,
+    which Spark/Hadoop partition discovery skips — so concurrent
+    readers never see a transient bogus partition value while a swap
+    is in flight. A crash between the renames leaves the old copy at
+    the aside — every intermediate state keeps at least one on-disk
+    copy of the partition, and a failed rename-in restores dst from
+    the aside before raising. A REPAIR PRE-PASS runs before anything
+    reads ``path``: every leftover "_old.<part_col>=<v>" dir from a
+    prior crashed run is restored (renamed back) when its partition
+    dir is missing, or dropped as a stale duplicate when the swap had
+    already completed (round-9 review: clearing asides inside the
+    swap loop could delete the ONLY copy of a partition on re-run).
+    The pre-pass also garbage-collects orphaned sibling
+    "<path>_delete_staging_*" dirs left by runs that crashed between
+    the staging write and the end of the swap loop (ADVICE r9 #4:
+    without this, repeated crashes accumulate full survivor copies
+    forever) — safe because this op owns the table during its
+    maintenance window, so any staging dir present at entry is dead.
 
     Two further delete-helper traps (round-7 review):
     - NULL predicate rows are KEPT: ``~pred`` is NULL for NULL
@@ -1726,12 +1732,15 @@ def selective_partition_delete(spark, path, part_col, pred, affected=None):
     # repair pre-pass: heal any crashed swap BEFORE reading the table
     fs, root_p = _hadoop_fs(spark, path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    aside_prefix = f"_old.{part_col}="
     if fs.exists(root_p):
         for st in fs.listStatus(root_p):
             name = st.getPath().getName()
-            if not (name.startswith(f"{part_col}=") and name.endswith(".old")):
+            # aside names live outside the partition namespace, so a
+            # real partition can never be mistaken for a leftover
+            if not name.startswith(aside_prefix):
                 continue
-            dst_p = jvm_path(root_p, name[: -len(".old")])
+            dst_p = jvm_path(root_p, name[len("_old.") :])
             if fs.exists(dst_p):
                 fs.delete(st.getPath(), True)  # swap completed: stale copy
             elif not fs.rename(st.getPath(), dst_p):  # crashed mid-swap
@@ -1739,6 +1748,15 @@ def selective_partition_delete(spark, path, part_col, pred, affected=None):
                     f"repair rename {st.getPath()} -> {dst_p} failed; "
                     f"old copy left in place"
                 )
+        # GC staging dirs orphaned by a crash between the staging
+        # write and the end of the swap loop (siblings of `path`,
+        # never inside it — the repair above cannot race them)
+        parent_p = root_p.getParent()
+        staging_prefix = root_p.getName() + "_delete_staging_"
+        if parent_p is not None and fs.exists(parent_p):
+            for st in fs.listStatus(parent_p):
+                if st.getPath().getName().startswith(staging_prefix):
+                    fs.delete(st.getPath(), True)
         spark.catalog.refreshByPath(path)
 
     base = spark.read.parquet(path)
@@ -1763,11 +1781,11 @@ def selective_partition_delete(spark, path, part_col, pred, affected=None):
     for part in sorted(affected):
         src = f"{staging}/{part_col}={part}"
         dst = f"{path}/{part_col}={part}"
-        old = dst + ".old"
+        old = f"{path}/_old.{part_col}={part}"
         fs, dst_p = _hadoop_fs(spark, dst)
         _, src_p = _hadoop_fs(spark, src)  # sibling => same filesystem
         _, old_p = _hadoop_fs(spark, old)
-        # the repair pre-pass guarantees no .old dir exists here
+        # the repair pre-pass guarantees no aside dir exists here
         if fs.exists(dst_p) and not fs.rename(dst_p, old_p):
             raise IOError(
                 f"rename-aside {dst} -> {old} failed; target untouched, "

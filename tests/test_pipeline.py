@@ -422,13 +422,16 @@ def test_d16_redelivery_and_index_delta(spark, sf_dir):
 
 
 def test_selective_delete_repairs_crashed_swap(spark, tmp_path):
-    """Round-9 review: a run that crashed between the two swap renames
-    leaves the partition only at '<part>.old' — parquet discovery
-    would parse that as a bogus partition value, and the old cleanup
-    deleted it blindly. The repair pre-pass must (a) RESTORE an .old
-    dir whose partition dir is missing before anything reads the
-    table, and (b) DROP an .old dir whose swap had already completed
-    (both dirs present), keeping exactly one copy either way."""
+    """Round-9 review + round-9 ADVICE: a run that crashed between the
+    two swap renames leaves the partition only at the aside dir
+    '_old.<part>=<v>'. The repair pre-pass must (a) RESTORE an aside
+    whose partition dir is missing before anything reads the table,
+    (b) DROP an aside whose swap had already completed (both dirs
+    present), keeping exactly one copy either way, (c) NEVER touch a
+    legitimate partition whose string value merely ends in ".old"
+    (the round-9 aside scheme '<part>=<v>.old' deleted it as a stale
+    copy — permanent data loss), and (d) GC orphaned sibling
+    '_delete_staging_*' dirs from crashed runs."""
     import os
     import shutil as sh
 
@@ -438,23 +441,31 @@ def test_selective_delete_repairs_crashed_swap(spark, tmp_path):
 
     path = str(tmp_path / "t")
     df = spark.createDataFrame(
-        [("p1", 1), ("p1", 2), ("p2", 2), ("p3", 1), ("p3", 2)],
+        [("p1", 1), ("p1", 2), ("p2", 2), ("p3", 1), ("p3", 2),
+         ("v", 2), ("v.old", 2)],
         "part STRING, k INT",
     )
     df.repartition(F.col("part")).write.partitionBy("part").parquet(path)
     # simulate crash A: p1's swap died between rename-aside and
-    # rename-in — only the .old copy exists
-    os.rename(os.path.join(path, "part=p1"), os.path.join(path, "part=p1.old"))
+    # rename-in — only the aside copy exists
+    os.rename(os.path.join(path, "part=p1"), os.path.join(path, "_old.part=p1"))
     # simulate crash B: p2's swap completed but died before dropping
-    # the aside copy — both dirs exist (the .old is a stale duplicate)
-    sh.copytree(os.path.join(path, "part=p2"), os.path.join(path, "part=p2.old"))
+    # the aside copy — both dirs exist (the aside is a stale duplicate)
+    sh.copytree(os.path.join(path, "part=p2"), os.path.join(path, "_old.part=p2"))
+    # simulate crash C: a prior run died after its staging write —
+    # an orphaned sibling staging dir must be GC'd, not accumulated
+    orphan = str(tmp_path / "t_delete_staging_deadbeef")
+    sh.copytree(os.path.join(path, "part=p2"), os.path.join(orphan, "part=p2"))
     spark.catalog.refreshByPath(path)
 
     affected = selective_partition_delete(spark, path, "part", F.col("k") == 1)
     # p1 was restored BEFORE the survivor scan: its k=1 row was seen,
-    # deleted, and its k=2 row survives; p2's stale .old never
-    # double-counted; no .old dir remains anywhere
+    # deleted, and its k=2 row survives; p2's stale aside never
+    # double-counted; the real "v.old" partition untouched; no aside
+    # or orphaned staging dir remains anywhere
     assert sorted(affected) == ["p1", "p3"]
-    assert not any(n.endswith(".old") for n in os.listdir(path)), os.listdir(path)
+    assert not any(n.startswith("_old.") for n in os.listdir(path)), os.listdir(path)
+    assert "part=v.old" in os.listdir(path)
+    assert not os.path.exists(orphan)
     rows = {(r.part, r.k) for r in spark.read.parquet(path).collect()}
-    assert rows == {("p1", 2), ("p2", 2), ("p3", 2)}
+    assert rows == {("p1", 2), ("p2", 2), ("p3", 2), ("v", 2), ("v.old", 2)}
