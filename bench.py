@@ -124,6 +124,13 @@ EXTENSION = [
     "e11_stream_neardup_ingest",
     "m9_multimodal_pack",
     "t18_repeated_passages",
+    # round 10: filtered vector search from the persisted index, the
+    # CBO-reordered 3-table join, the two-phase-commit Python sink,
+    # and watermarked streaming session metrics (batch twin)
+    "s17_filtered_ann",
+    "b10_cbo_stats_reorder",
+    "b11_python_datasource_writer",
+    "e12_stream_session_metrics",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

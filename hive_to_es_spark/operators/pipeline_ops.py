@@ -1675,6 +1675,249 @@ def b9_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# b10 — statistics-driven join reordering (CBO). The catalog tables
+# are external LOCATION tables over the fixture parquet (no copy);
+# ANALYZE gives the optimizer row counts + column NDV/min/max, and
+# with spark.sql.cbo.joinReorder the 3-table join below is re-planned
+# from its deliberately-bad syntactic order (fact-first) to
+# selective-dim-first. The RESULT is identical by construction — the
+# op's claim is the plan diff, pinned by tests/test_plans.py.
+_B10_QUERY = """
+SELECT c.c_nationkey AS nation,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM b10_lineitem l
+JOIN b10_orders o ON l.l_orderkey = o.o_orderkey
+JOIN b10_customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_nationkey < 3
+GROUP BY c.c_nationkey
+"""
+
+_B10_ORACLE = """
+SELECT c.c_nationkey AS nation,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_nationkey < 3
+GROUP BY c.c_nationkey
+"""
+
+_B10_CONFS = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+
+
+def b10_register_and_analyze(spark: SparkSession, sf_dir: str) -> None:
+    """Create the b10_* external catalog tables over the fixture
+    parquet and compute table + join-key column statistics — the
+    ANALYZE half of the CBO contract (p23 computes the same numbers
+    as a DataFrame report; this is the catalog-wired form the
+    optimizer actually reads)."""
+    key_cols = {
+        "customer": "c_custkey, c_nationkey",
+        "orders": "o_orderkey, o_custkey",
+        "lineitem": "l_orderkey",
+    }
+    for t, cols in key_cols.items():
+        spark.sql(f"DROP TABLE IF EXISTS b10_{t}")
+        spark.sql(
+            f"CREATE TABLE b10_{t} USING parquet LOCATION '{sf_dir}/{t}.parquet'"
+        )
+        spark.sql(f"ANALYZE TABLE b10_{t} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE b10_{t} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+@register("b10_cbo_stats_reorder", _B10_ORACLE)
+def b10_cbo_stats_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reordering driven by ANALYZE statistics: the
+    3-table join is WRITTEN fact-first (lineitem ⋈ orders ⋈ customer
+    with a selective customer predicate — the worst syntactic order),
+    and the CBO re-plans it selective-dim-first, so the big fact
+    table joins LAST against an already-filtered build side. Measured
+    on the fixtures: optimizer plan order flips from
+    (lineitem ⋈ orders) ⋈ customer to (orders ⋈ customer) ⋈ lineitem
+    the moment stats + cbo/joinReorder are on (the plan test pins
+    both directions).
+
+    The result is identical under any join order (inner-join
+    commutativity) — the oracle proves correctness while the PLAN is
+    the deliverable, exactly how a 100 TB warehouse uses ANALYZE: the
+    optimizer cannot see selectivity without column stats, and a
+    fact-first plan at that scale shuffles the full fact table into a
+    join it could have entered pre-filtered. The query executes
+    EAGERLY under the CBO confs (write-to-parquet inside the op) and
+    the confs are restored after — a lazily-returned frame would be
+    re-optimized at driver collect time with CBO off, silently
+    un-reordering; session-global CBO is not leaked to other
+    operators (it is a no-op without catalog stats, but hygiene is
+    hygiene)."""
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+
+    b10_register_and_analyze(spark, sf_dir)
+    out = dataset_tmp_path("b10_result", sf_dir)
+    old = {k: spark.conf.get(k, None) for k in _B10_CONFS}
+    try:
+        for k in _B10_CONFS:
+            spark.conf.set(k, "true")
+        spark.sql(_B10_QUERY).write.mode("overwrite").parquet(out)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(out)
+
+
+# b11 — the WRITER half of the Spark 4 Python DataSource API (b8 is
+# the reader half): a custom sink with real two-phase commit. Tasks
+# stage Arrow batches into "<path>/_staging/<uuid>.parquet" and return
+# a picklable commit message; the driver's commit() renames every
+# staged file into the target root and stamps a _SUCCESS manifest;
+# abort() deletes the staging dir — so a failed job leaves ZERO
+# committed files (the abort-path test proves it). This is the
+# interface an ES-class bulk sink rides when no JVM connector exists.
+def _b11_register_sink(spark: SparkSession) -> None:
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class StagedFile(WriterCommitMessage):
+        tmp_path: str
+        rows: int
+
+    class AtomicParquetWriter(DataSourceArrowWriter):
+        """Tasks never touch the target root; only commit() does.
+        Staging under '_staging/' keeps half-written files invisible
+        to parquet readers even mid-job (underscore-prefixed dirs are
+        skipped by Spark discovery — the selective_partition_delete
+        aside trick). Requires target and staging on one shared
+        filesystem so commit's rename is a metadata op (same
+        assumption every FileOutputCommitter makes)."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            self.poison = options.get("poison")
+
+        def write(self, iterator):
+            import os
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            batches = []
+            for batch in iterator:
+                if self.poison is not None:
+                    col = batch.column(0).to_pylist()
+                    if int(self.poison) in col:
+                        raise ValueError("poison row refused by sink")
+                batches.append(batch)
+            staging = os.path.join(self.path, "_staging")
+            os.makedirs(staging, exist_ok=True)
+            tmp = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
+            if batches:
+                pq.write_table(pa.Table.from_batches(batches), tmp)
+                return StagedFile(tmp_path=tmp, rows=sum(b.num_rows for b in batches))
+            return StagedFile(tmp_path="", rows=0)
+
+        def commit(self, messages):
+            import os
+            import shutil
+
+            n = 0
+            for i, m in enumerate(messages):
+                if m.tmp_path:
+                    final = os.path.join(self.path, f"part-{i:05d}.parquet")
+                    os.replace(m.tmp_path, final)
+                    n += m.rows
+            shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                f.write(str(n))
+
+        def abort(self, messages):
+            import os
+            import shutil
+
+            shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+            # belt + braces: drop any staged path the messages name
+            for m in messages:
+                if m is not None and getattr(m, "tmp_path", ""):
+                    try:
+                        os.remove(m.tmp_path)
+                    except OSError:
+                        pass
+
+    class AtomicParquetSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "pyatomic"
+
+        def writer(self, schema, overwrite):
+            return AtomicParquetWriter(self.options)
+
+    spark.dataSource.register(AtomicParquetSink)
+
+
+_B11_ORACLE = """
+SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS year,
+       o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("b11_python_datasource_writer", _B11_ORACLE)
+def b11_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roundtrip through the custom Python-DataSource SINK: stream the
+    orders table out through the 'pyatomic' two-phase-commit writer
+    (Arrow batches staged per task, renamed into place only by the
+    driver's commit), read the committed files back, and aggregate —
+    the hash gate proves the sink neither loses, duplicates, nor
+    mangles rows (timestamp and decimal-cents exactness included).
+
+    Scale notes: write() receives Arrow RecordBatches (the vectorized
+    path — no per-row Python objects, b8's discipline on the way
+    out); per-task state is one staged file handle; commit() is
+    |tasks| metadata renames on the driver, the same economics as
+    FileOutputCommitter v1. The staging dir is underscore-prefixed so
+    a concurrent reader of the target NEVER sees an uncommitted file,
+    and a failed job aborts to zero committed bytes —
+    tests/test_pipeline.py kills a write mid-job with a poison row
+    and asserts the target holds no part files, no _SUCCESS, and no
+    staging leftovers."""
+    import os
+
+    from hive_to_es_spark.functions.merge import fs_delete
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+
+    _b11_register_sink(spark)
+    o = load_tables(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    out = dataset_tmp_path("b11_sink", sf_dir)
+    fs_delete(spark, out)
+    os.makedirs(out, exist_ok=True)
+    o.write.format("pyatomic").option("path", out).mode("append").save()
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("year"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+
 
 def selective_partition_delete(spark, path, part_col, pred, affected=None):
     """Delete rows matching ``pred`` from a partitioned parquet table

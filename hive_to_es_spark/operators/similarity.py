@@ -1574,3 +1574,125 @@ def s16_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "vec_id", "cos_sim")
     )
+
+
+# s17 — METADATA-FILTERED vector search over s16's persisted index:
+# the production "WHERE src = 1 AND cosine top-k" shape every vector
+# store serves. The filterable attribute is carried INTO the persisted
+# inverted-list table at index-build time, so at query time the
+# predicate prunes that tiny table's SCAN (parquet pushdown) BEFORE a
+# single vector is fetched — the PRE-filter contract. (The fixture
+# embeddings carry no second attribute, so src is synthesized
+# deterministically as vec_id % 3 — the t10/x14 synthetic-column
+# pattern; src varies WITHIN every IVF cell, so the filter is
+# non-vacuous everywhere.) The oracle is EXACT filtered brute force,
+# which is precisely this op's contract (see docstring).
+_S17_ORACLE = """
+WITH c AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings WHERE vec_id % 50 <> 0 AND vec_id % 3 = 1
+),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+pairs AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(c.ev, q.qv), 6) AS cos_sim
+  FROM q CROSS JOIN c
+)
+SELECT query_id, vec_id, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM pairs
+) WHERE rn <= 3
+"""
+
+
+@register("s17_filtered_ann", _S17_ORACLE)
+def s17_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered batch vector search from s16's persisted
+    index: answer every query (each 50th vector) with the EXACT top-3
+    cosine neighbors among corpus vectors satisfying ``src = 1``,
+    where src is a filterable attribute STORED IN the persisted
+    inverted-list table at build time.
+
+    Filter placement is the whole contract (pre- vs post-filter):
+
+    - PRE-filter (this op): the predicate runs on the tiny index
+      table (~12 bytes/row: id + bucket + src) and parquet pushdown
+      drops non-matching rows at the reader (tests/test_plans.py
+      asserts EqualTo(src,1) lands in that scan's PushedFilters);
+      only SURVIVING ids ever touch the vector lake (an id equi-join
+      fetch), and every query sees the full k among eligible vectors
+      — the oracle is exact filtered brute force and the hash gate
+      proves equality.
+    - POST-filter (the naive composition — run the unfiltered ANN,
+      then filter): starves queries whose unfiltered top-k is mostly
+      ineligible (returns < k or nothing) while ALSO having fetched
+      vectors the filter then discards. tests/test_plans.py
+      demonstrates the starvation on the fixtures: post-filtering
+      s16's output keeps ~1/5 of the rows this op returns.
+
+    Plan-choice note (the production gate, documented not gated here
+    because the fixture filter is selective): exact-over-eligible is
+    the right plan when the filter is selective — cost is
+    |eligible| x |q| scoring flops and IO proportional to eligible —
+    while for UNselective filters a store switches to s16's
+    cell-probing with the same pushed predicate on the inverted
+    lists and a selectivity-widened nprobe. Both plans ride the same
+    persisted artifacts; the src column rides the inverted lists in
+    both, which is why it is stored there and not in a side table.
+    At 100 TB: inverted lists bucketed BY bucket with src min/max
+    row-group stats (the pushdown prunes row groups), vector lake
+    bucketed by vec_id so the candidate fetch is a co-located join,
+    query batch broadcast — no corpus shuffle anywhere."""
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+
+    e = load_tables(spark, sf_dir).embeddings
+    corpus = e.filter(F.col("vec_id") % 50 != 0)
+    # ---- offline build: s16's artifacts, inverted lists carry src
+    index_dir = dataset_tmp_path("s17_ivf_index", sf_dir)
+    cb_path, inv_path = index_dir + "/codebook", index_dir + "/inverted"
+    _ivf_codebook(corpus).write.mode("overwrite").parquet(cb_path)
+    cvecs = corpus.select("vec_id", _dbl("embedding").alias("evec"))
+    (
+        _rank_cells(cvecs, spark.read.parquet(cb_path))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("c_label").alias("bucket"),
+            (F.col("vec_id") % 3).cast("int").alias("src"),
+        )
+        .write.mode("overwrite")
+        .parquet(inv_path)
+    )
+    # ---- serving: predicate FIRST, pushed into the tiny index scan;
+    # only surviving ids are fetched from the vector table
+    eligible = (
+        spark.read.parquet(inv_path).filter(F.col("src") == 1).select("vec_id")
+    )
+    fetched = cvecs.join(eligible, "vec_id")
+    qvecs = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
+    )
+    scored = fetched.crossJoin(F.broadcast(qvecs)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("evec"), F.col("qv"))
+            / (_norm(F.col("evec")) * _norm(F.col("qv"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "cos_sim")
+    )

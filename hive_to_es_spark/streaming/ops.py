@@ -793,3 +793,89 @@ def e11_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     minhash_band_rows(empty).write.mode("overwrite").parquet(index_path)
     return incremental_neardup(spark, docs, docs, index_path)
+
+
+def tf_session_metrics(events: DataFrame) -> DataFrame:
+    """Per-user session METRICS with a 30-minute inactivity gap —
+    e3's window plus the per-session numbers a product-analytics sink
+    actually stores: duration (session_window end - start, i.e. last
+    event + gap - first event) and the max single event value. Every
+    aggregate is streaming-append-mode legal (count/sum/max — no
+    distinct aggregates, which streaming state cannot merge)."""
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            # exact integer micros, floored to seconds IDENTICALLY in
+            # both engines (cast-to-long truncates per-operand and
+            # DuckDB's double->bigint cast rounds — both off-by-one
+            # classes; see memory: oracle gotchas)
+            (
+                (F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start")))
+                / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("duration_s"),
+            "n_events",
+            "total",
+            "max_value",
+        )
+    )
+
+
+def tf_watermark_session_metrics(events: DataFrame) -> DataFrame:
+    """tf_session_metrics under a 1-hour watermark — the form a
+    readStream pipeline runs: sessions are held in state until the
+    watermark passes session_end (+gap), then emitted ONCE (append
+    mode) and evicted; events arriving behind the watermark are
+    dropped instead of reopening a finalized session (asserted with a
+    replayed file sequence in tests/test_streaming.py). Batch mode
+    treats the watermark as a no-op — the correct semantics for a
+    complete input, which is what makes the oracle exact."""
+    return tf_session_metrics(events.withWatermark("ts", "1 hour"))
+
+
+_E12_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       CAST(epoch_us(max(ts) + INTERVAL '30 minutes' - min(ts)) // 1000000
+            AS BIGINT) AS duration_s,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total,
+       round(max(value), 2) AS max_value
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+@register("e12_stream_session_metrics", _E12_ORACLE)
+def e12_stream_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming session metrics, batch twin (e3's gate
+    discipline: the oracle restates gap sessionization relationally,
+    proving the batch form; the STREAM form — watermark-driven state
+    eviction, exactly-once append emission, and late-event DROP on a
+    replayed file sequence — is asserted in tests/test_streaming.py,
+    including the control that a batch run over the same replayed
+    files would have absorbed the late event)."""
+    return tf_watermark_session_metrics(load_tables(spark, sf_dir).events)

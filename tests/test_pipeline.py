@@ -469,3 +469,43 @@ def test_selective_delete_repairs_crashed_swap(spark, tmp_path):
     assert not os.path.exists(orphan)
     rows = {(r.part, r.k) for r in spark.read.parquet(path).collect()}
     assert rows == {("p1", 2), ("p2", 2), ("p3", 2), ("v", 2), ("v.old", 2)}
+
+
+def test_b11_sink_abort_commits_nothing(spark, tmp_path):
+    """b11's two-phase commit, failure half: a write job killed
+    mid-flight (a poison row makes one task's write() raise) must
+    leave ZERO committed output — no part files, no _SUCCESS
+    manifest, no staging leftovers — because tasks only ever stage
+    and the driver's abort() tears the staging dir down. Then a
+    clean retry into the SAME target must commit exactly once."""
+    import os
+
+    import pytest
+
+    from hive_to_es_spark.operators.pipeline_ops import _b11_register_sink
+
+    _b11_register_sink(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out, exist_ok=True)
+    df = spark.range(0, 1000, 1, 4).selectExpr("id", "id * 2 AS v")
+    with pytest.raises(Exception):
+        (
+            df.write.format("pyatomic")
+            .option("path", out)
+            .option("poison", "500")  # lives in one of the 4 partitions
+            .mode("append")
+            .save()
+        )
+    leftovers = os.listdir(out)
+    assert leftovers in ([], ["_staging"]) or not any(
+        n.endswith(".parquet") or n == "_SUCCESS" for n in leftovers
+    ), leftovers
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    staging = os.path.join(out, "_staging")
+    assert not os.path.exists(staging) or os.listdir(staging) == []
+    # clean retry commits exactly the input
+    df.write.format("pyatomic").option("path", out).mode("append").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.agg({"v": "sum"}).collect()[0][0] == 999 * 1000

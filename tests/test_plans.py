@@ -829,3 +829,68 @@ def test_x13_symspell_candidate_bound_sparse_corpus(spark):
     # completeness: each planted mutation is lev-1 from its original
     matches = fuzzy_name_matches(names, plan="symspell")
     assert matches.count() >= 3, "planted near-dups must be found"
+
+
+def test_s17_filter_pushed_to_inverted_scan_and_post_filter_starves(spark, sf_dir):
+    """s17's pre-filter contract, both halves. (a) The src predicate
+    must land in the persisted inverted-list table's parquet scan as
+    a pushed filter — pruning the tiny index BEFORE any vector is
+    fetched. (b) The naive post-filter composition (unfiltered s16
+    top-k, then filter) must demonstrably starve: it returns strictly
+    fewer rows than the pre-filter path, because eligible neighbors
+    outside the unfiltered top-k are unreachable after the fact."""
+    from pyspark.sql import functions as F
+
+    from hive_to_es_spark.registry import queries
+
+    plan = _plan(spark, sf_dir, "s17_filtered_ann")
+    assert "EqualTo(src,1)" in plan, plan
+    pre = queries()["s17_filtered_ann"](spark, sf_dir)
+    post = queries()["s16_ann_ivf_persisted"](spark, sf_dir).filter(
+        F.col("vec_id") % 3 == 1
+    )
+    n_pre, n_post = pre.count(), post.count()
+    assert n_post < n_pre, (n_pre, n_post)
+    # every query keeps its full k=3 under pre-filtering (the fixture
+    # has >= 3 eligible vectors per query)
+    n_queries = pre.select("query_id").distinct().count()
+    assert n_pre == 3 * n_queries, (n_pre, n_queries)
+
+
+def test_b10_cbo_reorders_join_under_stats(spark, sf_dir):
+    """b10's claim IS the plan diff: with catalog stats + CBO the
+    fact-first syntactic join order must re-plan selective-dim-first
+    (lineitem joins LAST), and with CBO off the syntactic order must
+    survive (lineitem joins FIRST) — both directions pinned on the
+    OPTIMIZED logical plan, where join order is decided."""
+    import re
+
+    from hive_to_es_spark.operators.pipeline_ops import (
+        _B10_CONFS,
+        _B10_QUERY,
+        b10_register_and_analyze,
+    )
+
+    b10_register_and_analyze(spark, sf_dir)
+
+    def rel_order(df):
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        return [m for m in re.findall(r"b10_(\w+)", p)]
+
+    old = {k: spark.conf.get(k, None) for k in _B10_CONFS}
+    try:
+        for k in _B10_CONFS:
+            spark.conf.set(k, "false")
+        off = rel_order(spark.sql(_B10_QUERY))
+        for k in _B10_CONFS:
+            spark.conf.set(k, "true")
+        on = rel_order(spark.sql(_B10_QUERY))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert off[0] == "lineitem", off  # syntactic order survives
+    assert on[-1] == "lineitem", on  # fact joins last under stats
+    assert on != off, (on, off)

@@ -19,6 +19,7 @@ EXPECTED_KEYS = {
     "b3_partition_pruning",
     "b1_csv_json_roundtrip", "b2_orc_roundtrip", "b4_bucketed_join",
     "b5_dynamic_partition_pruning", "b7_zorder_layout", "b8_python_datasource",
+    "b10_cbo_stats_reorder", "b11_python_datasource_writer",
     "b9_file_metadata",
     # filters
     "f1_pred_basic", "f2_pred_null", "f3_pred_like", "f4_pred_between_in",
@@ -65,6 +66,7 @@ EXPECTED_KEYS = {
     "e5_stream_dedup", "e6_stream_static_join", "e7_stateful_custom",
     "e8_stream_stream_join", "e9_stream_upsert",
     "e10_stream_stream_outer_join", "e11_stream_neardup_ingest",
+    "e12_stream_session_metrics",
     # LLM pipeline
     "d1_dedup_exact", "d2_dedup_minhash", "s1_knn_cosine", "s2_pairwise_topk",
     "s3_centroids", "t1_text_stats", "t2_tfidf_terms", "t3_langid_filter",
@@ -81,6 +83,7 @@ EXPECTED_KEYS = {
     "s8_knn_quantized", "s9_pairwise_topk_lsh", "s10_ann_multiprobe",
     "s11_ann_ivf_nprobe", "s12_recall_report", "s13_two_stage_rerank",
     "s14_mmr_rerank", "s15_ann_pq", "s16_ann_ivf_persisted",
+    "s17_filtered_ann",
     "t4_quality_score", "t5_token_count_bpe",
     "t6_fingerprint", "t7_langid_ngram", "t8_unigram_lm_score",
     "t9_decontaminate", "t10_pii_redact", "t11_repetition_filter",

@@ -970,3 +970,85 @@ def test_stream_neardup_ingest_converges_to_batch_answer(spark, sf_dir, tmp_path
     assert cross, "fixture must contain a cross-file near-dup pair"
     # and redelivery really delivered duplicates
     assert spark.read.parquet(src).count() > n
+
+
+def test_e12_session_metrics_late_event_dropped(spark, tmp_path):
+    """e12's stream contract on a replayed file sequence: a session
+    finalized by the watermark is emitted ONCE, and a late event
+    replayed behind the watermark is DROPPED instead of reopening it
+    — while a batch run over the same accumulated files (the control)
+    absorbs the late event into a bigger session. This is the
+    watermark-driven state eviction e4 asserts for tumbling windows,
+    on session state."""
+    import os
+
+    from hive_to_es_spark.streaming.ops import tf_watermark_session_metrics
+    from hive_to_es_spark.streaming.sink import (
+        parquet_batch_writer,
+        start_foreach_batch,
+    )
+
+    schema = "user_id LONG, ts STRING, value DOUBLE"
+    d = "2024-01-01 "
+    file_a = spark.createDataFrame(
+        [
+            (1, d + "00:00:00", 10.0),
+            (1, d + "00:10:00", 20.0),  # user 1: session [00:00, 00:40)
+            (2, d + "03:00:00", 5.0),  # clock events: push watermark to 02:05
+            (2, d + "03:05:00", 5.0),
+        ],
+        schema,
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+    # LATE: inside user 1's finalized session, far behind the watermark
+    file_b = spark.createDataFrame([(1, d + "00:20:00", 99.0)], schema).selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) ts", "value"
+    )
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    src, sink, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+    )
+    file_a.coalesce(1).write.parquet(a_dir)
+    file_b.coalesce(1).write.parquet(b_dir)
+    os.makedirs(src, exist_ok=True)
+    ts_schema = spark.read.parquet(a_dir).schema
+
+    def run_once():
+        stream = spark.readStream.schema(ts_schema).parquet(src)
+        q = start_foreach_batch(
+            tf_watermark_session_metrics(stream),
+            parquet_batch_writer(sink),
+            ckpt,
+            output_mode="append",
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    _copy_parts(a_dir, src, "a")
+    run_once()
+    got1 = {
+        (r.user_id, r.session_start): (r.n_events, r.total)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # user 1's session finalized and emitted once; user 2's still open
+    from datetime import datetime
+
+    k1 = (1, datetime(2024, 1, 1, 0, 0))
+    assert got1 == {k1: (2, 30.0)}, got1
+
+    _copy_parts(b_dir, src, "b")
+    run_once()
+    got2 = {
+        (r.user_id, r.session_start): (r.n_events, r.total)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # the late event was dropped: no re-emission, no mutated session
+    assert got2 == got1, got2
+    # control: batch over the SAME accumulated files absorbs it
+    batch = tf_watermark_session_metrics(spark.read.parquet(src))
+    b1 = {
+        (r.user_id, r.session_start): (r.n_events, round(r.total, 2))
+        for r in batch.collect()
+    }
+    assert b1[k1] == (3, 129.0), b1

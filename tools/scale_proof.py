@@ -186,6 +186,13 @@ OPS = {
     "s16_ann_ivf_persisted": (4.0, "index build linear; serving candidates = probed-cell occupancy x queries, both k-fold under offset-id scaling"),
     "t18_repeated_passages": (2.0, "one explode + map-combined gram census + top-20 TakeOrdered; no pair stream, linear in token mass"),
     "e11_stream_neardup_ingest": (4.0, "whole-corpus banded candidates over replicated copies are k² (d11's class); signatures + verify ride the candidate stream"),
+    # round 10: s17's exact filtered scoring is |eligible| x |queries|
+    # and BOTH grow k-fold under offset-id scaling (s12/s16's class);
+    # b10/b11/e12 are linear scans/joins/writes.
+    "s17_filtered_ann": (4.0, "index build linear; exact filtered scoring = eligible x queries, both k-fold under offset-id scaling"),
+    "b10_cbo_stats_reorder": (2.0, "ANALYZE scans + the CBO-reordered 3-table join; fact joins last against a filtered build side, linear"),
+    "b11_python_datasource_writer": (2.0, "Arrow-batched staged write + |tasks| commit renames + read-back aggregate, linear in rows"),
+    "e12_stream_session_metrics": (2.0, "session-window agg over one user shuffle; per-user rows grow k-fold (events scale with user_id unchanged)"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
@@ -218,6 +225,11 @@ EAGER_BUILD = {
     # e11 writes its (empty) index and the survivors delta at build
     # time (d16's machinery)
     "e11_stream_neardup_ingest",
+    # round 10: s17 writes codebook + inverted lists, b10 writes its
+    # CBO-executed result, b11 runs the sink write — all at build time
+    "s17_filtered_ann",
+    "b10_cbo_stats_reorder",
+    "b11_python_datasource_writer",
 }
 
 # Ops whose OUTPUT is corpus-sized (d13 emits the ENTIRE candidate
