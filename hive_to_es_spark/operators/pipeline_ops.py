@@ -1808,32 +1808,52 @@ def _b11_register_sink(spark: SparkSession) -> None:
             import os
             import uuid
 
-            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            batches = []
-            for batch in iterator:
-                if self.poison is not None:
-                    col = batch.column(0).to_pylist()
-                    if int(self.poison) in col:
-                        raise ValueError("poison row refused by sink")
-                batches.append(batch)
+            # stream batch-by-batch through a ParquetWriter: per-task
+            # memory is O(one Arrow batch), never O(partition) —
+            # buffering the whole partition would contradict the
+            # sink's own 100 TB posture (round-10 review)
             staging = os.path.join(self.path, "_staging")
             os.makedirs(staging, exist_ok=True)
             tmp = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
-            if batches:
-                pq.write_table(pa.Table.from_batches(batches), tmp)
-                return StagedFile(tmp_path=tmp, rows=sum(b.num_rows for b in batches))
-            return StagedFile(tmp_path="", rows=0)
+            writer, rows = None, 0
+            try:
+                for batch in iterator:
+                    if self.poison is not None:
+                        col = batch.column(0).to_pylist()
+                        if int(self.poison) in col:
+                            raise ValueError("poison row refused by sink")
+                    if writer is None:
+                        writer = pq.ParquetWriter(tmp, batch.schema)
+                    writer.write_batch(batch)
+                    rows += batch.num_rows
+            except Exception:
+                if writer is not None:
+                    writer.close()
+                if os.path.exists(tmp):
+                    os.remove(tmp)  # never leave a dead staged file
+                raise
+            if writer is None:
+                return StagedFile(tmp_path="", rows=0)
+            writer.close()
+            return StagedFile(tmp_path=tmp, rows=rows)
 
         def commit(self, messages):
             import os
             import shutil
 
             n = 0
-            for i, m in enumerate(messages):
+            for m in messages:
                 if m.tmp_path:
-                    final = os.path.join(self.path, f"part-{i:05d}.parquet")
+                    # final name derives from the staged file's uuid:
+                    # message-index names would COLLIDE across append
+                    # jobs into the same target and os.replace would
+                    # silently destroy the earlier job's committed
+                    # files (round-10 review)
+                    final = os.path.join(
+                        self.path, f"part-{os.path.basename(m.tmp_path)}"
+                    )
                     os.replace(m.tmp_path, final)
                     n += m.rows
             shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
@@ -1958,6 +1978,11 @@ def selective_partition_delete(spark, path, part_col, pred, affected=None):
     without this, repeated crashes accumulate full survivor copies
     forever) — safe because this op owns the table during its
     maintenance window, so any staging dir present at entry is dead.
+    Deliberately NO repair branch for the retired "<part>=<v>.old"
+    aside form: it never shipped outside this repo's own history, and
+    a legacy branch would reintroduce the exact ambiguity the rename
+    removed (a real partition valued "v.old" would again be
+    classifiable as a leftover).
 
     Two further delete-helper traps (round-7 review):
     - NULL predicate rows are KEPT: ``~pred`` is NULL for NULL

@@ -1445,6 +1445,31 @@ def s15_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe its nprobe=2 nearest cells, pull candidate ids from the
 # persisted inverted lists, fetch + exact-cosine only those vectors,
 # top-3 per query.
+def _ivf_build_index(
+    corpus: DataFrame, index_dir: str, with_src: bool = False
+) -> tuple[str, str]:
+    """Write the two persisted IVF index artifacts for ``corpus`` —
+    codebook (|cells| rows of array<double>) and inverted lists
+    ((vec_id, bucket) pairs) — returning (codebook_path,
+    inverted_path). ONE definition shared by s16 (plain serving) and
+    s17 (filtered serving; ``with_src`` adds the filterable attribute
+    column to the inverted rows) so the build contract cannot drift
+    between the twins (round-10 review; d14's shared-text rule)."""
+    spark = corpus.sparkSession
+    cb_path, inv_path = index_dir + "/codebook", index_dir + "/inverted"
+    _ivf_codebook(corpus).write.mode("overwrite").parquet(cb_path)
+    cvecs = corpus.select("vec_id", _dbl("embedding").alias("evec"))
+    inv = (
+        _rank_cells(cvecs, spark.read.parquet(cb_path))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("bucket"))
+    )
+    if with_src:
+        inv = inv.withColumn("src", (F.col("vec_id") % 3).cast("int"))
+    inv.write.mode("overwrite").parquet(inv_path)
+    return cb_path, inv_path
+
+
 _S16_ORACLE = """
 WITH c AS (
   SELECT vec_id, label,
@@ -1528,16 +1553,8 @@ def s16_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") % 50 != 0)
     # ---- offline build: write the two index artifacts
     index_dir = dataset_tmp_path("s16_ivf_index", sf_dir)
-    cb_path, inv_path = index_dir + "/codebook", index_dir + "/inverted"
-    _ivf_codebook(corpus).write.mode("overwrite").parquet(cb_path)
+    cb_path, inv_path = _ivf_build_index(corpus, index_dir)
     cvecs = corpus.select("vec_id", _dbl("embedding").alias("evec"))
-    (
-        _rank_cells(cvecs, spark.read.parquet(cb_path))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("bucket"))
-        .write.mode("overwrite")
-        .parquet(inv_path)
-    )
     # ---- serving: everything below reads ONLY the index + candidates
     codebook = spark.read.parquet(cb_path)
     inverted = spark.read.parquet(inv_path)
@@ -1656,20 +1673,8 @@ def s17_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") % 50 != 0)
     # ---- offline build: s16's artifacts, inverted lists carry src
     index_dir = dataset_tmp_path("s17_ivf_index", sf_dir)
-    cb_path, inv_path = index_dir + "/codebook", index_dir + "/inverted"
-    _ivf_codebook(corpus).write.mode("overwrite").parquet(cb_path)
+    cb_path, inv_path = _ivf_build_index(corpus, index_dir, with_src=True)
     cvecs = corpus.select("vec_id", _dbl("embedding").alias("evec"))
-    (
-        _rank_cells(cvecs, spark.read.parquet(cb_path))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("c_label").alias("bucket"),
-            (F.col("vec_id") % 3).cast("int").alias("src"),
-        )
-        .write.mode("overwrite")
-        .parquet(inv_path)
-    )
     # ---- serving: predicate FIRST, pushed into the tiny index scan;
     # only surviving ids are fetched from the vector table
     eligible = (

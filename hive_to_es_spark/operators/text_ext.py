@@ -1150,10 +1150,11 @@ def t16_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The corpus-sized work is ONE word-frequency census (map-side
     combinable groupBy); the merge rounds run over the |vocab| table
-    via bpe_train_batched (round 9: up to 4 non-interacting merges per
-    Spark round — ~k/4 driver roundtrips instead of k, the shape a 32k
-    production vocab needs; see its docstring for the equivalence
-    proof). The oracle unrolls the SEQUENTIAL k rounds as chained CTEs
+    via bpe_train_batched (round 10: up to 16 non-interacting merges
+    per Spark round; on Zipfian text the conflict-free prefix binds
+    first — measured 64 merges in 54 rounds at any width >= 4 — so
+    the width cap is free headroom, not the lever; see its docstring
+    for the equivalence proof and the measured width economics). The oracle unrolls the SEQUENTIAL k rounds as chained CTEs
     generated from the same constants — the hash gate is therefore
     also the empirical proof that batched == sequential on the
     fixtures. Both engines express "apply merge (a,b)" as a literal

@@ -9,7 +9,7 @@ readStream with Trigger.AvailableNow.
 Note on Spark 4's `transformWithStateInPandas`: the API exists in
 pyspark 4.1.2 and would be the modern spelling of e7's custom state,
 but executing it in this container fails inside the state-server
-bridge (protobuf bindings absent — re-probed round 8: `import
+bridge (protobuf bindings absent — re-probed rounds 8 and 10: `import
 google.protobuf` raises `No module named 'google'`, and installs are
 not permitted), so e7 stays on `applyInPandasWithState`, which runs
 correctly end to end (tests/test_streaming.py).
@@ -47,17 +47,12 @@ def tf_sliding(events: DataFrame) -> DataFrame:
 
 
 def tf_session(events: DataFrame) -> DataFrame:
-    """Per-user session windows with a 30-minute inactivity gap."""
-    return (
-        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-            "total",
-        )
+    """Per-user session windows with a 30-minute inactivity gap — the
+    e3 projection of tf_session_metrics (ONE session-window
+    definition; Catalyst prunes the unselected metric aggregates), so
+    the gap/grouping contract cannot drift between e3 and e12."""
+    return tf_session_metrics(events).select(
+        "user_id", "session_start", "session_end", "n_events", "total"
     )
 
 
@@ -249,8 +244,10 @@ def e2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Classic gap sessionization: a session break is a >30min gap; the
 # session id is the running count of breaks. session_end follows
 # Spark's session_window semantics: last event + gap.
-_E3_ORACLE = """
-WITH gaps AS (
+# ONE relational statement of 30-min gap sessionization, shared by
+# the e3 and e12 oracles (round-10 review: duplicated contract text
+# drifts; d14's string-slicing rule).
+_SESSION_CTE = """WITH gaps AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    > INTERVAL '30 minutes'
@@ -263,7 +260,9 @@ sessions AS (
          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM gaps
-)
+)"""
+
+_E3_ORACLE = _SESSION_CTE + """
 SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL '30 minutes' AS session_end,
@@ -842,21 +841,7 @@ def tf_watermark_session_metrics(events: DataFrame) -> DataFrame:
     return tf_session_metrics(events.withWatermark("ts", "1 hour"))
 
 
-_E12_ORACLE = """
-WITH gaps AS (
-  SELECT user_id, ts, value,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL '30 minutes'
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-              THEN 1 ELSE 0 END AS is_new
-  FROM events
-),
-sessions AS (
-  SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM gaps
-)
+_E12_ORACLE = _SESSION_CTE + """
 SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL '30 minutes' AS session_end,

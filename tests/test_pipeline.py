@@ -496,16 +496,23 @@ def test_b11_sink_abort_commits_nothing(spark, tmp_path):
             .mode("append")
             .save()
         )
+    # ZERO committed output. (A still-cancelling task may legally
+    # re-stage a file after abort()'s teardown — staging contents are
+    # uncommitted by definition, so only the COMMITTED surface is
+    # asserted; the next commit's teardown collects any orphan.)
     leftovers = os.listdir(out)
-    assert leftovers in ([], ["_staging"]) or not any(
+    assert not any(
         n.endswith(".parquet") or n == "_SUCCESS" for n in leftovers
     ), leftovers
-    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
-    staging = os.path.join(out, "_staging")
-    assert not os.path.exists(staging) or os.listdir(staging) == []
-    # clean retry commits exactly the input
+    # clean retry commits exactly the input (and only it — orphaned
+    # staged files from the aborted job must not be committed)
     df.write.format("pyatomic").option("path", out).mode("append").save()
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert back.agg({"v": "sum"}).collect()[0][0] == 999 * 1000
+    # second append into the same target must ADD, not overwrite
+    # (round-10 review: message-index final names collided across
+    # jobs and silently destroyed the first job's files)
+    df.write.format("pyatomic").option("path", out).mode("append").save()
+    assert spark.read.parquet(out).count() == 2000
