@@ -1330,18 +1330,40 @@ def b8_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         def __init__(self, options):
             self.path = options.get("path")
 
+        def _files(self):
+            # a parquet "table" is one file (the fixtures) or a
+            # directory of part files (any Spark-written table, e.g.
+            # the scale ladder's 8x dirs) — a real custom source must
+            # plan splits across BOTH (round 10: the single-file
+            # assumption surfaced as the full-inventory endurance
+            # sweep's only failure). On a cluster this listing comes
+            # from the object store's list API; same metadata-only
+            # economics.
+            import os as _os
+
+            if _os.path.isdir(self.path):
+                return sorted(
+                    _os.path.join(self.path, f)
+                    for f in _os.listdir(self.path)
+                    if f.endswith(".parquet")
+                )
+            return [self.path]
+
         def partitions(self):
             import pyarrow.parquet as pq
 
-            n = pq.ParquetFile(self.path).metadata.num_row_groups
-            return [InputPartition(i) for i in range(n)]
+            return [
+                InputPartition((f, i))
+                for f in self._files()
+                for i in range(pq.ParquetFile(f).metadata.num_row_groups)
+            ]
 
         def read(self, partition):
             import pyarrow.parquet as pq
 
-            pf = pq.ParquetFile(self.path)
-            yield from pf.iter_batches(
-                row_groups=[partition.value], batch_size=8192
+            f, rg = partition.value
+            yield from pq.ParquetFile(f).iter_batches(
+                row_groups=[rg], batch_size=8192
             )
 
     class DocsSource(DataSource):

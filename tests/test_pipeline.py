@@ -255,6 +255,16 @@ def test_python_datasource_plans_one_partition_per_row_group(spark, sf_dir, tmp_
         zip(src.column("doc_id").to_pylist(), src.column("n_chars").to_pylist())
     )
     assert got == want
+    # round 10: a Spark-WRITTEN table is a DIRECTORY of part files
+    # (the scale ladder's shape) — the source must plan splits across
+    # (file, row group) pairs, not assume one file
+    multi_dir = str(tmp_path / "docs_dir.parquet")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(3).write.parquet(
+        multi_dir
+    )
+    df_dir = spark.read.format("pydocs").option("path", multi_dir).load()
+    assert df_dir.rdd.getNumPartitions() >= 3
+    assert sorted((r.doc_id, r.n_chars) for r in df_dir.collect()) == want
 
 
 def test_p21_selective_delete_preserves_untouched_partition_files(spark, sf_dir, tmp_path):
