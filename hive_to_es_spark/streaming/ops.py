@@ -247,19 +247,37 @@ def e2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ONE relational statement of 30-min gap sessionization, shared by
 # the e3 and e12 oracles (round-10 review: duplicated contract text
 # drifts; d14's string-slicing rule).
-_SESSION_CTE = """WITH gaps AS (
-  SELECT user_id, ts, value,
+# TIE-SAFETY (round 10, found by the full-inventory scale8x sweep):
+# the windows run over DISTINCT (user_id, ts) points and events join
+# back afterwards. Windowing the raw rows is NONDETERMINISTIC under
+# duplicate timestamps — which peer carries is_new=1 and the peer
+# order of the separately evaluated running sum are both arbitrary,
+# so at the 8x ladder (8 copies of every ts) the session count
+# flipped between runs (measured 95465/95467 on consecutive
+# executions of the same statement). Over distinct points there are
+# no peers, so both windows are total-ordered and deterministic;
+# semantics are unchanged because duplicate-ts rows always share a
+# session (gap 0) in every tie order.
+_SESSION_CTE = """WITH pts AS (
+  SELECT DISTINCT user_id, ts FROM events
+),
+gaps AS (
+  SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    > INTERVAL '30 minutes'
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM pts
 ),
-sessions AS (
-  SELECT user_id, ts, value,
+bounds AS (
+  SELECT user_id, ts,
          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM gaps
+),
+sessions AS (
+  SELECT e.user_id, e.ts, e.value, b.sid
+  FROM events e JOIN bounds b ON e.user_id = b.user_id AND e.ts = b.ts
 )"""
 
 _E3_ORACLE = _SESSION_CTE + """
