@@ -155,7 +155,9 @@ def j7_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _J8_ORACLE = """
-SELECT b.bucket AS bucket, count(*) AS n, round(sum(l.l_extendedprice), 2) AS revenue
+SELECT b.bucket AS bucket, count(*) AS n,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM lineitem l
 JOIN (VALUES ('q00_10', 0.0, 10.0), ('q10_25', 10.0, 25.0),
              ('q25_40', 25.0, 40.0), ('q40_51', 40.0, 51.0)) AS b(bucket, lo, hi)
@@ -167,7 +169,13 @@ GROUP BY b.bucket
 @register("j8_theta_range", _J8_ORACLE)
 def j8_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range-band) join — broadcast nested loop over a tiny
-    band table; at scale the band table is always the broadcast side."""
+    band table; at scale the band table is always the broadcast side.
+
+    Revenue is summed in exact integer CENTS (round 10: the 8x
+    endurance sweep caught round(sum(double), 2) diverging between
+    engines at ~1.4M rows/bucket — double accumulation order differs
+    and the error passes 2dp at 1e10 magnitude; bigint cents are
+    associative and exact at any scale, the a20/p17 money rule)."""
     t = load_tables(spark, sf_dir)
     bands = spark.createDataFrame(
         [("q00_10", 0.0, 10.0), ("q10_25", 10.0, 25.0), ("q25_40", 25.0, 40.0), ("q40_51", 40.0, 51.0)],
@@ -177,7 +185,12 @@ def j8_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(bands), (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi))
         .groupBy("bucket")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
     )
 
 
