@@ -176,6 +176,12 @@ EAGER_BUILD = {
     "e11_stream_neardup_ingest",
     # m9 collects its per-range weight offsets at build
     "m9_multimodal_pack",
+    # round 10: s17 writes codebook + inverted lists, b10 ANALYZEs and
+    # executes its join under the CBO confs, b11 runs the sink write —
+    # all at build time
+    "s17_filtered_ann",
+    "b10_cbo_stats_reorder",
+    "b11_python_datasource_writer",
 }
 
 
