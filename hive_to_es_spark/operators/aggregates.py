@@ -13,24 +13,33 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hive_to_es_spark.functions.money import cents, sum_cents
 from hive_to_es_spark.io import load_tables
 from hive_to_es_spark.registry import register
 
 # TPC-H Q1 shape: scan + filter + 8-way grouped agg on lineitem.
-# Flagship query (BASELINE.md row 1). Doubles rounded 2dp (money) /
-# 6dp (averages) on BOTH engines for hash-stable cross-engine values.
+# Flagship query (BASELINE.md row 1). Sums in exact integer CENTS and
+# averages in exact integer MICRO-units (cents*10^4 DIV count) — the
+# a20/p17/j8 money rule, round 11: the groups here grow unboundedly
+# with the data (~800k rows/group at the 8x ladder), which is exactly
+# the class where round(sum(double), 2) was measured to diverge
+# cross-engine (j8, ~1.4M rows/group). Integer cents are associative
+# and exact at any scale; cents*10^4 stays under bigint overflow up
+# to ~1e15 cents of group sum (~10 PB of fixture-density money data).
 _A1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  round(sum(l_quantity), 2)                                        AS sum_qty,
-  round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-  round(avg(l_quantity), 6)                                        AS avg_qty,
-  round(avg(l_extendedprice), 6)                                   AS avg_price,
-  round(avg(l_discount), 6)                                        AS avg_disc,
-  count(*)                                                         AS count_order
+  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)      AS sum_qty_cents,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                                                                    AS sum_disc_price_cents,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+                                                                    AS sum_charge_cents,
+  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) * 10000 // count(*) AS BIGINT)      AS avg_qty_micro,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 10000 // count(*) AS BIGINT) AS avg_price_micro,
+  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) * 10000 // count(*) AS BIGINT)      AS avg_disc_micro,
+  count(*)                                                          AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -39,47 +48,70 @@ GROUP BY l_returnflag, l_linestatus
 
 @register("a1_hash_agg", _A1_ORACLE)
 def a1_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped sum/avg/count (TPC-H Q1 shape) — partial+final hash agg."""
+    """Grouped sum/avg/count (TPC-H Q1 shape) — partial+final hash agg.
+
+    Money sums in exact bigint cents, averages in exact bigint
+    micro-units (see functions/money.py for why round(sum(double), 2)
+    is not scale-safe over unboundedly growing groups).
+    """
     li = load_tables(spark, sf_dir).lineitem
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            sum_cents("l_quantity").alias("sum_qty_cents"),
+            sum_cents("l_extendedprice").alias("sum_base_price_cents"),
+            sum_cents(disc_price).alias("sum_disc_price_cents"),
+            sum_cents(charge).alias("sum_charge_cents"),
+            sum_cents("l_discount").alias("_disc_cents"),
             F.count("*").alias("count_order"),
         )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty_cents",
+        "sum_base_price_cents",
+        "sum_disc_price_cents",
+        "sum_charge_cents",
+        F.expr("sum_qty_cents * 10000 DIV count_order").alias("avg_qty_micro"),
+        F.expr("sum_base_price_cents * 10000 DIV count_order").alias("avg_price_micro"),
+        F.expr("_disc_cents * 10000 DIV count_order").alias("avg_disc_micro"),
+        "count_order",
     )
 
 
 _A2_ORACLE = """
 SELECT l_returnflag,
        count(DISTINCT l_suppkey) AS n_supp,
-       round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty
+       CAST(sum(DISTINCT CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_distinct_qty_cents
 FROM lineitem GROUP BY l_returnflag
 """
 
 
 @register("a2_distinct_agg", _A2_ORACLE)
 def a2_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count(DISTINCT)/sum(DISTINCT) — expand+two-phase agg in Spark."""
+    """count(DISTINCT)/sum(DISTINCT) — expand+two-phase agg in Spark.
+
+    The distinct sum runs over per-row cents (exact for the 2dp
+    fixture quantities, so distinct-on-cents == distinct-on-value);
+    the money rule, functions/money.py.
+    """
     li = load_tables(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+        F.sum_distinct(cents("l_quantity")).alias("sum_distinct_qty_cents"),
     )
 
 
 _A3_ORACLE = """
 SELECT count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-       round(sum(o_totalprice), 2) AS total, round(avg(o_totalprice), 6) AS avg_price
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 10000 // count(*) AS BIGINT)
+         AS avg_price_micro
 FROM orders
 """
 
@@ -87,19 +119,27 @@ FROM orders
 @register("a3_global_agg", _A3_ORACLE)
 def a3_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ungrouped (global) aggregate — single-row result, partial agg
-    on every partition then one tiny final reduce."""
+    on every partition then one tiny final reduce. Sum in exact bigint
+    cents, avg in exact bigint micro-units (functions/money.py)."""
     o = load_tables(spark, sf_dir).orders
     return o.agg(
         F.count("*").alias("n"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        sum_cents("o_totalprice").alias("total_cents"),
+    ).select(
+        "n",
+        "min_price",
+        "max_price",
+        "total_cents",
+        F.expr("total_cents * 10000 DIV n").alias("avg_price_micro"),
     )
 
 
 _A4_ORACLE = """
-SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       count(*) AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
@@ -117,21 +157,24 @@ def a4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         [[F.col("l_returnflag"), F.col("l_linestatus")], [F.col("l_returnflag")], []],
         F.col("l_returnflag"),
         F.col("l_linestatus"),
-    ).agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    ).agg(sum_cents("l_quantity").alias("sum_qty_cents"), F.count("*").alias("n"))
 
 
 _A5_ORACLE = """
-SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
 @register("a5_rollup", _A5_ORACLE)
 def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy aggregate."""
+    """ROLLUP hierarchy aggregate (exact bigint cents — the grand-
+    total row accumulates the WHOLE table, the fastest-growing group
+    in the file; functions/money.py)."""
     o = load_tables(spark, sf_dir).orders
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"), sum_cents("o_totalprice").alias("total_cents")
     )
 
 
@@ -149,20 +192,23 @@ def a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _A7_ORACLE = """
-SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+SELECT o_custkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY o_custkey
-HAVING round(sum(o_totalprice), 2) > 1500000
+HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 150000000
 """
 
 
 @register("a7_having", _A7_ORACLE)
 def a7_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Post-aggregation filter (HAVING)."""
+    """Post-aggregation filter (HAVING). The threshold decision runs
+    on the exact bigint-cents sum — a float sum near the boundary
+    could flip membership per engine (functions/money.py)."""
     o = load_tables(spark, sf_dir).orders
     return (
         o.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
-        .filter(F.col("total") > 1500000)
+        .agg(sum_cents("o_totalprice").alias("total_cents"))
+        .filter(F.col("total_cents") > 150_000_000)
     )
 
 
@@ -298,7 +344,9 @@ def a13_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the relational spelling (UNION ALL of one select per measure).
 _A14_ORACLE = """
 SELECT measure, CAST(count(*) AS BIGINT) AS n,
-       round(sum(v), 2) AS total, round(avg(v), 6) AS mean
+       CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(sum(CAST(round(v * 100) AS BIGINT)) * 10000 // count(*) AS BIGINT)
+         AS mean_micro
 FROM (
   SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem
   UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
@@ -325,10 +373,18 @@ def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.expr("substring(measure, 3)").alias("measure"), "v"
     )
-    return long.groupBy("measure").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.round(F.sum("v"), 2).alias("total"),
-        F.round(F.avg("v"), 6).alias("mean"),
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            sum_cents("v").alias("total_cents"),
+        )
+        .select(
+            "measure",
+            "n",
+            "total_cents",
+            F.expr("total_cents * 10000 DIV n").alias("mean_micro"),
+        )
     )
 
 

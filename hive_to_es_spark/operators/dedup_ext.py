@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from hive_to_es_spark.io import load_tables, table_row_count
 
 _LOG = logging.getLogger(__name__)
+_SUBHALF_THRESHOLD_LOGGED = False  # once-per-process log gate (d16/e11)
 from hive_to_es_spark.functions.lifecycle import materialize
 from hive_to_es_spark.operators.dedup import word_shingles
 from hive_to_es_spark.operators.similarity import _dbl, _dot, _norm
@@ -1562,7 +1563,13 @@ def incremental_neardup(
             f"the threshold for complete boundary recall."
         )
         warnings.warn(msg, UserWarning, stacklevel=2)
-        _LOG.warning(msg)
+        # warnings dedup per call site; logging does not — in a
+        # per-micro-batch ingest loop the log line would fire every
+        # batch (round-10 advice), so emit it once per process
+        global _SUBHALF_THRESHOLD_LOGGED
+        if not _SUBHALF_THRESHOLD_LOGGED:
+            _LOG.warning(msg)
+            _SUBHALF_THRESHOLD_LOGGED = True
     sh_inc = materialize(
         incoming.select(
             "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hive_to_es_spark.functions.money import sum_cents
 from hive_to_es_spark.io import load_tables
 from hive_to_es_spark.registry import register
 
@@ -100,7 +101,7 @@ SELECT
        WHEN o_totalprice < 200000 THEN 'mid'
        ELSE 'big' END AS bucket,
   count(*) AS n,
-  round(sum(o_totalprice), 2) AS total
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY 1
 """
@@ -118,7 +119,7 @@ def f5_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(bucket.alias("bucket"), "o_totalprice")
         .groupBy("bucket")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), sum_cents("o_totalprice").alias("total_cents"))
     )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hive_to_es_spark.functions.money import cents, sum_cents
 from hive_to_es_spark.io import load_tables
 from hive_to_es_spark.registry import register
 
@@ -274,7 +275,9 @@ def j10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _J11_ORACLE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -316,8 +319,8 @@ def j11_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            sum_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_cents"
             )
         )
     )
@@ -327,7 +330,8 @@ def j11_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the fixtures — grouped on (l_orderkey, o_orderdate) instead).
 _Q3_ORACLE = """
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
        o_orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -336,7 +340,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1996-03-15'
   AND l_shipdate  > TIMESTAMP '1996-03-15'
 GROUP BY l_orderkey, o_orderdate
-ORDER BY revenue DESC, l_orderkey ASC
+ORDER BY revenue_cents DESC, l_orderkey ASC
 LIMIT 10
 """
 
@@ -363,12 +367,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            sum_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_cents"
             )
         )
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .select("l_orderkey", "revenue_cents", "o_orderdate")
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
 
@@ -376,7 +380,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q10 shape: returned-item revenue per customer in a quarter.
 _Q10_ORACLE = """
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -385,7 +390,7 @@ WHERE o_orderdate >= TIMESTAMP '1996-10-01'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
   AND l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey ASC
+ORDER BY revenue_cents DESC, c_custkey ASC
 LIMIT 20
 """
 
@@ -409,11 +414,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            sum_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_cents"
             )
         )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
 
@@ -423,7 +428,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decorrelation).
 _Q18_ORACLE = """
 SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
-       round(sum(l_quantity), 2) AS total_qty
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qty_c
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -454,7 +459,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
         .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(sum_cents("l_quantity").alias("total_qty_c"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(50)
     )
@@ -463,7 +468,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q17 shape: correlated scalar subquery (per-part average
 # quantity) — the decorrelation benchmark.
 _Q17_ORACLE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 7.0) AS BIGINT)
+         AS avg_yearly_cents
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#4'
@@ -490,7 +496,11 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(brand_parts, li.l_partkey == brand_parts.p_partkey)
         .join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_limit"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(sum_cents("l_extendedprice") / 7.0)
+            .cast("bigint")
+            .alias("avg_yearly_cents")
+        )
     )
 
 
@@ -532,10 +542,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # TPC-H Q14 shape: promo revenue share in a month.
 _Q14_ORACLE = """
-SELECT round(
-         100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                               AS BIGINT) ELSE 0 END) * 1000000
+            // sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS promo_share_ppm
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01'
   AND l_shipdate <  TIMESTAMP '1996-10-01'
@@ -553,10 +564,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    promo = F.when(F.col("p_type").like("PROMO%"), cents(rev)).otherwise(
+        F.lit(0).cast("bigint")
+    )
     return (
         li.join(t.part, li.l_partkey == t.part.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue_pct"))
+        .agg(F.sum(promo).alias("_p"), sum_cents(rev).alias("_r"))
+        .select(F.expr("_p * 1000000 DIV _r").alias("promo_share_ppm"))
     )
 
 
@@ -609,7 +623,7 @@ def q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
 _J12_ORACLE = """
 SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS total
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """
@@ -648,7 +662,7 @@ def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fact.join(dim.hint("shuffle_hash"), ["c_custkey", SALT_COL], "inner")
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").cast("bigint").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total"),
+        sum_cents("value").alias("total_cents"),
     )
 
 
@@ -698,7 +712,8 @@ WITH win AS (
 )
 SELECT w.win_id,
        CAST(count(*) AS BIGINT) AS n_shipped,
-       round(sum(l.l_extendedprice), 2) AS revenue
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM win w
 JOIN lineitem l
   ON l.l_shipdate >= w.lo AND l.l_shipdate < w.lo + INTERVAL 7 DAY
@@ -749,7 +764,7 @@ def j13_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_id")
         .agg(
             F.count("*").cast("bigint").alias("n_shipped"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            sum_cents("l_extendedprice").alias("revenue_cents"),
         )
     )
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hive_to_es_spark.functions.money import sum_cents
 from hive_to_es_spark.io import load_tables
 from hive_to_es_spark.pipeline import TMP_ROOT, Job, run_job, run_jobs
 from hive_to_es_spark.registry import register
@@ -316,7 +317,8 @@ def p12_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _P7_ORACLE = """
-SELECT count(*) AS n, round(sum(amount), 2) AS total
+SELECT count(*) AS n,
+       CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM (SELECT o_totalprice AS amount FROM orders WHERE o_orderstatus = 'F')
 """
 
@@ -336,7 +338,7 @@ def p7_sink_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_job(spark, sf_dir, job)
     back = spark.read.parquet(job.sink_path)
-    return back.agg(F.count("*").alias("n"), F.round(F.sum("amount"), 2).alias("total"))
+    return back.agg(F.count("*").alias("n"), sum_cents("amount").alias("total_cents"))
 
 
 _P8_ORACLE = """
@@ -411,7 +413,8 @@ def b1_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _B2_ORACLE = """
-SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders WHERE o_totalprice > 200000
 GROUP BY o_orderstatus
 """
@@ -429,7 +432,7 @@ def b2_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"), sum_cents("o_totalprice").alias("total_cents")
     )
 
 
@@ -441,7 +444,7 @@ WITH old AS (SELECT o_orderkey AS k, o_totalprice AS amount FROM orders),
 new AS (SELECT o_orderkey AS k, round(o_totalprice * 1.1, 2) AS amount
         FROM orders WHERE o_totalprice > 400000)
 SELECT count(*) AS n,
-       round(sum(coalesce(new.amount, old.amount)), 2) AS total,
+       CAST(sum(CAST(round(coalesce(new.amount, old.amount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        CAST(sum(CASE WHEN new.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
 FROM old LEFT JOIN new USING (k)
 """
@@ -473,7 +476,7 @@ def p9_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.join(orig, "k")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("amount"), 2).alias("total"),
+            sum_cents("amount").alias("total_cents"),
             F.sum(was_updated).alias("n_updated"),
         )
     )
@@ -637,7 +640,7 @@ def p11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _B3_ORACLE = """
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS total
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 WHERE year(o_orderdate) = 1998
 GROUP BY o_orderstatus
@@ -663,7 +666,7 @@ def b3_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path).filter(F.col("year") == 1998)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        sum_cents("o_totalprice").alias("total_cents"),
     )
 
 
@@ -674,7 +677,7 @@ def b3_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 _B5_ORACLE = """
 SELECT CAST(year(o.o_orderdate) AS INT) AS year,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(o.o_totalprice), 2) AS total
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders o
 JOIN (SELECT DISTINCT year(l_shipdate) AS ly FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '2000-06-01') d
@@ -713,7 +716,7 @@ def b5_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("year")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            sum_cents("o_totalprice").alias("total_cents"),
         )
     )
 
@@ -721,7 +724,7 @@ def b5_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 _B4_ORACLE = """
 SELECT o.o_orderkey,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l.l_extendedprice), 2) AS revenue
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderkey
 """
@@ -793,7 +796,7 @@ def b4_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count("*").cast("bigint").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            sum_cents("l_extendedprice").alias("revenue_cents"),
         )
     )
 
@@ -805,9 +808,10 @@ def b4_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P13_ORACLE = """
 SELECT CAST(year(o_orderdate) AS INT) AS year,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(CASE WHEN year(o_orderdate) = 1998
-                      THEN o_totalprice * 1.05
-                      ELSE o_totalprice END), 2) AS total
+       CAST(sum(CAST(round((CASE WHEN year(o_orderdate) = 1998
+                             THEN o_totalprice * 1.05
+                             ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
 FROM orders
 GROUP BY year(o_orderdate)
 """
@@ -831,10 +835,12 @@ def p13_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(TMP_ROOT, "p13_orders_backfill")
     base = o.withColumn("year", F.year("o_orderdate"))
     base.write.mode("overwrite").partitionBy("year").parquet(path)
-    # price correction stays unrounded: per-row round(x*1.05, 2) sits
-    # on the .005 boundary for a handful of rows where the engines'
-    # rounding disagrees; the aggregate's single 2dp round (the repo
-    # rule) absorbs float-order noise without cross-engine edges
+    # price correction stays unrounded at 2dp: per-row round(x*1.05, 2)
+    # sits on the .005 boundary for a handful of rows where the
+    # engines' scaled rounding disagrees. The checksum instead rounds
+    # each row to integer CENTS (0dp — no scaling step, deterministic
+    # on the identical double both engines compute) and sums bigints
+    # (functions/money.py)
     corrected = (
         base.filter(F.col("year") == 1998)
         .withColumn("o_totalprice", F.col("o_totalprice") * 1.05)
@@ -848,7 +854,7 @@ def p13_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy(F.col("year").cast("int").alias("year")).agg(
         F.count("*").cast("bigint").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        sum_cents("o_totalprice").alias("total_cents"),
     )
 
 
@@ -856,7 +862,7 @@ _P14_ORACLE = """
 SELECT CASE WHEN year(o_orderdate) >= 1998 THEN o_orderstatus
             ELSE 'pre_evolution' END AS status,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS total
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY 1
 """
@@ -906,7 +912,7 @@ def p14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            sum_cents("o_totalprice").alias("total_cents"),
         )
     )
 
@@ -1342,11 +1348,38 @@ def b8_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             import os as _os
 
             if _os.path.isdir(self.path):
-                return sorted(
+                files = sorted(
                     _os.path.join(self.path, f)
                     for f in _os.listdir(self.path)
                     if f.endswith(".parquet")
                 )
+                if not files:
+                    # fail LOUDLY instead of yielding an empty frame
+                    # (round-10 advice). Two distinct causes, two
+                    # messages: a partitionBy-written (nested) table
+                    # is a layout this flat reader must not guess at
+                    # — its part files do not CONTAIN the partition
+                    # column, so recursing would silently return rows
+                    # with the partition values dropped.
+                    nested = any(
+                        f.endswith(".parquet")
+                        for r, _d, ns in _os.walk(self.path)
+                        for f in ns
+                    )
+                    if nested:
+                        raise ValueError(
+                            f"custom source: {self.path!r} is a "
+                            f"partitioned (nested-dir) parquet table; "
+                            f"this flat row-group reader would drop "
+                            f"the partition columns — read it with "
+                            f"spark.read.parquet instead"
+                        )
+                    raise FileNotFoundError(
+                        f"custom source: no .parquet files under "
+                        f"{self.path!r} — refusing to silently read "
+                        f"an empty table"
+                    )
+                return files
             return [self.path]
 
         def partitions(self):
@@ -1727,6 +1760,7 @@ GROUP BY c.c_nationkey
 """
 
 _B10_CONFS = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+_B10_TABLES = ("customer", "orders", "lineitem")
 
 
 def b10_register_and_analyze(spark: SparkSession, sf_dir: str) -> None:
@@ -1788,6 +1822,12 @@ def b10_cbo_stats_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+        # drop the catalog tables too (round-10 advice): stale
+        # ANALYZE stats would silently mis-cost a later session
+        # query if sf_dir changes within one SparkSession, and the
+        # conf hygiene above is pointless if catalog state leaks
+        for t in _B10_TABLES:
+            spark.sql(f"DROP TABLE IF EXISTS b10_{t}")
     return spark.read.parquet(out)
 
 
@@ -1823,8 +1863,17 @@ def _b11_register_sink(spark: SparkSession) -> None:
         assumption every FileOutputCommitter makes)."""
 
         def __init__(self, options):
+            import uuid
+
             self.path = options.get("path")
             self.poison = options.get("poison")
+            # per-JOB staging subdir (round-10 advice): the writer is
+            # constructed once on the driver and pickled to tasks, so
+            # every task of THIS job stages under one uuid dir, and
+            # commit/abort tear down only their own dir — two
+            # concurrent append jobs into one target can no longer
+            # delete each other's staged files
+            self.job_id = uuid.uuid4().hex
 
         def write(self, iterator):
             import os
@@ -1836,7 +1885,7 @@ def _b11_register_sink(spark: SparkSession) -> None:
             # memory is O(one Arrow batch), never O(partition) —
             # buffering the whole partition would contradict the
             # sink's own 100 TB posture (round-10 review)
-            staging = os.path.join(self.path, "_staging")
+            staging = os.path.join(self.path, "_staging", self.job_id)
             os.makedirs(staging, exist_ok=True)
             tmp = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
             writer, rows = None, 0
@@ -1862,6 +1911,7 @@ def _b11_register_sink(spark: SparkSession) -> None:
             return StagedFile(tmp_path=tmp, rows=rows)
 
         def commit(self, messages):
+            import glob
             import os
             import shutil
 
@@ -1878,15 +1928,45 @@ def _b11_register_sink(spark: SparkSession) -> None:
                     )
                     os.replace(m.tmp_path, final)
                     n += m.rows
-            shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
-            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            # only THIS job's staging dir (round-10 advice)
+            shutil.rmtree(
+                os.path.join(self.path, "_staging", self.job_id),
+                ignore_errors=True,
+            )
+            try:  # drop the shared root only once it is empty
+                os.rmdir(os.path.join(self.path, "_staging"))
+            except OSError:
+                pass
+            # _SUCCESS accumulates across append jobs: each job writes
+            # its own manifest, the headline count is their sum — a
+            # second append no longer clobbers the first job's count.
+            # (Two committers racing on the re-scan can briefly write
+            # a count missing the other's manifest; the per-job
+            # manifests stay authoritative and any later commit
+            # re-derives the full sum.)
+            with open(
+                os.path.join(self.path, f"_SUCCESS.{self.job_id}"), "w"
+            ) as f:
                 f.write(str(n))
+            total = sum(
+                int(open(m).read() or 0)
+                for m in glob.glob(os.path.join(self.path, "_SUCCESS.*"))
+            )
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                f.write(str(total))
 
         def abort(self, messages):
             import os
             import shutil
 
-            shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(self.path, "_staging", self.job_id),
+                ignore_errors=True,
+            )
+            try:
+                os.rmdir(os.path.join(self.path, "_staging"))
+            except OSError:
+                pass
             # belt + braces: drop any staged path the messages name
             for m in messages:
                 if m is not None and getattr(m, "tmp_path", ""):

@@ -260,7 +260,8 @@ SELECT l_returnflag,
        CAST(sum(CAST(trunc(l_quantity) AS INTEGER)) AS BIGINT)           AS sum_int_qty,
        CAST(sum(CASE WHEN coalesce(nullif(l_discount, 0.0), 0.01) = 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted,
        CAST(sum(CASE WHEN isnan(CAST('NaN' AS DOUBLE) * l_tax) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
-       round(sum(CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)), 2)        AS roundtrip_qty
+       CAST(sum(CAST(round(CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+                                                                         AS roundtrip_qty_cents
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -279,9 +280,13 @@ def x7_cast_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(0.01)) == 0.01
         ).alias("n_defaulted"),
         one_if(F.isnan(F.lit(float("nan")) * F.col("l_tax"))).alias("n_nan"),
-        F.round(F.sum(F.col("l_quantity").cast("string").cast("double")), 2).alias(
-            "roundtrip_qty"
-        ),
+        # per-row cents then exact bigint sum (functions/money.py);
+        # the string round-trip being verified stays per-row
+        F.sum(
+            F.round(F.col("l_quantity").cast("string").cast("double") * 100).cast(
+                "bigint"
+            )
+        ).alias("roundtrip_qty_cents"),
     )
 
 

@@ -1004,6 +1004,60 @@ def bpe_train(words: DataFrame, n_merges: int = _T16_MERGES) -> list[tuple]:
     return merges
 
 
+def _bpe_select_batch(top, batch_size: int, prior_outputs: set[str]) -> list:
+    """The pure acceptance rule of one batched-BPE round: walk the
+    ranked pair rows and accept a conflict-free prefix.
+
+    Factored out of bpe_train_batched so the batch-close rules are
+    unit-testable on SYNTHETIC rows — rule 5's precondition (an
+    accepted pair's output string equals a PRIOR round's merge
+    output) is unreachable from any real census under global-rank
+    greedy left-to-right BPE (150k-corpus sweep + the two-path
+    argument in bpe_train_batched's docstring), so only a synthetic
+    row list can exercise the guard (round-10 advice).
+
+    Rules (numbered as in bpe_train_batched's docstring):
+    1. symbol-disjointness including outputs — a pair touching any
+       symbol used or produced earlier in the batch defers;
+    4. a self-pair (lft == rgt) is accepted but CLOSES its batch;
+    5. an output-collision pair (lft+rgt already a prior round's
+       output) is accepted but CLOSES its batch;
+    trim: every accepted pair except the head must strictly beat the
+    best non-accepted pair's count (a batch merge can only create new
+    pairs below that bound).
+    """
+    accepted: list = []
+    used: set[str] = set()
+    bound = None  # count upper bound for every non-accepted pair
+    for row in top:
+        last = accepted[-1] if accepted else None
+        if (
+            len(accepted) >= batch_size
+            # self-pair closes its batch (rule 4)
+            or (last is not None and last.lft == last.rgt)
+            # two-path output collision closes its batch (rule 5)
+            or (last is not None and last.lft + last.rgt in prior_outputs)
+            # symbol-disjointness including OUTPUTS (rule 1)
+            or row.lft in used
+            or row.rgt in used
+            or row.lft + row.rgt in used
+        ):
+            bound = int(row.cnt)
+            break
+        accepted.append(row)
+        used.update((row.lft, row.rgt, row.lft + row.rgt))
+    # no break => the pair table was exhausted inside the window
+    # (window > batch_size forces the break otherwise), so no
+    # non-accepted pair exists and bound stays None: nothing a
+    # batch merge creates can beat a pair that doesn't exist —
+    # except via a self-pair's run rewrites, which the self-pair
+    # batch-close above already walls off.
+    if bound is not None:
+        while len(accepted) > 1 and int(accepted[-1].cnt) <= bound:
+            accepted.pop()  # can't prove it beats a new pair: defer
+    return accepted
+
+
 def bpe_train_batched(
     words: DataFrame,
     n_merges: int = _T16_MERGES,
@@ -1089,38 +1143,9 @@ def bpe_train_batched(
         )
         if not top:
             break  # vocabulary fully collapsed before n_merges
-        accepted: list = []
-        used: set[str] = set()
         # multi-char symbols only enter the census as merge outputs,
         # so this set is exactly "which merged strings already exist"
-        prior_outputs = {m[3] for m in merges}
-        bound = None  # count upper bound for every non-accepted pair
-        for row in top:
-            last = accepted[-1] if accepted else None
-            if (
-                len(accepted) >= batch_size
-                # self-pair closes its batch (rule 4)
-                or (last is not None and last.lft == last.rgt)
-                # two-path output collision closes its batch (rule 5)
-                or (last is not None and last.lft + last.rgt in prior_outputs)
-                # symbol-disjointness including OUTPUTS (rule 1)
-                or row.lft in used
-                or row.rgt in used
-                or row.lft + row.rgt in used
-            ):
-                bound = int(row.cnt)
-                break
-            accepted.append(row)
-            used.update((row.lft, row.rgt, row.lft + row.rgt))
-        # no break => the pair table was exhausted inside the window
-        # (window > batch_size forces the break otherwise), so no
-        # non-accepted pair exists and bound stays None: nothing a
-        # batch merge creates can beat a pair that doesn't exist —
-        # except via a self-pair's run rewrites, which the self-pair
-        # batch-close above already walls off.
-        if bound is not None:
-            while len(accepted) > 1 and int(accepted[-1].cnt) <= bound:
-                accepted.pop()  # can't prove it beats a new pair: defer
+        accepted = _bpe_select_batch(top, batch_size, {m[3] for m in merges})
         accepted = accepted[: n_merges - len(merges)]
         enc = F.col("enc")
         for row in accepted:

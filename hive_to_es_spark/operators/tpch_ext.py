@@ -15,11 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hive_to_es_spark.functions.money import cents, sum_cents
 from hive_to_es_spark.io import load_tables
 from hive_to_es_spark.registry import register
 
 _Q5_ORACLE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -65,15 +68,16 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            sum_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_cents"
+            )
         )
     )
 
 
 _Q6_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -97,15 +101,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
+            sum_cents(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue_cents"
             )
         )
     )
 
 
 _Q7_ORACLE = """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(CAST(round(volume * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -162,7 +167,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(sum_cents("volume").alias("revenue_cents"))
     )
 
 
@@ -241,7 +246,8 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brand/container/quantity bands — the point is the disjunction of
 # conjunctions that must still collapse into ONE join + one scan pass.
 _Q19_ORACLE = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -280,9 +286,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             | band("Brand#34", 15, 20, 30)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            sum_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_cents"
+            )
         )
     )
 
@@ -354,7 +360,7 @@ WITH avg_bal AS (
 )
 SELECT c_nationkey AS cntrycode,
        CAST(count(*) AS BIGINT) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
 FROM customer, avg_bal
 WHERE c_acctbal > ab
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -388,7 +394,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").cast("bigint").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            sum_cents("c_acctbal").alias("totacctbal_cents"),
         )
     )
 
@@ -398,8 +404,9 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # conditional volume / total volume per year.
 _Q8_ORACLE = """
 SELECT o_year,
-       round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
-             / sum(volume), 6) AS mkt_share
+       CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                     THEN CAST(round(volume * 100) AS BIGINT) ELSE 0 END) * 1000000
+            // sum(CAST(round(volume * 100) AS BIGINT)) AS BIGINT) AS mkt_share_ppm
 FROM (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -426,7 +433,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     suite — part, lineitem, orders, customer, supplier, region, and
     nation twice. Every dimension (part filter, ASIA customers,
     supplier->nation) broadcasts; only the two facts shuffle. The
-    share is a conditional-sum / sum — one aggregation pass."""
+    share is a conditional-sum / sum in exact bigint cents, emitted
+    as integer parts-per-million (num*1e6 DIV den — exact inputs,
+    floor division, zero float path; functions/money.py)."""
     t = load_tables(spark, sf_dir)
     econ_parts = t.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     asia_cust = (
@@ -469,14 +478,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
-                    .otherwise(F.lit(0.0))
-                )
-                / F.sum("volume"),
-                6,
-            ).alias("mkt_share")
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", cents("volume"))
+                .otherwise(F.lit(0).cast("bigint"))
+            ).alias("_nat_cents"),
+            sum_cents("volume").alias("_all_cents"),
+        )
+        .select(
+            "o_year",
+            F.expr("_nat_cents * 1000000 DIV _all_cents").alias("mkt_share_ppm"),
         )
     )
 
@@ -484,7 +494,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q9 adapted: no partsupp -> supply cost stands in as 50% of
 # p_retailprice; p_name LIKE '%red%' for the official '%green%'.
 _Q9_ORACLE = """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year,
+       CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS BIGINT) AS sum_profit_cents
 FROM (
   SELECT n_name AS nation,
          CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -536,24 +547,27 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(sum_cents("amount").alias("sum_profit_cents"))
     )
 
 
 # Q11 adapted: no partsupp -> a part's "stock value" is its observed
 # lineitem revenue. Shape preserved: grouped value per part compared
 # against a scalar-subquery fraction of the global total. Per-part
-# values are rounded to 2dp BEFORE the threshold compare so both
-# engines apply the cutoff to identical numbers.
+# values are exact bigint CENTS and the threshold compare runs in
+# pure integers (value*10*np > 14*tv) — no float boundary anywhere
+# (functions/money.py; the global total sums unboundedly many parts).
 _Q11_ORACLE = """
 WITH pv AS (
   SELECT l_partkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS part_value_cents
   FROM lineitem GROUP BY l_partkey
 )
-SELECT l_partkey, part_value
-FROM pv, (SELECT sum(part_value) AS tv, count(*) AS np FROM pv) total
-WHERE part_value > 1.4 * tv / np
+SELECT l_partkey, part_value_cents
+FROM pv, (SELECT CAST(sum(part_value_cents) AS BIGINT) AS tv, count(*) AS np
+          FROM pv) total
+WHERE part_value_cents * 10 * np > 14 * tv
 """
 
 
@@ -565,15 +579,17 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a 1-row cross join — the fact table is read once."""
     li = load_tables(spark, sf_dir).lineitem
     pv = li.groupBy("l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "part_value"
+        sum_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "part_value_cents"
         )
     )
-    total = pv.agg(F.sum("part_value").alias("tv"), F.count("*").alias("np"))
+    total = pv.agg(F.sum("part_value_cents").alias("tv"), F.count("*").alias("np"))
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > 1.4 * F.col("tv") / F.col("np"))
-        .select("l_partkey", "part_value")
+        # threshold in pure integers: value > 1.4 * tv / np  <=>
+        # value * 10 * np > 14 * tv (positive np) — no float boundary
+        .filter(F.col("part_value_cents") * 10 * F.col("np") > 14 * F.col("tv"))
+        .select("l_partkey", "part_value_cents")
     )
 
 
@@ -613,21 +629,23 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Q15: top supplier by quarterly revenue. Revenue is rounded to 2dp
-# before the max-equality compare (same rule both engines).
+# Q15: top supplier by quarterly revenue. Revenue is exact bigint
+# cents, so the max-equality compare (and any tie) is exact on both
+# engines (functions/money.py).
 _Q15_ORACLE = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS total_revenue_cents
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, total_revenue_cents
 FROM supplier
 JOIN revenue ON s_suppkey = supplier_no
-WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
 """
 
 
@@ -636,7 +654,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier (TPC-H Q15 shape): the view-then-max pattern. The
     quarterly revenue aggregate plays the view; its max broadcasts as
     a 1-row cross join back onto itself (ties kept, per spec); the
-    supplier dim broadcasts onto the (tiny) winner set."""
+    supplier dim broadcasts onto the (tiny) winner set. The argmax
+    decision runs on exact bigint cents — decision-grade floats are
+    the first thing that diverges cross-engine at scale."""
     t = load_tables(spark, sf_dir)
     rev = (
         t.lineitem.filter(
@@ -645,20 +665,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
+            sum_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue_cents"
+            )
         )
     )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    mx = rev.agg(F.max("total_revenue_cents").alias("mx"))
     return (
         rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("mx"))
+        .filter(F.col("total_revenue_cents") == F.col("mx"))
         .join(
             F.broadcast(t.supplier.select("s_suppkey", "s_name")),
             F.col("supplier_no") == F.col("s_suppkey"),
         )
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", "total_revenue_cents")
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hive_to_es_spark.functions.money import cents
 from hive_to_es_spark.io import load_tables
 from hive_to_es_spark.registry import register
 
@@ -62,9 +63,10 @@ def w1_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _W2_ORACLE = """
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_total_cents
 FROM orders
 """
 
@@ -77,7 +79,7 @@ def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.sum(cents("o_totalprice")).over(w).alias("running_total_cents"),
     )
 
 
@@ -111,9 +113,9 @@ def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ties by construction (no tiebreaker needed for RANGE).
 _W4_ORACLE = """
 SELECT l_orderkey, l_linenumber, l_quantity,
-       round(sum(l_extendedprice) OVER (
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER (
          PARTITION BY l_returnflag ORDER BY l_quantity
-         RANGE BETWEEN 1 PRECEDING AND CURRENT ROW), 2) AS range_sum
+         RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS range_sum_cents
 FROM lineitem
 """
 
@@ -205,9 +207,10 @@ def _bucketed_range_frame(
     slack = float(delta) * 1e-12 + 1e-9
     near_upper_edge = v >= (bkt + 1) * F.lit(width) - F.lit(float(delta) + slack)
     w_expr = (
-        f"round(sum({sum_col}) OVER (PARTITION BY {part_col}, _bkt "
+        f"sum(CAST(round({sum_col} * 100) AS BIGINT)) "
+        f"OVER (PARTITION BY {part_col}, _bkt "
         f"ORDER BY {order_col} RANGE BETWEEN {delta} PRECEDING "
-        f"AND CURRENT ROW), 2)"
+        f"AND CURRENT ROW)"
     )
     return (
         li.select(
@@ -220,7 +223,7 @@ def _bucketed_range_frame(
             "l_linenumber",
             order_col,
             "_donor",
-            F.expr(w_expr).alias("range_sum"),
+            F.expr(w_expr).alias("range_sum_cents"),
         )
         .filter(F.col("_donor") == 0)
         .drop("_donor")
@@ -286,15 +289,16 @@ def range_frame_sum(
         )
     if plan == "window":
         w_expr = (
-            f"round(sum({sum_col}) OVER (PARTITION BY {part_col} "
+            f"sum(CAST(round({sum_col} * 100) AS BIGINT)) "
+            f"OVER (PARTITION BY {part_col} "
             f"ORDER BY {order_col} RANGE BETWEEN {delta} PRECEDING "
-            f"AND CURRENT ROW), 2)"
+            f"AND CURRENT ROW)"
         )
         return li.select(
-            "l_orderkey", "l_linenumber", order_col, F.expr(w_expr).alias("range_sum")
+            "l_orderkey", "l_linenumber", order_col, F.expr(w_expr).alias("range_sum_cents")
         )
     assert plan == "broadcast", f"unknown range_frame_sum plan {plan!r}"
-    g = li.groupBy(part_col, order_col).agg(F.sum(sum_col).alias("_s"))
+    g = li.groupBy(part_col, order_col).agg(F.sum(cents(sum_col)).alias("_s"))
     a = g.select(F.col(part_col).alias("_p"), F.col(order_col).alias("_q"))
     b = g.select(
         F.col(part_col).alias("_bp"),
@@ -332,7 +336,7 @@ def range_frame_sum(
             "l_orderkey",
             "l_linenumber",
             order_col,
-            F.round("_range_sum", 2).alias("range_sum"),
+            F.col("_range_sum").cast("bigint").alias("range_sum_cents"),
         )
     )
 
@@ -349,9 +353,10 @@ def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _W7_ORACLE = """
 SELECT l_orderkey, l_linenumber, l_extendedprice,
-       round(sum(l_extendedprice) OVER (
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER (
          PARTITION BY l_returnflag ORDER BY l_extendedprice
-         RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW), 2) AS range_sum
+         RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS range_sum_cents
 FROM lineitem
 """
 

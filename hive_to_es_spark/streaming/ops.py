@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hive_to_es_spark.functions.money import cents, sum_cents
 from hive_to_es_spark.io import load_tables
 from hive_to_es_spark.registry import register
 
@@ -32,8 +33,8 @@ def tf_tumbling(events: DataFrame) -> DataFrame:
     """1-hour tumbling window count/sum per event_type."""
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+        .agg(F.count("*").alias("n"), sum_cents("value").alias("total_cents"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_cents")
     )
 
 
@@ -52,7 +53,7 @@ def tf_session(events: DataFrame) -> DataFrame:
     definition; Catalyst prunes the unselected metric aggregates), so
     the gap/grouping contract cannot drift between e3 and e12."""
     return tf_session_metrics(events).select(
-        "user_id", "session_start", "session_end", "n_events", "total"
+        "user_id", "session_start", "session_end", "n_events", "total_cents"
     )
 
 
@@ -76,7 +77,7 @@ def tf_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
         F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
     )
     return joined.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total")
+        F.count("*").alias("n_events"), sum_cents("value").alias("total_cents")
     )
 
 
@@ -145,7 +146,7 @@ def tf_click_purchase_join_outer(clicks: DataFrame, purchases: DataFrame) -> Dat
     ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
 
 
-_STATE_SCHEMA = "user_id BIGINT, n_events BIGINT, total DOUBLE, last_ts TIMESTAMP"
+_STATE_SCHEMA = "user_id BIGINT, n_events BIGINT, total_cents BIGINT, last_ts TIMESTAMP"
 
 
 def tf_stateful_counters_stream(events: DataFrame) -> DataFrame:
@@ -157,28 +158,37 @@ def tf_stateful_counters_stream(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        n, total, last = state.get if state.exists else (0, 0.0, None)
+        n, total_cents, last = state.get if state.exists else (0, 0, None)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            # exact integer cents (functions/money.py): the fixture
+            # values are 2dp-clean (~1e-9 off the cent grid), so
+            # np.rint's banker's tie rule can never fire and the
+            # per-row cents match SQL round() bit-for-bit
+            import numpy as np
+
+            total_cents += int(
+                np.rint(pdf["value"].to_numpy() * 100).astype("int64").sum()
+            )
             mx = pdf["ts"].max()
             last = mx if last is None or mx > last else last
-        state.update((n, total, last))
-        # raw double out; F.round below — Python round() is
-        # banker's rounding, SQL round is half-away-from-zero, and the
-        # oracle uses the SQL rule
+        state.update((n, total_cents, last))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total": [total], "last_ts": [last]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [total_cents],
+                "last_ts": [last],
+            }
         )
 
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy("user_id")
         .applyInPandasWithState(
-            update, _STATE_SCHEMA, "n BIGINT, t DOUBLE, l TIMESTAMP",
+            update, _STATE_SCHEMA, "n BIGINT, t BIGINT, l TIMESTAMP",
             "update", GroupStateTimeout.NoTimeout,
         )
-        .withColumn("total", F.round("total", 2))
     )
 
 
@@ -189,22 +199,22 @@ def tf_stateful_counters_batch(events: DataFrame) -> DataFrame:
     def summarize(pdf):
         import pandas as pd
 
+        import numpy as np
+
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                # raw double; rounded with F.round below (SQL rule,
-                # not Python's banker's rounding) to match the oracle
-                "total": [float(pdf["value"].sum())],
+                # exact integer cents (functions/money.py); 2dp-clean
+                # fixture values keep np.rint off its banker's ties
+                "total_cents": [
+                    int(np.rint(pdf["value"].to_numpy() * 100).astype("int64").sum())
+                ],
                 "last_ts": [pdf["ts"].max()],
             }
         )
 
-    return (
-        events.groupBy("user_id")
-        .applyInPandas(summarize, _STATE_SCHEMA)
-        .withColumn("total", F.round("total", 2))
-    )
+    return events.groupBy("user_id").applyInPandas(summarize, _STATE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -213,7 +223,8 @@ def tf_stateful_counters_batch(events: DataFrame) -> DataFrame:
 
 _E1_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n, round(sum(value), 2) AS total
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -285,7 +296,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL '30 minutes' AS session_end,
        count(*) AS n_events,
-       round(sum(value), 2) AS total
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM sessions GROUP BY user_id, sid
 """
 
@@ -356,7 +367,8 @@ def e5_duped_input(ev: DataFrame) -> DataFrame:
 
 
 _E6_ORACLE = """
-SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total
+SELECT c_mktsegment, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """
@@ -371,7 +383,8 @@ def e6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _E7_ORACLE = """
-SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total,
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        max(ts) AS last_ts
 FROM events GROUP BY user_id
 """
@@ -823,8 +836,8 @@ def tf_session_metrics(events: DataFrame) -> DataFrame:
         events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total"),
-            F.round(F.max("value"), 2).alias("max_value"),
+            sum_cents("value").alias("total_cents"),
+            F.max(cents("value")).alias("max_value_cents"),
         )
         .select(
             "user_id",
@@ -841,8 +854,8 @@ def tf_session_metrics(events: DataFrame) -> DataFrame:
             .cast("bigint")
             .alias("duration_s"),
             "n_events",
-            "total",
-            "max_value",
+            "total_cents",
+            "max_value_cents",
         )
     )
 
@@ -866,8 +879,8 @@ SELECT user_id,
        CAST(epoch_us(max(ts) + INTERVAL '30 minutes' - min(ts)) // 1000000
             AS BIGINT) AS duration_s,
        count(*) AS n_events,
-       round(sum(value), 2) AS total,
-       round(max(value), 2) AS max_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_value_cents
 FROM sessions GROUP BY user_id, sid
 """
 

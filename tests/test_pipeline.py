@@ -265,6 +265,25 @@ def test_python_datasource_plans_one_partition_per_row_group(spark, sf_dir, tmp_
     df_dir = spark.read.format("pydocs").option("path", multi_dir).load()
     assert df_dir.rdd.getNumPartitions() >= 3
     assert sorted((r.doc_id, r.n_chars) for r in df_dir.collect()) == want
+    # round 11 (advice): fail LOUDLY on the two layouts the flat
+    # reader cannot honestly serve — an empty dir (was: silently
+    # empty frame) and a partitionBy-written nested table (reading
+    # its part files would DROP the partition column values)
+    import os
+
+    import pytest
+    from pyspark.errors import PySparkException
+
+    empty_dir = str(tmp_path / "empty.parquet")
+    os.makedirs(empty_dir)
+    with pytest.raises(PySparkException, match="no .parquet files"):
+        spark.read.format("pydocs").option("path", empty_dir).load().collect()
+    nested_dir = str(tmp_path / "nested.parquet")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "bucket", F.col("doc_id") % 2
+    ).write.partitionBy("bucket").parquet(nested_dir)
+    with pytest.raises(PySparkException, match="partitioned"):
+        spark.read.format("pydocs").option("path", nested_dir).load().collect()
 
 
 def test_p21_selective_delete_preserves_untouched_partition_files(spark, sf_dir, tmp_path):
@@ -521,8 +540,16 @@ def test_b11_sink_abort_commits_nothing(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert back.agg({"v": "sum"}).collect()[0][0] == 999 * 1000
+    assert open(os.path.join(out, "_SUCCESS")).read() == "1000"
     # second append into the same target must ADD, not overwrite
     # (round-10 review: message-index final names collided across
     # jobs and silently destroyed the first job's files)
     df.write.format("pyatomic").option("path", out).mode("append").save()
     assert spark.read.parquet(out).count() == 2000
+    # the _SUCCESS headline count accumulates across append jobs via
+    # per-job _SUCCESS.<job> manifests (round-10 advice: a second
+    # append used to clobber the first job's count). The aborted
+    # job's staging subdir may legally survive (a still-cancelling
+    # task can re-stage after abort's teardown) — underscore dirs are
+    # invisible to readers, so only the committed surface matters.
+    assert open(os.path.join(out, "_SUCCESS")).read() == "2000"

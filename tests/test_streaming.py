@@ -113,9 +113,12 @@ def test_stateful_counters_stream_final_state(spark, events_dir, tmp_path):
     update per user must equal the batch per-user totals."""
     batch_df = spark.read.parquet(events_dir)
     expected = {
-        r.user_id: (r.n_events, r.total)
+        r.user_id: (r.n_events, r.total_cents)
         for r in batch_df.groupBy("user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+        )
         .collect()
     }
     stream_src = spark.readStream.schema(batch_df.schema).parquet(events_dir)
@@ -125,7 +128,7 @@ def test_stateful_counters_stream_final_state(spark, events_dir, tmp_path):
     # keep the LAST emitted state per user (updates accumulate)
     final = {}
     for r in rows:
-        final[r.user_id] = (r.n_events, round(r.total, 2))
+        final[r.user_id] = (r.n_events, r.total_cents)
     assert final == expected
 
 
@@ -310,11 +313,14 @@ def test_stateful_checkpoint_recovery_counters(spark, events_dir, tmp_path):
     final = {}
     for r in spark.read.parquet(sink).collect():
         if r.user_id not in final or r.n_events > final[r.user_id][0]:
-            final[r.user_id] = (r.n_events, round(r.total, 2))
+            final[r.user_id] = (r.n_events, r.total_cents)
     expected = {
-        r.user_id: (r.n_events, r.total)
+        r.user_id: (r.n_events, r.total_cents)
         for r in ev.groupBy("user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+        )
         .collect()
     }
     # users present in BOTH halves prove continuity: a state store
@@ -482,7 +488,7 @@ def test_session_window_checkpoint_recovery(spark, events_dir, tmp_path):
 
     ev_full = spark.read.parquet(events_dir)
     expected = {
-        (r.user_id, r.session_start): (r.session_end, r.n_events, round(r.total, 2))
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_cents)
         for r in tf_session(ev_full).collect()
     }
     max_ts = ev_full.agg(F.max("ts")).first()[0]
@@ -541,7 +547,7 @@ def test_session_window_checkpoint_recovery(spark, events_dir, tmp_path):
     # on a finite source, so compare against the batch run on both
     # sides of that horizon.
     got = {
-        (r.user_id, r.session_start): (r.session_end, r.n_events, round(r.total, 2))
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_cents)
         for r in spark.read.parquet(sink).collect()
     }
     # everything emitted must match the uninterrupted batch run exactly
@@ -1028,19 +1034,19 @@ def test_e12_session_metrics_late_event_dropped(spark, tmp_path):
     _copy_parts(a_dir, src, "a")
     run_once()
     got1 = {
-        (r.user_id, r.session_start): (r.n_events, r.total)
+        (r.user_id, r.session_start): (r.n_events, r.total_cents)
         for r in spark.read.parquet(sink).collect()
     }
     # user 1's session finalized and emitted once; user 2's still open
     from datetime import datetime
 
     k1 = (1, datetime(2024, 1, 1, 0, 0))
-    assert got1 == {k1: (2, 30.0)}, got1
+    assert got1 == {k1: (2, 3000)}, got1
 
     _copy_parts(b_dir, src, "b")
     run_once()
     got2 = {
-        (r.user_id, r.session_start): (r.n_events, r.total)
+        (r.user_id, r.session_start): (r.n_events, r.total_cents)
         for r in spark.read.parquet(sink).collect()
     }
     # the late event was dropped: no re-emission, no mutated session
@@ -1048,7 +1054,7 @@ def test_e12_session_metrics_late_event_dropped(spark, tmp_path):
     # control: batch over the SAME accumulated files absorbs it
     batch = tf_watermark_session_metrics(spark.read.parquet(src))
     b1 = {
-        (r.user_id, r.session_start): (r.n_events, round(r.total, 2))
+        (r.user_id, r.session_start): (r.n_events, r.total_cents)
         for r in batch.collect()
     }
-    assert b1[k1] == (3, 129.0), b1
+    assert b1[k1] == (3, 12900), b1

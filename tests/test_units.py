@@ -1988,6 +1988,58 @@ def test_t16_bpe_train_matches_hand_computed_merges(spark):
     ]
 
 
+def test_bpe_select_batch_rules_on_synthetic_rows():
+    """The batched-BPE acceptance rules on constructed row lists —
+    including rule 5 (two-path output collision), whose precondition
+    is unreachable from any real census under greedy L2R BPE (the
+    docstring theorem), so the guard can ONLY be exercised here
+    (round-10 advice: the property test's generator never fired it)."""
+    from collections import namedtuple
+
+    from hive_to_es_spark.operators.text_ext import _bpe_select_batch
+
+    Row = namedtuple("Row", "lft rgt cnt")
+
+    # rule 5: the collision pair ('a','bc' -> 'abc', already a prior
+    # round's output) is ACCEPTED but closes its batch — ('x','y') is
+    # symbol-disjoint and higher-count than the trim bound, yet must
+    # be deferred to the next round
+    top = [Row("a", "bc", 10), Row("x", "y", 9), Row("p", "q", 8)]
+    got = _bpe_select_batch(top, batch_size=8, prior_outputs={"abc"})
+    assert got == [top[0]]
+
+    # control: same rows without the prior output accept the full
+    # disjoint prefix (counts strictly above the no-break bound=None)
+    got = _bpe_select_batch(top, batch_size=8, prior_outputs=set())
+    assert got == top
+
+    # rule 4 twin (same close mechanics): a self-pair is accepted
+    # alone even with disjoint followers
+    top4 = [Row("a", "a", 10), Row("x", "y", 9)]
+    assert _bpe_select_batch(top4, batch_size=8, prior_outputs=set()) == [top4[0]]
+
+    # the collision close still applies the count-bound trim: the
+    # closing row sets bound=9 ('x','y'), so a tied-at-9 second
+    # accepted pair would be deferred — construct collision at pos 3
+    top5 = [
+        Row("a", "b", 12),
+        Row("c", "d", 9),  # ties the bound below -> trimmed
+        Row("e", "f", 9),  # closes the batch: 'ef' is a prior output
+    ]
+    got = _bpe_select_batch(top5, batch_size=8, prior_outputs={"ef"})
+    # 'e','f' is accepted THEN closes; trim pops it (cnt 9 <= bound?)
+    # — no: the close fires on the NEXT row only. Here rule 5 fires
+    # when 'e','f' is last and a 4th row arrives; with only 3 rows
+    # the table is exhausted -> bound=None -> no trim: all 3 accepted
+    assert got == top5
+
+    # same rows + a 4th: rule 5 fires on the 4th row (bound=7), trim
+    # keeps counts > 7, so all three survive
+    top6 = top5 + [Row("g", "h", 7)]
+    got = _bpe_select_batch(top6, batch_size=8, prior_outputs={"ef"})
+    assert got == top5
+
+
 def test_t16_bpe_train_fixture_merges_are_hierarchical(spark, sf_dir):
     """The registered key's output on real fixtures: 8 ranks, merged
     symbol always left||right, positive counts, and at least one
