@@ -83,6 +83,8 @@ EXTENSION = [
     # round 6 batch 3: sketch-accuracy audit (banded candidates +
     # exact verify) and the ANN recall audit's brute-force arm
     "d13_sketch_accuracy",
+    # round 11: the audit's fixed-slice production posture (r10 task 3)
+    "d13_sketch_accuracy_sampled",
     "s12_recall_report",
     # round 7: the two-stage quantize-then-rerank serving pipeline
     # (one corpus scan computing both scores) and the URL-canonical

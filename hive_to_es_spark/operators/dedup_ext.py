@@ -1236,21 +1236,40 @@ def d13_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_accuracy_frame(load_tables(spark, sf_dir).documents)
 
 
+_D13S_N_DOCS = 200  # < the smallest fixture corpus (500 docs), so the
+# sampled audit is non-vacuous (a strict subset) at every test SF
+
+_D13S_ORACLE = (
+    "\nWITH doc_slice AS (\n"
+    "  SELECT * FROM documents\n"
+    "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id\n"
+    f"  LIMIT {_D13S_N_DOCS}\n"
+    "),\n"
+    + _D13_ORACLE.lstrip().removeprefix("WITH ").replace(
+        "FROM documents", "FROM doc_slice"
+    )
+)
+
+
+@register("d13_sketch_accuracy_sampled", _D13S_ORACLE)
 def d13_sketch_accuracy_sampled(
-    spark: SparkSession, sf_dir: str, n_docs: int = 500
+    spark: SparkSession, sf_dir: str, n_docs: int = _D13S_N_DOCS
 ) -> DataFrame:
-    """d13's documented production posture: the same audit on a
-    DETERMINISTIC fixed-size hash-sampled slice. Sketch accuracy is a
-    population statistic — E[|err|] per candidate pair does not depend
-    on corpus size — so a fixed-size slice answers the tuning question
-    ("are 8 hashes enough at our threshold?") at fixed cost no matter
-    how large the corpus grows. The slice is the first `n_docs` docs
-    in md5(doc_id) order (o8's deterministic-shuffle trick), so the
-    audit population is reproducible across reruns and engines; at
-    real scale you'd use o4's rate predicate (bucket < rate, pure
-    scan-side, no sort) with the rate chosen to land the same absolute
-    sample size. Unregistered: this is a harness/ops entry point, not
-    a distinct query contract (the registered d13 pins the values)."""
+    """d13's documented production posture, registered as its own key
+    (round-11 verdict task 3: the full audit is the inventory's most
+    expensive op — 174 s at the 16x rung, b=1.51 — while the posture
+    the docs recommend was invisible to the driver): the same audit on
+    a DETERMINISTIC fixed-size hash-sampled slice. Sketch accuracy is
+    a population statistic — E[|err|] per candidate pair does not
+    depend on corpus size — so a fixed-size slice answers the tuning
+    question ("are 8 hashes enough at our threshold?") at fixed cost
+    no matter how large the corpus grows. The slice is the first
+    `n_docs` docs in md5(doc_id) order (o8's deterministic-shuffle
+    trick — a global top-k by hash is one reduce of per-partition
+    top-ks, scan-side at any scale), so the audit population is
+    reproducible across reruns and engines; at real scale you'd use
+    o4's rate predicate (bucket < rate, no sort at all) with the rate
+    chosen to land the same absolute sample size."""
     d = load_tables(spark, sf_dir).documents
     slice_ = d.orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")

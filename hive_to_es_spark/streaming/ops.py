@@ -9,10 +9,10 @@ readStream with Trigger.AvailableNow.
 Note on Spark 4's `transformWithStateInPandas`: the API exists in
 pyspark 4.1.2 and would be the modern spelling of e7's custom state,
 but executing it in this container fails inside the state-server
-bridge (protobuf bindings absent — re-probed rounds 8 and 10: `import
-google.protobuf` raises `No module named 'google'`, and installs are
-not permitted), so e7 stays on `applyInPandasWithState`, which runs
-correctly end to end (tests/test_streaming.py).
+bridge (protobuf bindings absent — re-probed rounds 8, 10 and 11:
+`import google.protobuf` raises `No module named 'google'`, and
+installs are not permitted), so e7 stays on `applyInPandasWithState`,
+which runs correctly end to end (tests/test_streaming.py).
 """
 
 from __future__ import annotations

@@ -78,6 +78,7 @@ EXPECTED_KEYS = {
     "d6_dedup_lsh_blocked", "d7_dedup_components", "d8_dedup_minhash_portable",
     "d9_text_dup_groups", "d10_dedup_jaccard_prefix",
     "d11_dedup_minhash_verified", "d12_dup_groups_hybrid", "d13_sketch_accuracy",
+    "d13_sketch_accuracy_sampled",
     "d14_canonical_pick", "d15_subsumed_docs", "d16_incremental_neardup",
     "s4_ann_lsh", "s5_ann_ivf", "s6_kmeans_refine", "s7_knn_batch",
     "s8_knn_quantized", "s9_pairwise_topk_lsh", "s10_ann_multiprobe",

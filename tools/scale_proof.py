@@ -451,7 +451,7 @@ def main() -> int:
     full_prior = main_measurements["d13_sketch_accuracy"]
     for label, fn, model_b, flat, prior in (
         ("d13_sketch_accuracy (full corpus)", qs["d13_sketch_accuracy"], 2.0, False, full_prior),
-        ("d13_sampled (fixed 500-doc hash slice)", d13_sketch_accuracy_sampled, 0.0, True, None),
+        ("d13_sampled (fixed 200-doc hash slice)", d13_sketch_accuracy_sampled, 0.0, True, None),
     ):
         ts = list(prior[0]) if prior else []
         rows = list(prior[1]) if prior else []
