@@ -133,6 +133,9 @@ EXTENSION = [
     "b10_cbo_stats_reorder",
     "b11_python_datasource_writer",
     "e12_stream_session_metrics",
+    # round 11: paraphrase-level decontamination (broadcast eval batch
+    # + map-side argmax) and the incremental IVF index append
+    "t19_embedding_decontaminate",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

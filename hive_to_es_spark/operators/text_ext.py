@@ -1404,3 +1404,115 @@ def t18_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_T18_TOP)
     )
+
+
+# t19 — paraphrase-level benchmark decontamination (round 11,
+# r10-verdict task 4). t9/t14 catch EXACT n-gram overlap with the
+# eval set; a paraphrased eval question shares no 3-gram yet still
+# leaks the benchmark. The standard second layer scores every corpus
+# document's max embedding cosine against the eval-set embeddings and
+# maps it to the same release actions t14 uses. The fixture's
+# embeddings are 1:1 with documents (vec_id == doc_id), so the
+# per-vector decision IS the per-document decision.
+#
+# Thresholds are calibrated to the fixture's real cosine geometry
+# (no planted paraphrase pairs exist; max eval-cosine spans ~0.30-0.60
+# across SFs): >= 0.45 'drop', >= 0.38 'review', else 'keep' — every
+# tier is non-empty at sf0.01 AND sf0.1 (asserted in tests, so the
+# policy layer can never verify vacuously). Decisions happen in
+# integer MICRO-UNITS (round(cos*1e6) as BIGINT, the s14 rule): the
+# tier compare and the nearest-neighbor argmax are pure-integer on
+# both engines, so a float near-tie can never split a bucket or flip
+# the reported neighbor cross-engine.
+_T19_EVAL_MOD = 20
+_T19_EVAL_REM = 7
+_T19_DROP_U = 450_000
+_T19_REVIEW_U = 380_000
+
+_T19_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS eval_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id % {_T19_EVAL_MOD} = {_T19_EVAL_REM}
+),
+c AS (
+  SELECT vec_id AS doc_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings WHERE vec_id % {_T19_EVAL_MOD} <> {_T19_EVAL_REM}
+),
+pairs AS (
+  SELECT doc_id, eval_id,
+         CAST(round(list_cosine_similarity(ev, qv) * 1000000) AS BIGINT) AS score_u
+  FROM c CROSS JOIN q
+),
+best AS (
+  SELECT doc_id, eval_id, score_u,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_u DESC, eval_id ASC) AS rn
+  FROM pairs
+)
+SELECT doc_id, eval_id AS nearest_eval_id, score_u AS max_cos_u,
+       CASE WHEN score_u >= {_T19_DROP_U} THEN 'drop'
+            WHEN score_u >= {_T19_REVIEW_U} THEN 'review'
+            ELSE 'keep' END AS action
+FROM best WHERE rn = 1
+"""
+
+
+@register("t19_embedding_decontaminate", _T19_ORACLE)
+def t19_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine benchmark decontamination: for every corpus
+    document, the maximum cosine similarity against any held-out
+    eval-set embedding (split: vec_id % 20 == 7), the nearest eval id,
+    and the release action — the paraphrase-level layer that runs
+    AFTER t9/t14's exact-overlap gates in a real decontamination
+    pipeline.
+
+    Scale shape is s7's broadcast query-batch scan: the eval set is a
+    bounded serving batch (thousands of rows at any corpus size), so
+    it BROADCASTS and the corpus is read exactly once — cost is
+    O(|corpus| x |eval|) flops but |corpus| x 1 I/O, embarrassingly
+    parallel, zero pair shuffle. The per-document argmax is a
+    groupBy max(struct(score_u, -eval_id)) — lexicographic struct max
+    = highest score then lowest eval id, computed with MAP-SIDE
+    partial aggregation, so only |corpus| best-so-far rows ever reach
+    the exchange (a window over the pair stream would shuffle all
+    |corpus| x |eval| rows). Tier boundaries and the argmax compare in
+    integer micro-units on both engines (s14's decision-grade rule)."""
+    from hive_to_es_spark.operators.similarity import _dbl, _dot, _norm
+
+    e = load_tables(spark, sf_dir).embeddings
+    is_eval = F.col("vec_id") % _T19_EVAL_MOD == _T19_EVAL_REM
+    q = e.filter(is_eval).select(
+        F.col("vec_id").alias("eval_id"),
+        _dbl("embedding").alias("qv"),
+        _norm(_dbl("embedding")).alias("nq"),
+    )
+    c = e.filter(~is_eval).select(
+        F.col("vec_id").alias("doc_id"),
+        _dbl("embedding").alias("ev"),
+        _norm(_dbl("embedding")).alias("nc"),
+    )
+    cos = _dot(F.col("ev"), F.col("qv")) / (F.col("nc") * F.col("nq"))
+    score_u = F.round(cos * 1_000_000).cast("bigint")
+    best = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.struct(
+                score_u.alias("s"), (-F.col("eval_id")).alias("neg_id")
+            ).alias("cand"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("cand").alias("m"))
+    )
+    max_u = F.col("m.s")
+    return best.select(
+        "doc_id",
+        (-F.col("m.neg_id")).alias("nearest_eval_id"),
+        max_u.alias("max_cos_u"),
+        F.when(max_u >= _T19_DROP_U, "drop")
+        .when(max_u >= _T19_REVIEW_U, "review")
+        .otherwise("keep")
+        .alias("action"),
+    )

@@ -894,3 +894,16 @@ def test_b10_cbo_reorders_join_under_stats(spark, sf_dir):
     assert off[0] == "lineitem", off  # syntactic order survives
     assert on[-1] == "lineitem", on  # fact joins last under stats
     assert on != off, (on, off)
+
+
+def test_t19_broadcasts_eval_and_partial_argmax(spark, sf_dir):
+    """t19's eval embeddings must BROADCAST (the corpus scan is read
+    once, zero pair shuffle) and the per-document argmax must be a
+    map-side partial max(struct) — only |corpus| best-so-far rows may
+    reach the one hash Exchange. If the groupBy max(struct) ever
+    regresses to a window over the pair stream, the partial_max
+    disappears and |corpus| x |eval| rows shuffle."""
+    plan = _simple_plan(spark, sf_dir, "t19_embedding_decontaminate")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_max" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -90,7 +90,7 @@ EXPECTED_KEYS = {
     "t9_decontaminate", "t10_pii_redact", "t11_repetition_filter",
     "t12_blocklist_filter", "t13_line_dedup", "t14_contamination_score",
     "t15_bigram_lm_score", "t16_bpe_train", "t17_bpe_encode",
-    "t18_repeated_passages",
+    "t18_repeated_passages", "t19_embedding_decontaminate",
     # UDF surface
     "g1_scalar_pandas_udf", "g2_grouped_map", "g3_grouped_agg_udaf", "g4_udtf",
     "g5_arrow_batch_map", "g6_cogrouped_asof", "g7_scalar_iter_udf",

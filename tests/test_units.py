@@ -2195,3 +2195,41 @@ def test_s16_serving_candidates_come_from_probed_cells_only(spark, sf_dir):
         assert len(cells) <= 2  # nprobe = 2
         sims = [r.cos_sim for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_t19_decontaminate_matches_python_model(spark, sf_dir):
+    """t19 vs a numpy replay of the paraphrase-decontamination
+    contract (eval = vec_id % 20 == 7, micro-unit argmax with lowest-
+    eval-id tie-break, 450k/380k tier bounds). Non-vacuity: all three
+    actions occur at every fixture SF (thresholds were calibrated to
+    the fixture's real cosine geometry — this pin is what keeps a
+    fixture regen from silently making the policy layer vacuous)."""
+    import numpy as np
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = load_tables(spark, sf_dir).embeddings.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    eval_ids = sorted(i for i in vecs if i % 20 == 7)
+    expect = {}
+    for i, v in vecs.items():
+        if i % 20 == 7:
+            continue
+        best = None
+        for e in eval_ids:
+            q = vecs[e]
+            cos = float(v @ q) / (np.linalg.norm(v) * np.linalg.norm(q))
+            u = int(np.round(cos * 1_000_000))
+            if best is None or u > best[0]:
+                best = (u, e)  # eval_ids ascending => first max wins ties
+        u, e = best
+        action = "drop" if u >= 450_000 else "review" if u >= 380_000 else "keep"
+        expect[i] = (e, u, action)
+    got = {
+        r.doc_id: (r.nearest_eval_id, r.max_cos_u, r.action)
+        for r in queries()["t19_embedding_decontaminate"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    actions = {a for _, _, a in got.values()}
+    assert actions == {"keep", "review", "drop"}, f"buckets unexercised: {actions}"

@@ -185,6 +185,7 @@ OPS = {
     # (s12/s13's class); index build is the linear term.
     "s16_ann_ivf_persisted": (4.0, "index build linear; serving candidates = probed-cell occupancy x queries, both k-fold under offset-id scaling"),
     "t18_repeated_passages": (2.0, "one explode + map-combined gram census + top-20 TakeOrdered; no pair stream, linear in token mass"),
+    "t19_embedding_decontaminate": (1.0, "eval batch broadcast (fixed size), corpus scanned once; per-doc argmax is a map-side partial max(struct) — linear in corpus"),
     "e11_stream_neardup_ingest": (4.0, "whole-corpus banded candidates over replicated copies are k² (d11's class); signatures + verify ride the candidate stream"),
     # round 10: s17's exact filtered scoring is |eligible| x |queries|
     # and BOTH grow k-fold under offset-id scaling (s12/s16's class);
