@@ -2233,3 +2233,56 @@ def test_t19_decontaminate_matches_python_model(spark, sf_dir):
     assert got == expect
     actions = {a for _, _, a in got.values()}
     assert actions == {"keep", "review", "drop"}, f"buckets unexercised: {actions}"
+
+
+def test_s18_drift_report_matches_replay_and_is_nonvacuous(spark, sf_dir):
+    """s18's drift report vs a numpy replay of the maintenance
+    contract: centroids = per-label means over the BASE corpus only
+    (the codebook is immutable on append), every corpus vector
+    assigned to its nearest centroid (label tiebreak), per-cell
+    built/delta/total counts, integer-ppm growth, 28% flag. built_n
+    matching the base-only replay IS the no-read-own-writes proof —
+    a lazy re-read of the inverted dir after the append would fold
+    the delta rows into built_n and zero out every growth figure.
+    Non-vacuity: flagged AND unflagged cells both exist."""
+    import numpy as np
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+    from hive_to_es_spark.registry import queries
+
+    queries()["s18_ivf_index_maintain"](spark, sf_dir).collect()  # runs build+append
+    drift = {
+        r.bucket: (r.built_n, r.delta_n, r.total_n, r.growth_ppm, r.recluster)
+        for r in spark.read.parquet(
+            dataset_tmp_path("s18_ivf_maintain", sf_dir) + "/drift"
+        ).collect()
+    }
+    rows = load_tables(spark, sf_dir).embeddings.select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    base = [(r.vec_id, np.asarray(r.embedding, np.float64), r.label)
+            for r in rows if r.vec_id % 50 != 0 and r.vec_id % 5 != 4]
+    delta = [(r.vec_id, np.asarray(r.embedding, np.float64))
+             for r in rows if r.vec_id % 50 != 0 and r.vec_id % 5 == 4]
+    labels = sorted({l for _, _, l in base})
+    cents = {
+        l: np.mean([v for _, v, ll in base if ll == l], axis=0) for l in labels
+    }
+
+    def assign(v):
+        return min(labels, key=lambda l: (float(np.linalg.norm(v - cents[l])), l))
+
+    built, grew = {}, {}
+    for _, v, _ in base:
+        built[assign(v)] = built.get(assign(v), 0) + 1
+    for _, v in delta:
+        grew[assign(v)] = grew.get(assign(v), 0) + 1
+    expect = {}
+    for l in labels:
+        b, d = built.get(l, 0), grew.get(l, 0)
+        ppm = d * 1_000_000 // b
+        expect[l] = (b, d, b + d, ppm, ppm >= 280_000)
+    assert drift == expect
+    flags = {f for _, _, _, _, f in drift.values()}
+    assert flags == {True, False}, f"drift flag vacuous: {flags}"
