@@ -137,6 +137,7 @@ EXTENSION = [
     # + map-side argmax) and the incremental IVF index append
     "t19_embedding_decontaminate",
     "s18_ivf_index_maintain",
+    "s19_ivf_hot_cell_split",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,8 +190,11 @@ EAGER_BUILD = {
     "b10_cbo_stats_reorder",
     "b11_python_datasource_writer",
     # round 11: s18 builds the base index, appends the delta and
-    # writes the drift report at build time
+    # writes the drift report at build time; s19 writes nothing but
+    # its heavy stages are shuffles repeated collect() would reuse
+    # (the d10 pitfall)
     "s18_ivf_index_maintain",
+    "s19_ivf_hot_cell_split",
 }
 
 

@@ -1905,3 +1905,248 @@ def s18_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "vec_id", "cos_sim")
     )
+
+
+# s19 — HOT-CELL SPLIT: the re-cluster step s18's drift report
+# triggers, as a one-shot plan (round 11; s16 build → s17 filtered
+# serve → s18 incremental append → s19 local re-cluster completes the
+# index-lifecycle ladder). A full codebook rebuild — the operation s18
+# exists to defer — re-trains EVERY cell and invalidates EVERY
+# persisted assignment; the production move when the drift report
+# flags a few hot cells is LOCAL: split only the flagged cells, leave
+# every other cell's centroid and membership bytes untouched.
+#
+# Split rule (deterministic, single-pass — no iterative k-means):
+# a flagged cell's two subcentroids are the mean of its BASE-epoch
+# members and the mean of its DELTA-epoch members — the drift
+# DIRECTION becomes the new centroid. Each member then joins the
+# nearer subcentroid (distance tie → lower new label). New label
+# space: 2*cell for kept/base-side cells, 2*cell+1 for delta-side
+# subcells — disjoint by construction. Queries are served from the
+# split index (nprobe=2, top-3).
+_S19_GROWTH_PPM = 280_000  # same trigger as s18's drift report
+
+_S19_ORACLE = """
+WITH base AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings WHERE vec_id % 50 <> 0 AND vec_id % 5 <> 4
+),
+corpus AS (
+  SELECT vec_id, (vec_id % 5 = 4) AS is_delta,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings WHERE vec_id % 50 <> 0
+),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+comp AS (
+  SELECT label, j, avg(ev[j]) AS cv
+  FROM base CROSS JOIN generate_series(1, 64) t(j) GROUP BY label, j
+),
+codebook AS (
+  SELECT label AS c_label, list(cv ORDER BY j) AS cvec FROM comp GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, is_delta, ev, c_label AS cell FROM (
+    SELECT corpus.*, cb.c_label,
+           row_number() OVER (PARTITION BY corpus.vec_id
+                              ORDER BY list_distance(corpus.ev, cb.cvec) ASC,
+                                       cb.c_label ASC) AS rn
+    FROM corpus CROSS JOIN codebook cb
+  ) WHERE rn = 1
+),
+occ AS (
+  SELECT cell, count(*) FILTER (NOT is_delta) AS built_n,
+         count(*) FILTER (is_delta) AS delta_n
+  FROM assigned GROUP BY cell
+),
+flagged AS (SELECT cell FROM occ WHERE (delta_n * 1000000) // built_n >= 280000),
+sub_comp AS (
+  SELECT a.cell, a.is_delta, j, avg(ev[j]) AS cv
+  FROM assigned a JOIN flagged f ON a.cell = f.cell
+  CROSS JOIN generate_series(1, 64) t(j)
+  GROUP BY a.cell, a.is_delta, j
+),
+sub_cb AS (
+  SELECT 2 * cell + CASE WHEN is_delta THEN 1 ELSE 0 END AS c_label,
+         list(cv ORDER BY j) AS cvec
+  FROM sub_comp GROUP BY cell, is_delta
+),
+keep_cb AS (
+  SELECT 2 * c_label AS c_label, cvec FROM codebook
+  WHERE c_label NOT IN (SELECT cell FROM flagged)
+),
+new_cb AS (SELECT * FROM sub_cb UNION ALL SELECT * FROM keep_cb),
+reassigned AS (
+  SELECT vec_id, ev, c_label AS bucket FROM (
+    SELECT a.vec_id, a.ev, n.c_label,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY list_distance(a.ev, n.cvec) ASC,
+                                       n.c_label ASC) AS rn
+    FROM assigned a JOIN flagged f ON a.cell = f.cell
+    JOIN new_cb n ON n.c_label IN (2 * a.cell, 2 * a.cell + 1)
+  ) WHERE rn = 1
+),
+final_assign AS (
+  SELECT vec_id, ev, bucket FROM reassigned
+  UNION ALL
+  SELECT vec_id, ev, 2 * cell AS bucket FROM assigned
+  WHERE cell NOT IN (SELECT cell FROM flagged)
+),
+qcells AS (
+  SELECT query_id, qv, c_label AS bucket FROM (
+    SELECT q.query_id, q.qv, n.c_label,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_distance(q.qv, n.cvec) ASC,
+                                       n.c_label ASC) AS rn
+    FROM q CROSS JOIN new_cb n
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT qc.query_id, fa.vec_id,
+         round(list_cosine_similarity(fa.ev, qc.qv), 6) AS cos_sim
+  FROM qcells qc JOIN final_assign fa ON fa.bucket = qc.bucket
+)
+SELECT query_id, vec_id, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM pairs
+) WHERE rn <= 3
+"""
+
+
+@register("s19_ivf_hot_cell_split", _S19_ORACLE)
+def s19_ivf_hot_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local re-cluster of drift-flagged IVF cells: recompute s18's
+    growth flags (cells whose delta-epoch occupancy grew >= 28% over
+    build), split ONLY those cells into two subcells seeded by the
+    base-member mean and the delta-member mean, re-assign only the
+    flagged cells' members to the nearer subcentroid, keep every
+    unflagged cell's centroid and membership untouched, then serve the
+    query batch from the split index (nprobe=2, top-3 — s16's serve
+    contract).
+
+    Why local: a full rebuild re-trains every centroid and
+    invalidates every persisted inverted-list row — O(corpus) vector
+    IO. The split touches only the flagged cells' members
+    (re-assignment candidates = 2 subcentroids per member, a
+    broadcast probe), writes only those cells' rows, and leaves the
+    rest of the index bytes alone — O(hot cells) work no matter how
+    big the corpus is. The label space doubles (2*cell / 2*cell+1) so
+    split and kept cells can never collide without renumbering the
+    survivors.
+
+    Determinism: every decision in the chain — cell assignment,
+    growth flag (integer ppm), subcentroid choice, query probes,
+    final top-3 — breaks ties by label/vec_id exactly as the rest of
+    the s-family; the oracle replays the whole split in one SQL
+    statement and the hash gate proves both engines produce the
+    identical post-split index. Tests pin non-vacuity: flagged AND
+    unflagged cells exist and every subcell pair lands members on
+    both sides at both fixture SFs."""
+    e = load_tables(spark, sf_dir).embeddings
+    not_query = F.col("vec_id") % 50 != 0
+    base = e.filter(not_query & (F.col("vec_id") % 5 != 4))
+    cb = _ivf_codebook(base)
+    corpus_vecs = e.filter(not_query).select("vec_id", _dbl("embedding").alias("evec"))
+    assigned = (
+        _rank_cells(corpus_vecs, cb)
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "evec",
+            F.col("c_label").alias("cell"),
+            (F.col("vec_id") % 5 == 4).alias("is_delta"),
+        )
+    )
+    occ = assigned.groupBy("cell").agg(
+        F.count(F.when(~F.col("is_delta"), 1)).cast("bigint").alias("built_n"),
+        F.count(F.when(F.col("is_delta"), 1)).cast("bigint").alias("delta_n"),
+    )
+    flagged = occ.filter(
+        F.expr("(delta_n * 1000000) DIV built_n") >= _S19_GROWTH_PPM
+    ).select("cell")
+    flg_members = assigned.join(F.broadcast(flagged), "cell")
+    # subcentroids: per-(cell, epoch-side) dimension means
+    sub_cb = (
+        flg_members.select(
+            "cell", "is_delta", F.posexplode(F.col("evec")).alias("pos0", "v")
+        )
+        .groupBy("cell", "is_delta", "pos0")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("cell", "is_delta")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda x: x.cv
+            ).alias("cvec")
+        )
+        .select(
+            (2 * F.col("cell") + F.col("is_delta").cast("int")).alias("c_label"),
+            "cvec",
+        )
+    )
+    keep_cb = cb.join(
+        flagged, cb.c_label == flagged.cell, "left_anti"
+    ).select((2 * F.col("c_label")).alias("c_label"), "cvec")
+    new_cb = sub_cb.unionByName(keep_cb)
+    # re-assign ONLY the flagged cells' members: 2 subcentroid probes
+    # per member, broadcast — never a shuffle of vectors
+    sub_dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("evec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w_sub = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("c_label").asc()
+    )
+    reassigned = (
+        flg_members.join(
+            F.broadcast(new_cb),
+            (F.col("c_label") == 2 * F.col("cell"))
+            | (F.col("c_label") == 2 * F.col("cell") + 1),
+        )
+        .select("vec_id", "evec", "c_label", sub_dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w_sub))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "evec", F.col("c_label").alias("bucket"))
+    )
+    final_assign = reassigned.unionByName(
+        assigned.join(flagged, "cell", "left_anti").select(
+            "vec_id", "evec", (2 * F.col("cell")).alias("bucket")
+        )
+    )
+    # serve from the split index
+    qvecs = e.filter(F.col("vec_id") % 50 == 0).select(
+        "vec_id", _dbl("embedding").alias("evec")
+    )
+    qcells = (
+        _rank_cells(qvecs, new_cb)
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("evec").alias("qv"),
+            F.col("c_label").alias("bucket"),
+        )
+    )
+    scored = final_assign.join(F.broadcast(qcells), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("evec"), F.col("qv"))
+            / (_norm(F.col("evec")) * _norm(F.col("qv"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "cos_sim")
+    )

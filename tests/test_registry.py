@@ -84,7 +84,7 @@ EXPECTED_KEYS = {
     "s8_knn_quantized", "s9_pairwise_topk_lsh", "s10_ann_multiprobe",
     "s11_ann_ivf_nprobe", "s12_recall_report", "s13_two_stage_rerank",
     "s14_mmr_rerank", "s15_ann_pq", "s16_ann_ivf_persisted",
-    "s17_filtered_ann", "s18_ivf_index_maintain",
+    "s17_filtered_ann", "s18_ivf_index_maintain", "s19_ivf_hot_cell_split",
     "t4_quality_score", "t5_token_count_bpe",
     "t6_fingerprint", "t7_langid_ngram", "t8_unigram_lm_score",
     "t9_decontaminate", "t10_pii_redact", "t11_repetition_filter",

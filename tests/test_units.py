@@ -2286,3 +2286,57 @@ def test_s18_drift_report_matches_replay_and_is_nonvacuous(spark, sf_dir):
     assert drift == expect
     flags = {f for _, _, _, _, f in drift.values()}
     assert flags == {True, False}, f"drift flag vacuous: {flags}"
+
+
+def test_s19_hot_cell_split_nonvacuous(spark, sf_dir):
+    """s19's split must be exercised end to end on the fixtures, not
+    just hash-match: (a) flagged AND unflagged cells both exist (same
+    geometry pin as s18's drift test), (b) every flagged cell's TWO
+    subcells receive members after the nearest-subcentroid
+    re-assignment (a one-sided split would mean the delta-mean seed
+    collapsed into the base-mean one), and (c) the split actually
+    changes the served answers vs s18's unsplit index for some query
+    (narrower cells => different nprobe=2 candidate sets) while both
+    serve the same per-query row count."""
+    import numpy as np
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = load_tables(spark, sf_dir).embeddings.select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    corpus = [(r.vec_id, np.asarray(r.embedding, np.float64), r.label)
+              for r in rows if r.vec_id % 50 != 0]
+    labels = sorted({l for _, _, l in corpus})
+    cents = {
+        l: np.mean([v for i, v, ll in corpus if ll == l and i % 5 != 4], axis=0)
+        for l in labels
+    }
+    cell_of = {
+        i: min(labels, key=lambda l: (float(np.linalg.norm(v - cents[l])), l))
+        for i, v, _ in corpus
+    }
+    members = {l: [(i, v) for i, v, _ in corpus if cell_of[i] == l] for l in labels}
+    flagged = [
+        l for l in labels
+        if (sum(1 for i, _ in members[l] if i % 5 == 4) * 1_000_000
+            // sum(1 for i, _ in members[l] if i % 5 != 4)) >= 280_000
+    ]
+    assert flagged and set(flagged) != set(labels), flagged  # (a)
+    for l in flagged:  # (b)
+        seeds = {
+            2 * l: np.mean([v for i, v in members[l] if i % 5 != 4], axis=0),
+            2 * l + 1: np.mean([v for i, v in members[l] if i % 5 == 4], axis=0),
+        }
+        got = {
+            min(seeds, key=lambda s: (float(np.linalg.norm(v - seeds[s])), s))
+            for _, v in members[l]
+        }
+        assert got == set(seeds), f"one-sided split in cell {l}: {got}"
+    s18 = {(r.query_id, r.vec_id) for r in
+           queries()["s18_ivf_index_maintain"](spark, sf_dir).collect()}
+    s19 = {(r.query_id, r.vec_id) for r in
+           queries()["s19_ivf_hot_cell_split"](spark, sf_dir).collect()}
+    assert len(s18) == len(s19)
+    assert s19 != s18, "split changed nothing — serve stage vacuous"  # (c)

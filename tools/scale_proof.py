@@ -192,6 +192,7 @@ OPS = {
     # b10/b11/e12 are linear scans/joins/writes.
     "s17_filtered_ann": (4.0, "index build linear; exact filtered scoring = eligible x queries, both k-fold under offset-id scaling"),
     "s18_ivf_index_maintain": (4.0, "base build + delta assign linear; serve = probed-cell occupancy x queries, both k-fold under offset-id scaling"),
+    "s19_ivf_hot_cell_split": (4.0, "flag + split work linear in flagged-cell mass (2 broadcast probes/member); serve = split-cell occupancy x queries"),
     "b10_cbo_stats_reorder": (2.0, "ANALYZE scans + the CBO-reordered 3-table join; fact joins last against a filtered build side, linear"),
     "b11_python_datasource_writer": (2.0, "Arrow-batched staged write + |tasks| commit renames + read-back aggregate, linear in rows"),
     "e12_stream_session_metrics": (2.0, "session-window agg over one user shuffle; per-user rows grow k-fold (events scale with user_id unchanged)"),
@@ -233,8 +234,11 @@ EAGER_BUILD = {
     "b10_cbo_stats_reorder",
     "b11_python_datasource_writer",
     # round 11: s18 builds the base index, appends the delta and
-    # writes the drift report at build time
+    # writes the drift report at build time; s19 writes nothing but
+    # its heavy stages are shuffles repeated collect() would reuse
+    # (the d10 pitfall)
     "s18_ivf_index_maintain",
+    "s19_ivf_hot_cell_split",
 }
 
 # Ops whose OUTPUT is corpus-sized (d13 emits the ENTIRE candidate
