@@ -76,9 +76,13 @@ def a1_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_base_price_cents",
         "sum_disc_price_cents",
         "sum_charge_cents",
-        F.expr("sum_qty_cents * 10000 DIV count_order").alias("avg_qty_micro"),
-        F.expr("sum_base_price_cents * 10000 DIV count_order").alias("avg_price_micro"),
-        F.expr("_disc_cents * 10000 DIV count_order").alias("avg_disc_micro"),
+        # DECIMAL(38,0) widening on every unbounded-sum multiply: bigint
+        # cents * 10^4 wraps at ~9.2e14 cents (~$9.2T) per group, reached
+        # near TPC-H SF ~1e5 (round-11 review); the quotient is bounded
+        # (an average) so DIV's bigint result is safe
+        F.expr("CAST(sum_qty_cents AS DECIMAL(38,0)) * 10000 DIV count_order").alias("avg_qty_micro"),
+        F.expr("CAST(sum_base_price_cents AS DECIMAL(38,0)) * 10000 DIV count_order").alias("avg_price_micro"),
+        F.expr("CAST(_disc_cents AS DECIMAL(38,0)) * 10000 DIV count_order").alias("avg_disc_micro"),
         "count_order",
     )
 
@@ -132,7 +136,7 @@ def a3_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
         "total_cents",
-        F.expr("total_cents * 10000 DIV n").alias("avg_price_micro"),
+        F.expr("CAST(total_cents AS DECIMAL(38,0)) * 10000 DIV n").alias("avg_price_micro"),
     )
 
 
@@ -383,7 +387,7 @@ def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "measure",
             "n",
             "total_cents",
-            F.expr("total_cents * 10000 DIV n").alias("mean_micro"),
+            F.expr("CAST(total_cents AS DECIMAL(38,0)) * 10000 DIV n").alias("mean_micro"),
         )
     )
 

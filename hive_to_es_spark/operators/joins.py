@@ -570,7 +570,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(t.part, li.l_partkey == t.part.p_partkey)
         .agg(F.sum(promo).alias("_p"), sum_cents(rev).alias("_r"))
-        .select(F.expr("_p * 1000000 DIV _r").alias("promo_share_ppm"))
+        # DECIMAL(38,0) widening: bigint cents * 10^6 wraps at ~9.2e12
+        # cents (~$92B) of month revenue (round-11 review); share <= 1e6
+        # so the DIV result stays bigint-safe
+        .select(F.expr("CAST(_p AS DECIMAL(38,0)) * 1000000 DIV _r").alias("promo_share_ppm"))
     )
 
 

@@ -1839,6 +1839,30 @@ def b10_cbo_stats_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # abort() deletes the staging dir — so a failed job leaves ZERO
 # committed files (the abort-path test proves it). This is the
 # interface an ES-class bulk sink rides when no JVM connector exists.
+def _b11_committed_rows_impl(path: str) -> int:
+    """Authoritative committed-row count for a pyatomic target: the
+    sum of the per-job _SUCCESS.<job> manifests. The bare _SUCCESS
+    file is a marker whose embedded total is advisory only — under
+    concurrent appends the last writer may persist a stale sum
+    (round-11 review), but the manifest set is append-only and always
+    complete, so derive the count HERE, at read time."""
+    import glob as _glob
+    import os as _os
+
+    return sum(
+        int(open(m).read() or 0)
+        for m in _glob.glob(_os.path.join(path, "_SUCCESS.*"))
+    )
+
+
+def b11_committed_rows(path: str) -> int:
+    """Public read-side companion to the pyatomic sink: see
+    _b11_committed_rows_impl (kept separate so the sink's inner class
+    can call the impl without importing the module namespace into the
+    datasource pickle)."""
+    return _b11_committed_rows_impl(path)
+
+
 def _b11_register_sink(spark: SparkSession) -> None:
     from dataclasses import dataclass
 
@@ -1937,23 +1961,21 @@ def _b11_register_sink(spark: SparkSession) -> None:
                 os.rmdir(os.path.join(self.path, "_staging"))
             except OSError:
                 pass
-            # _SUCCESS accumulates across append jobs: each job writes
-            # its own manifest, the headline count is their sum — a
-            # second append no longer clobbers the first job's count.
-            # (Two committers racing on the re-scan can briefly write
-            # a count missing the other's manifest; the per-job
-            # manifests stay authoritative and any later commit
-            # re-derives the full sum.)
+            # Each job writes its own _SUCCESS.<job> manifest; the
+            # SUM of the manifests is the committed row count and
+            # b11_committed_rows() below is the authoritative reader.
+            # The bare _SUCCESS file is a completion MARKER plus an
+            # advisory total: two committers racing the re-scan can
+            # each persist a total missing the other's manifest, and
+            # with no later commit that stale number would stand
+            # forever (round-11 review) — which is why no consumer may
+            # read the count from _SUCCESS itself.
             with open(
                 os.path.join(self.path, f"_SUCCESS.{self.job_id}"), "w"
             ) as f:
                 f.write(str(n))
-            total = sum(
-                int(open(m).read() or 0)
-                for m in glob.glob(os.path.join(self.path, "_SUCCESS.*"))
-            )
             with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-                f.write(str(total))
+                f.write(str(_b11_committed_rows_impl(self.path)))
 
         def abort(self, messages):
             import os

@@ -423,23 +423,90 @@ LIMIT 5
 """
 
 
-def _ivf_codebook(e: DataFrame) -> DataFrame:
-    """Per-label centroid codebook (c_label, cvec) via the s3
-    posexplode shape — the trainable (and, for s16, the PERSISTABLE)
-    artifact of the IVF family."""
+def _centroids(df: DataFrame, group_cols: list[str], vec_col: str = "evec") -> DataFrame:
+    """Per-group dimension-mean centroids (group_cols..., cvec) via
+    the s3 posexplode shape — the ONE centroid aggregation for the IVF
+    family (codebook build per label, s19's subcentroids per
+    (cell, epoch side))."""
     comp = (
-        e.select("label", F.posexplode(_dbl("embedding")).alias("pos0", "v"))
-        .groupBy("label", "pos0")
+        df.select(*group_cols, F.posexplode(F.col(vec_col)).alias("pos0", "v"))
+        .groupBy(*group_cols, "pos0")
         .agg(F.avg("v").alias("cv"))
     )
-    return (
-        comp.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda x: x.cv
-            ).alias("cvec")
+    return comp.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda x: x.cv
+        ).alias("cvec")
+    )
+
+
+def _ivf_codebook(e: DataFrame) -> DataFrame:
+    """Per-label centroid codebook (c_label, cvec) — the trainable
+    (and, for s16, the PERSISTABLE) artifact of the IVF family."""
+    return _centroids(
+        e.select("label", _dbl("embedding").alias("evec")), ["label"]
+    ).select(F.col("label").alias("c_label"), "cvec")
+
+
+def _ivf_serve(
+    inverted: DataFrame,
+    cvecs: DataFrame,
+    qvecs: DataFrame,
+    codebook: DataFrame,
+    nprobe: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Serve a query batch from an IVF index — the ONE serve pipeline
+    shared by s16 (persisted index), s18 (appended index) and s19
+    (split index), factored so the s-family tie-break contract
+    (distance ties by label, result ties by rounded cos DESC then
+    vec_id ASC) lives in exactly one place (round-11 review). Rank
+    queries against the broadcast codebook, probe `nprobe` cells,
+    pull candidate ids from `inverted` (vec_id, bucket), fetch + exact
+    cosine ONLY those vectors from `cvecs` (vec_id, evec), top-k per
+    query."""
+    qcells = (
+        _rank_cells(qvecs, codebook)
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("evec").alias("qv"),
+            F.col("c_label").alias("bucket"),
         )
-        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    cand = inverted.join(F.broadcast(qcells), "bucket").select(
+        "query_id", "qv", "vec_id"
+    )
+    scored = cand.join(cvecs, "vec_id").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("evec"), F.col("qv"))
+            / (_norm(F.col("evec")) * _norm(F.col("qv"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos_sim")
+    )
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Euclidean distance between two array<double> columns — the ONE
+    definition of the IVF family's assignment metric (round-11 review:
+    s19's subcentroid re-assignment must use bit-for-bit the same
+    expression as _rank_cells or the split contract can drift)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     )
 
 
@@ -450,13 +517,7 @@ def _rank_cells(vecs: DataFrame, codebook: DataFrame) -> DataFrame:
     is the multi-probe set. Factored from the codebook build so a
     LOADED (persisted) codebook can rank query vectors without
     recomputing centroids (s16)."""
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("evec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    dist = _l2(F.col("evec"), F.col("cvec"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("c_label").asc())
     return (
         vecs.crossJoin(F.broadcast(codebook))
@@ -1561,36 +1622,7 @@ def s16_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = e.filter(F.col("vec_id") % 50 == 0).select(
         "vec_id", _dbl("embedding").alias("evec")
     )
-    qcells = (
-        _rank_cells(qvecs, codebook)
-        .filter(F.col("rn") <= 2)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("evec").alias("qv"),
-            F.col("c_label").alias("bucket"),
-        )
-    )
-    cand = inverted.join(F.broadcast(qcells), "bucket").select(
-        "query_id", "qv", "vec_id"
-    )
-    fetched = cand.join(cvecs, "vec_id")
-    scored = fetched.select(
-        "query_id",
-        "vec_id",
-        F.round(
-            _dot(F.col("evec"), F.col("qv"))
-            / (_norm(F.col("evec")) * _norm(F.col("qv"))),
-            6,
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "vec_id", "cos_sim")
-    )
+    return _ivf_serve(inverted, cvecs, qvecs, codebook)
 
 
 # s17 — METADATA-FILTERED vector search over s16's persisted index:
@@ -1834,11 +1866,12 @@ def s18_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_path, inv_path = _ivf_build_index(base, index_dir)
     codebook = spark.read.parquet(cb_path)
     # ---- pin build-time occupancy BEFORE the append (d16's rule)
-    built_occ = (
+    from hive_to_es_spark.functions.lifecycle import materialize
+
+    built_occ = materialize(
         spark.read.parquet(inv_path)
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("built_n"))
-        .localCheckpoint(eager=True)
     )
     # ---- ingest the growth batch: assign to EXISTING cells, append
     delta_vecs = e.filter(not_query & is_delta).select(
@@ -1852,13 +1885,21 @@ def s18_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(inv_path)
     )
     # ---- drift report: occupancy now (fresh read proves the append
-    # landed) vs the pinned build-time occupancy
-    growth = F.expr("(delta_n * 1000000) DIV built_n")
+    # landed) vs the pinned build-time occupancy. LEFT join from the
+    # post-append side + greatest(built_n, 1): a cell populated ONLY
+    # by delta vectors (possible — a base vector's nearest cell need
+    # not be its own label's centroid, so a codebook cell can start
+    # empty) is exactly the fastest-growing cell the report exists to
+    # flag; an inner join would drop it and a bare DIV would throw
+    # under ANSI (round-11 review). built_n=0 => growth_ppm =
+    # delta_n * 1e6 >= the trigger for any non-empty cell.
+    growth = F.expr("(delta_n * 1000000) DIV greatest(built_n, 1)")
     drift = (
         spark.read.parquet(inv_path)
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("total_n"))
-        .join(built_occ, "bucket")
+        .join(built_occ, "bucket", "left")
+        .withColumn("built_n", F.coalesce(F.col("built_n"), F.lit(0).cast("bigint")))
         .withColumn("delta_n", F.col("total_n") - F.col("built_n"))
         .select(
             "bucket",
@@ -1876,35 +1917,7 @@ def s18_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = e.filter(F.col("vec_id") % 50 == 0).select(
         "vec_id", _dbl("embedding").alias("evec")
     )
-    qcells = (
-        _rank_cells(qvecs, codebook)
-        .filter(F.col("rn") <= 2)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("evec").alias("qv"),
-            F.col("c_label").alias("bucket"),
-        )
-    )
-    cand = inverted.join(F.broadcast(qcells), "bucket").select(
-        "query_id", "qv", "vec_id"
-    )
-    scored = cand.join(cvecs, "vec_id").select(
-        "query_id",
-        "vec_id",
-        F.round(
-            _dot(F.col("evec"), F.col("qv"))
-            / (_norm(F.col("evec")) * _norm(F.col("qv"))),
-            6,
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "vec_id", "cos_sim")
-    )
+    return _ivf_serve(inverted, cvecs, qvecs, codebook)
 
 
 # s19 — HOT-CELL SPLIT: the re-cluster step s18's drift report
@@ -1962,7 +1975,7 @@ occ AS (
          count(*) FILTER (is_delta) AS delta_n
   FROM assigned GROUP BY cell
 ),
-flagged AS (SELECT cell FROM occ WHERE (delta_n * 1000000) // built_n >= 280000),
+flagged AS (SELECT cell FROM occ WHERE (delta_n * 1000000) // greatest(built_n, 1) >= 280000),
 sub_comp AS (
   SELECT a.cell, a.is_delta, j, avg(ev[j]) AS cv
   FROM assigned a JOIN flagged f ON a.cell = f.cell
@@ -2066,41 +2079,27 @@ def s19_ivf_hot_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("is_delta"), 1)).cast("bigint").alias("built_n"),
         F.count(F.when(F.col("is_delta"), 1)).cast("bigint").alias("delta_n"),
     )
+    # greatest(built_n, 1): a delta-only cell (built_n=0) must FLAG,
+    # not throw under ANSI DIV-by-zero / silently drop via the
+    # oracle's NULL `// 0` (round-11 review) — mirrored in _S19_ORACLE
     flagged = occ.filter(
-        F.expr("(delta_n * 1000000) DIV built_n") >= _S19_GROWTH_PPM
+        F.expr("(delta_n * 1000000) DIV greatest(built_n, 1)") >= _S19_GROWTH_PPM
     ).select("cell")
     flg_members = assigned.join(F.broadcast(flagged), "cell")
-    # subcentroids: per-(cell, epoch-side) dimension means
-    sub_cb = (
-        flg_members.select(
-            "cell", "is_delta", F.posexplode(F.col("evec")).alias("pos0", "v")
-        )
-        .groupBy("cell", "is_delta", "pos0")
-        .agg(F.avg("v").alias("cv"))
-        .groupBy("cell", "is_delta")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda x: x.cv
-            ).alias("cvec")
-        )
-        .select(
-            (2 * F.col("cell") + F.col("is_delta").cast("int")).alias("c_label"),
-            "cvec",
-        )
+    # subcentroids: per-(cell, epoch-side) dimension means (_centroids
+    # is the family's one centroid aggregation — round-11 review)
+    sub_cb = _centroids(flg_members, ["cell", "is_delta"]).select(
+        (2 * F.col("cell") + F.col("is_delta").cast("int")).alias("c_label"),
+        "cvec",
     )
     keep_cb = cb.join(
         flagged, cb.c_label == flagged.cell, "left_anti"
     ).select((2 * F.col("c_label")).alias("c_label"), "cvec")
     new_cb = sub_cb.unionByName(keep_cb)
     # re-assign ONLY the flagged cells' members: 2 subcentroid probes
-    # per member, broadcast — never a shuffle of vectors
-    sub_dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("evec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # per member, broadcast — never a shuffle of vectors. _l2 is the
+    # same assignment metric _rank_cells uses (one definition).
+    sub_dist = _l2(F.col("evec"), F.col("cvec"))
     w_sub = Window.partitionBy("vec_id").orderBy(
         F.col("d").asc(), F.col("c_label").asc()
     )
@@ -2120,33 +2119,12 @@ def s19_ivf_hot_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "evec", (2 * F.col("cell")).alias("bucket")
         )
     )
-    # serve from the split index
+    # serve from the split index via the family's one serve pipeline
+    # (the id-join fetch prices what a persisted split index would:
+    # the lists store ids, vectors are fetched per candidate)
     qvecs = e.filter(F.col("vec_id") % 50 == 0).select(
         "vec_id", _dbl("embedding").alias("evec")
     )
-    qcells = (
-        _rank_cells(qvecs, new_cb)
-        .filter(F.col("rn") <= 2)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("evec").alias("qv"),
-            F.col("c_label").alias("bucket"),
-        )
-    )
-    scored = final_assign.join(F.broadcast(qcells), "bucket").select(
-        "query_id",
-        "vec_id",
-        F.round(
-            _dot(F.col("evec"), F.col("qv"))
-            / (_norm(F.col("evec")) * _norm(F.col("qv"))),
-            6,
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "vec_id", "cos_sim")
+    return _ivf_serve(
+        final_assign.select("vec_id", "bucket"), corpus_vecs, qvecs, new_cb
     )

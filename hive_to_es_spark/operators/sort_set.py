@@ -503,7 +503,9 @@ def o10_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sumw = weights.agg(F.sum("w").cast("bigint").alias("sw"))
     quota = weights.crossJoin(F.broadcast(sumw)).selectExpr(
-        "lang", "CAST((100 * w * 1000000) DIV (sw * c) AS BIGINT) AS thresh_ppm"
+        # DECIMAL widening: w*1e8 wraps bigint at ~9.2e10 words in one
+        # lang — a 100 TB corpus has ~1e13 (round-11 review)
+        "lang", "CAST(CAST(100 AS DECIMAL(38,0)) * w * 1000000 DIV (CAST(sw AS DECIMAL(38,0)) * c) AS BIGINT) AS thresh_ppm"
     )
     return (
         d.join(F.broadcast(quota), "lang")
@@ -620,7 +622,9 @@ def o12_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     census = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("c"))
     mx = census.agg(F.max("c").cast("bigint").alias("mc"))
     quota = census.crossJoin(F.broadcast(mx)).selectExpr(
-        "lang", "least((mc * 1000000) DIV c, 4000000) AS wppm"
+        # DECIMAL widening: mc*1e6 wraps bigint at ~9.2e12 docs in the
+        # largest lang (round-11 review)
+        "lang", "least(CAST(mc AS DECIMAL(38,0)) * 1000000 DIV c, 4000000) AS wppm"
     )
     n_copies = F.expr("wppm DIV 1000000") + F.when(
         hash_bucket("doc_id", 1_000_000) < F.col("wppm") % 1_000_000, 1

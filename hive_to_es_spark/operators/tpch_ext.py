@@ -486,7 +486,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_year",
-            F.expr("_nat_cents * 1000000 DIV _all_cents").alias("mkt_share_ppm"),
+            # DECIMAL widening (round-11 review): cents * 10^6 wraps at ~$92B
+            F.expr("CAST(_nat_cents AS DECIMAL(38,0)) * 1000000 DIV _all_cents").alias("mkt_share_ppm"),
         )
     )
 
@@ -587,8 +588,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pv.crossJoin(F.broadcast(total))
         # threshold in pure integers: value > 1.4 * tv / np  <=>
-        # value * 10 * np > 14 * tv (positive np) — no float boundary
-        .filter(F.col("part_value_cents") * 10 * F.col("np") > 14 * F.col("tv"))
+        # value * 10 * np > 14 * tv (positive np) — no float boundary;
+        # both products DECIMAL(38,0)-widened: value*10*np scales with
+        # the distinct-part count and wraps bigint well inside the
+        # design range (round-11 review; DuckDB side is HUGEINT-exact)
+        .filter(
+            F.expr("CAST(part_value_cents AS DECIMAL(38,0)) * 10 * np")
+            > F.expr("CAST(14 AS DECIMAL(38,0)) * tv")
+        )
         .select("l_partkey", "part_value_cents")
     )
 

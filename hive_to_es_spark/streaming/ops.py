@@ -161,14 +161,18 @@ def tf_stateful_counters_stream(events: DataFrame) -> DataFrame:
         n, total_cents, last = state.get if state.exists else (0, 0, None)
         for pdf in pdfs:
             n += len(pdf)
-            # exact integer cents (functions/money.py): the fixture
-            # values are 2dp-clean (~1e-9 off the cent grid), so
-            # np.rint's banker's tie rule can never fire and the
-            # per-row cents match SQL round() bit-for-bit
+            # exact integer cents (functions/money.py) with SQL's
+            # HALF-AWAY-FROM-ZERO tie rule (copysign(floor(|x|+.5))),
+            # NOT np.rint's banker's rounding: a value landing exactly
+            # on a half-cent in binary (e.g. 0.125) must round the
+            # same way Spark round()/DuckDB round() do on the batch
+            # and oracle sides (round-11 review; previously guarded
+            # only by the fixture being 2dp-clean)
             import numpy as np
 
+            v = pdf["value"].to_numpy() * 100
             total_cents += int(
-                np.rint(pdf["value"].to_numpy() * 100).astype("int64").sum()
+                np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64").sum()
             )
             mx = pdf["ts"].max()
             last = mx if last is None or mx > last else last
@@ -205,10 +209,17 @@ def tf_stateful_counters_batch(events: DataFrame) -> DataFrame:
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                # exact integer cents (functions/money.py); 2dp-clean
-                # fixture values keep np.rint off its banker's ties
+                # exact integer cents, SQL half-away-from-zero tie
+                # rule — matches the stateful twin (round-11 review)
                 "total_cents": [
-                    int(np.rint(pdf["value"].to_numpy() * 100).astype("int64").sum())
+                    int(
+                        np.copysign(
+                            np.floor(np.abs(pdf["value"].to_numpy() * 100) + 0.5),
+                            pdf["value"].to_numpy(),
+                        )
+                        .astype("int64")
+                        .sum()
+                    )
                 ],
                 "last_ts": [pdf["ts"].max()],
             }

@@ -546,10 +546,17 @@ def test_b11_sink_abort_commits_nothing(spark, tmp_path):
     # jobs and silently destroyed the first job's files)
     df.write.format("pyatomic").option("path", out).mode("append").save()
     assert spark.read.parquet(out).count() == 2000
-    # the _SUCCESS headline count accumulates across append jobs via
-    # per-job _SUCCESS.<job> manifests (round-10 advice: a second
-    # append used to clobber the first job's count). The aborted
-    # job's staging subdir may legally survive (a still-cancelling
-    # task can re-stage after abort's teardown) — underscore dirs are
-    # invisible to readers, so only the committed surface matters.
+    # the committed count accumulates across append jobs via per-job
+    # _SUCCESS.<job> manifests (round-10 advice: a second append used
+    # to clobber the first job's count); b11_committed_rows is the
+    # authoritative read-time reader (round-11 review: the bare
+    # _SUCCESS total is advisory — concurrent committers can race it
+    # stale). Sequential appends keep the advisory file exact too.
+    # The aborted job's staging subdir may legally survive (a
+    # still-cancelling task can re-stage after abort's teardown) —
+    # underscore dirs are invisible to readers, so only the committed
+    # surface matters.
+    from hive_to_es_spark.operators.pipeline_ops import b11_committed_rows
+
+    assert b11_committed_rows(out) == 2000
     assert open(os.path.join(out, "_SUCCESS")).read() == "2000"

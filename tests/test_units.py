@@ -2279,9 +2279,11 @@ def test_s18_drift_report_matches_replay_and_is_nonvacuous(spark, sf_dir):
     for _, v in delta:
         grew[assign(v)] = grew.get(assign(v), 0) + 1
     expect = {}
-    for l in labels:
+    # union of keys + max(b, 1): a delta-only cell must appear in the
+    # report and flag (mirrors the op's LEFT join + greatest rule)
+    for l in sorted(set(built) | set(grew)):
         b, d = built.get(l, 0), grew.get(l, 0)
-        ppm = d * 1_000_000 // b
+        ppm = d * 1_000_000 // max(b, 1)
         expect[l] = (b, d, b + d, ppm, ppm >= 280_000)
     assert drift == expect
     flags = {f for _, _, _, _, f in drift.values()}
