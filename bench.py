@@ -138,6 +138,12 @@ EXTENSION = [
     "t19_embedding_decontaminate",
     "s18_ivf_index_maintain",
     "s19_ivf_hot_cell_split",
+    # round 11 batch 2: cluster-scoped semantic dedup (the heaviest
+    # new pair shape), the census-first corpus quantile gate, and the
+    # stateless streaming decontamination gate (batch twin)
+    "d17_semantic_dedup",
+    "t20_quality_quantile_gate",
+    "e13_stream_decontaminate",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -195,6 +201,9 @@ EAGER_BUILD = {
     # (the d10 pitfall)
     "s18_ivf_index_maintain",
     "s19_ivf_hot_cell_split",
+    # d17's assignment + pair join + dominance reduce are all shuffle
+    # stages a repeated collect() would reuse (the d10 pitfall)
+    "d17_semantic_dedup",
 }
 
 

@@ -1650,3 +1650,157 @@ def d16_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     minhash_band_rows(sh_base).write.mode("overwrite").parquet(index_path)
     return incremental_neardup(spark, docs, incoming, index_path)
+
+
+# ---------------------------------------------------------------------------
+# d17: semantic (cluster-scoped) embedding dedup — the SemDeDup recipe
+# (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus embeddings
+# with the IVF codebook, then WITHIN each cluster drop every vector
+# that has a cosine-near neighbor closer to the cluster centroid,
+# keeping the LEAST-central member of each near-dup neighborhood (the
+# paper's "keep low similarity to centroid" rule — it preserves the
+# cluster's diversity frontier instead of its densest core).
+#
+# How this differs from the rest of the dedup ladder: d5 blocks pairs
+# by the ground-truth label and d6 by a sign-LSH bucket, and both STOP
+# at the pair report; d7 closes pairs into components with an
+# iterative propagation loop. d17 is the one-pass DECISION operator —
+# no closure, no iteration: a vector is dropped iff a dominating
+# neighbor exists (cos >= tau AND nearer to the centroid, id
+# tiebreak). Dominance is a strict total order within a cell
+# (d ASC, vec_id ASC), so exactly the per-neighborhood minimum
+# survives and the decision is independent of evaluation order —
+# what makes the single SQL replay (and the oracle hash gate) exact.
+#
+# Scale shape (100 TB): the cell is the blocking key, so the quadratic
+# term is per-cell pair mass, never the corpus product. The codebook
+# grows with the corpus (the IVF sizing discipline, s16/s18), which
+# bounds |cell| and turns sum(|cell|^2) linear — the same argument
+# d4/d6 enforce for shingle/LSH blocks. One broadcast of the codebook
+# (k rows), one Exchange on vec_id for the assignment window, one
+# Exchange on cell for the pair join; vectors never shuffle twice.
+# ---------------------------------------------------------------------------
+
+_D17_TAU = 0.3
+
+_D17_ORACLE = f"""
+WITH comp AS (
+  SELECT label, j, avg(CAST(embedding[j] AS DOUBLE)) AS cv
+  FROM embeddings CROSS JOIN generate_series(1, 64) t(j)
+  GROUP BY label, j
+),
+codebook AS (
+  SELECT label AS c_label, list(cv ORDER BY j) AS cvec FROM comp GROUP BY label
+),
+dists AS (
+  SELECT e.vec_id, c.c_label,
+         list_distance(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                       c.cvec) AS d,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_distance(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                         c.cvec) ASC,
+           c.c_label ASC) AS rn
+  FROM embeddings e CROSS JOIN codebook c
+),
+assigned AS (
+  SELECT d.vec_id, d.c_label AS cell, d.d,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM dists d JOIN embeddings e ON e.vec_id = d.vec_id
+  WHERE rn = 1
+),
+dominated AS (
+  SELECT b.vec_id AS v,
+         min(a.vec_id) AS partner,
+         arg_min(list_cosine_similarity(a.ev, b.ev), a.vec_id) AS pcos
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE list_cosine_similarity(a.ev, b.ev) >= {_D17_TAU}
+    AND (a.d > b.d OR (a.d = b.d AND a.vec_id < b.vec_id))
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cell,
+       CASE WHEN dm.partner IS NULL THEN 'keep' ELSE 'drop' END AS action,
+       dm.partner,
+       CAST(round(dm.pcos * 1000000) AS BIGINT) AS partner_cos_ppm
+FROM assigned s LEFT JOIN dominated dm ON s.vec_id = dm.v
+"""
+
+
+@register("d17_semantic_dedup", _D17_ORACLE)
+def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup): per-vector keep/drop decision with
+    the dominating neighbor as evidence. See the block comment above
+    for the decision rule and the 100 TB shape. Output: (vec_id, cell,
+    action, partner, partner_cos_ppm) — partner is the minimal-id
+    dominating neighbor of a dropped vector, NULL for keeps."""
+    from hive_to_es_spark.operators.similarity import _ivf_codebook, _l2
+
+    e = load_tables(spark, sf_dir).embeddings
+    codebook = _ivf_codebook(e)
+    vecs = e.select("vec_id", _dbl("embedding").alias("evec"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("c_label").asc()
+    )
+    # assignment KEEPS d (distance to the winning centroid) — it is the
+    # centrality that the dominance rule orders on, which is why this
+    # op cannot reuse _rank_cells (that helper drops d after ranking).
+    assigned = (
+        vecs.crossJoin(F.broadcast(codebook))
+        .select(
+            "vec_id", "evec", "c_label", _l2(F.col("evec"), F.col("cvec")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("c_label").alias("cell"),
+            "d",
+            "evec",
+            _norm(F.col("evec")).alias("nrm"),
+        )
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("u"),
+        F.col("cell").alias("cell_a"),
+        F.col("d").alias("du"),
+        F.col("evec").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("v"),
+        "cell",
+        F.col("d").alias("dv"),
+        F.col("evec").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    # cosine projected ONCE per candidate pair before the threshold
+    # filter (d5's rule), dominance as a residual predicate on the
+    # cell equi-join
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    dominated = (
+        a.join(b, (F.col("cell_a") == F.col("cell")) & (F.col("u") != F.col("v")))
+        .select("u", "v", cos.alias("cos_raw"), "du", "dv")
+        .filter(
+            (F.col("cos_raw") >= _D17_TAU)
+            & (
+                (F.col("du") > F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+            )
+        )
+        # min(struct(u, cos)) = the minimal-id dominator AND its cosine
+        # in one deterministic reduce (u is unique per group)
+        .groupBy("v")
+        .agg(F.min(F.struct("u", "cos_raw")).alias("m"))
+        .select("v", F.col("m.u").alias("partner"), F.col("m.cos_raw").alias("pcos"))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dominated, F.col("vec_id") == F.col("v"), "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("partner").isNull(), "keep").otherwise("drop").alias("action"),
+            "partner",
+            F.round(F.col("pcos") * 1e6).cast("bigint").alias("partner_cos_ppm"),
+        )
+    )

@@ -1516,3 +1516,167 @@ def t19_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("action"),
     )
+
+
+# ---------------------------------------------------------------------------# t20: corpus-relative quality gate — keep the top KEEP_FRAC of the
+# corpus by quality, exact global rank semantics (rank by score DESC,
+# doc_id ASC; keep rank <= ceil(frac * n)).
+#
+# Why a separate key from t4: t4's tiers are ABSOLUTE thresholds; real
+# corpus cleaning (CCNet's percentile buckets, Gopher's rules) sets
+# the bar RELATIVE to the corpus at hand, which needs a global
+# quantile. Two design decisions:
+#
+# SCORE: t4's formula restated in EXACT integer ppm (the s14/a20
+# decision-grade rule). The 6-dp double round diverges between
+# engines on per-doc boundary rows — Spark's round() rounds the
+# double's shortest decimal representation, DuckDB's rounds the
+# binary value, and a raw score landing on a 7th-digit 5 flips
+# (observed on the fixtures: 781817 vs 781818 ppm). t4 never sees
+# this because it only emits group AVERAGES; a per-doc keep/drop
+# decision would. So every term here is bigint: round-half-up of a
+# ratio a/b as (2a + b) DIV (2b) — no doubles anywhere in the
+# decision path.
+#   score_ppm = least(n_tokens * 8000, 400000)            -- length
+#             + 300000 - rnd(punct_len * 300000 / n_chars) -- punct
+#             + least(rnd(stop_n * 1500000 / n_tokens), 300000)
+#
+# PLAN: the naive global row_number is a corpus sort; this computes
+# the identical decision without one:
+#   1. score census: groupBy(score_ppm) -> counts. The score domain
+#      is bounded (0..1e6 ppm), so the census has AT MOST ~1e6 rows
+#      no matter how large the corpus is.
+#   2. one single-partition running sum over the census (bounded by
+#      the domain — the textbook exception to the no-global-window
+#      rule) finds the boundary score t*: the highest score whose
+#      cumulative count reaches quota = ceil(frac * n).
+#   3. every doc with score > t* keeps; the boundary GROUP (one exact
+#      ppm score, bounded tie mass) is ranked by doc_id and keeps
+#      only the remaining quota.
+# The corpus is scanned twice (score + decide) and shuffled only as a
+# map-side-combined census; no corpus-sized sort or window anywhere.
+# ---------------------------------------------------------------------------
+
+_T20_KEEP_FRAC = 0.30
+
+# round-half-up of a/b for non-negative bigints, in pure integer
+# arithmetic: (2a + b) DIV (2b)
+_T20_SCORE_SQL = f"""scores AS (
+  SELECT doc_id,
+         least(len(string_split(text, ' ')) * 8000, 400000)
+         + 300000 - (2 * length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 300000
+                     + n_chars) // (2 * n_chars)
+         + least((2 * len(list_filter(string_split(text, ' '),
+                     w -> list_contains({list(_STOPWORDS)}, w))) * 1500000
+                  + len(string_split(text, ' ')))
+                 // (2 * len(string_split(text, ' '))), 300000) AS score_ppm
+  FROM documents
+)"""
+
+_T20_ORACLE = f"""
+WITH {_T20_SCORE_SQL},
+ranked AS (
+  SELECT doc_id, CAST(score_ppm AS BIGINT) AS score_ppm,
+         row_number() OVER (ORDER BY score_ppm DESC, doc_id ASC) AS rn,
+         count(*) OVER () AS n
+  FROM scores
+)
+SELECT doc_id, score_ppm,
+       CASE WHEN rn <= CAST(ceil({_T20_KEEP_FRAC} * n) AS BIGINT)
+            THEN 'keep' ELSE 'drop' END AS decision
+FROM ranked
+"""
+
+
+def _rnd_div(a, b):
+    """Round-half-up of a/b for non-negative bigint columns as exact
+    integer arithmetic: (2a + b) DIV (2b). The DIV is computed as
+    (n - n % d) / d — after subtracting the exact bigint mod the
+    numerator divides evenly, and IEEE division of two exact doubles
+    with an integer quotient is exact (all terms here are per-DOC
+    magnitudes < 2^53 at any corpus scale), so no floor-of-a-ratio
+    boundary flip can occur (DuckDB's // is exact integer division;
+    this must be too)."""
+    n = 2 * a + b
+    d = 2 * b
+    return ((n - n % d) / d).cast("bigint")
+
+
+@register("t20_quality_quantile_gate", _T20_ORACLE)
+def t20_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate: keep the top 30% by the integer-
+    ppm quality score with exact global-rank semantics, computed
+    census-first so no corpus-sized sort or window appears in the plan
+    (see the block comment). Output: (doc_id, score_ppm, decision)."""
+    d = load_tables(spark, sf_dir).documents
+    tokens = F.split("text", " ")
+    nt = F.size(tokens).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    sw = F.size(
+        F.filter(tokens, lambda w: F.array_contains(stop_arr, w))
+    ).cast("bigint")
+    pl = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")).cast("bigint")
+    nc = F.col("n_chars").cast("bigint")
+    score = (
+        F.least(nt * 8000, F.lit(400000).cast("bigint"))
+        + 300000
+        - _rnd_div(pl * 300000, nc)
+        + F.least(_rnd_div(sw * 1500000, nt), F.lit(300000).cast("bigint"))
+    )
+    scores = d.select("doc_id", score.alias("score_ppm"))
+    census = scores.groupBy("score_ppm").agg(F.count("*").alias("n_s"))
+    totals = census.agg(F.sum("n_s").alias("n_total"))
+    w_cum = Window.orderBy(F.col("score_ppm").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        census.crossJoin(F.broadcast(totals))
+        .withColumn("cum", F.sum("n_s").over(w_cum))
+        .withColumn(
+            "quota",
+            F.ceil(F.lit(_T20_KEEP_FRAC) * F.col("n_total")).cast("bigint"),
+        )
+        .withColumn("above", F.col("cum") - F.col("n_s"))
+    )
+    # boundary = the HIGHEST score whose cumulative count reaches the
+    # quota; max(struct) keys on score_ppm first, so one reduce finds
+    # it (no second sort). remaining = quota slots left for the
+    # boundary-score tie group.
+    boundary = (
+        cum.filter(F.col("cum") >= F.col("quota"))
+        .agg(F.max(F.struct("score_ppm", "above", "quota")).alias("b"))
+        .select(
+            F.col("b.score_ppm").alias("t_star"),
+            (F.col("b.quota") - F.col("b.above")).alias("remaining"),
+        )
+    )
+    # branch 1: strictly above / strictly below the boundary — a pure
+    # broadcast-filtered scan, no shuffle of the corpus
+    others = (
+        scores.crossJoin(F.broadcast(boundary))
+        .filter(F.col("score_ppm") != F.col("t_star"))
+        .select(
+            "doc_id",
+            "score_ppm",
+            F.when(F.col("score_ppm") > F.col("t_star"), "keep")
+            .otherwise("drop")
+            .alias("decision"),
+        )
+    )
+    # branch 2: the boundary tie group — bounded by the multiplicity
+    # of ONE exact ppm score, ranked by doc_id for the last slots
+    # (the single-partition window spans only this bounded group)
+    w_tie = Window.orderBy(F.col("doc_id").asc())
+    ties = (
+        scores.crossJoin(F.broadcast(boundary))
+        .filter(F.col("score_ppm") == F.col("t_star"))
+        .withColumn("rn", F.row_number().over(w_tie))
+        .select(
+            "doc_id",
+            "score_ppm",
+            F.when(F.col("rn") <= F.col("remaining"), "keep")
+            .otherwise("drop")
+            .alias("decision"),
+        )
+    )
+    return others.unionByName(ties)

@@ -906,3 +906,93 @@ def e12_stream_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the control that a batch run over the same replayed
     files would have absorbed the late event)."""
     return tf_watermark_session_metrics(load_tables(spark, sf_dir).events)
+
+
+# ---------------------------------------------------------------------------
+# e13: streaming decontamination gate — t9's benchmark-overlap check
+# as an INGEST-TIME filter. t9/t14/t19 decontaminate a corpus at rest
+# (shingle-join plans over the whole table); a live ingest pipeline
+# wants the same decision per arriving document with ZERO streaming
+# state: the benchmark's distinct shingle set is a bounded static
+# artifact (a benchmark is a few thousand docs no matter how big the
+# corpus gets), so it rides along as ONE broadcast row and the gate
+# is a pure per-row expression — no watermark, no state store, no
+# aggregation; append-mode with exactly-once ingestion semantics for
+# free. The trade vs t9's broadcast shingle JOIN: the join can count
+# per-eval-doc evidence and scale to an arbitrarily large eval side;
+# the gate form caps the eval side at broadcast size but keeps the
+# stream stateless. For a multi-GB eval set, shard the static array
+# into t9's exploded-join form.
+# ---------------------------------------------------------------------------
+
+_E13_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+      i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                          string_split(lower(text), ' ')[i+1],
+                          string_split(lower(text), ' ')[i+2])
+    ))) AS shingle
+  FROM documents
+),
+eval_set AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0),
+hits AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+  FROM sh c JOIN eval_set e ON c.shingle = e.shingle
+  WHERE c.doc_id % 29 <> 0
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
+       CASE WHEN h.doc_id IS NULL THEN 'pass' ELSE 'block' END AS action
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 29 <> 0
+"""
+
+
+def e13_eval_shingle_set(docs: DataFrame) -> DataFrame:
+    """The static side of the gate: ONE row holding the benchmark's
+    sorted distinct 3-gram shingle set (doc_id % 29 = 0, t9's eval
+    split). Computed once per deployment from the benchmark file, then
+    broadcast to every micro-batch."""
+    from hive_to_es_spark.operators.dedup import word_shingles
+
+    return (
+        docs.filter(F.col("doc_id") % 29 == 0)
+        .select(F.explode(word_shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+        .agg(F.sort_array(F.collect_set("shingle")).alias("shingle_set"))
+    )
+
+
+def tf_decontaminate_gate(docs: DataFrame, eval_set: DataFrame) -> DataFrame:
+    """Per-document pass/block decision against the broadcast eval
+    shingle set — batch and stream produce identical rows (the join is
+    stream-static with a 1-row broadcast side; the hit count is a
+    per-row array_intersect, exact because word_shingles is already
+    per-doc distinct)."""
+    from hive_to_es_spark.operators.dedup import word_shingles
+
+    hits = F.size(
+        F.array_intersect(word_shingles(F.col("text")), F.col("shingle_set"))
+    ).cast("bigint")
+    return docs.join(F.broadcast(eval_set)).select(
+        "doc_id",
+        hits.alias("n_hit_shingles"),
+        F.when(hits > 0, "block").otherwise("pass").alias("action"),
+    )
+
+
+@register("e13_stream_decontaminate", _E13_ORACLE)
+def e13_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination gate, batch twin (see the block
+    comment). The oracle restates the gate as the exploded
+    shingle-join, so the hash gate proves array_intersect-against-
+    broadcast-set == distinct-shingle join; the STREAM form (same
+    transform over readStream, stateless append) is asserted in
+    tests/test_streaming.py."""
+    docs = load_tables(spark, sf_dir).documents
+    return tf_decontaminate_gate(
+        docs.filter(F.col("doc_id") % 29 != 0), e13_eval_shingle_set(docs)
+    )

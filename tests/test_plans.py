@@ -907,3 +907,50 @@ def test_t19_broadcasts_eval_and_partial_argmax(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "partial_max" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_d17_broadcast_codebook_no_cartesian_pairs(spark, sf_dir):
+    """d17's codebook must BROADCAST into the assignment (k rows
+    against every vector — a nested-loop over a broadcast, never a
+    shuffle of vectors by anything but vec_id/cell), and the pair
+    stage must be the cell EQUI join — a CartesianProduct anywhere
+    means the blocking key fell out of the join and the plan went
+    all-pairs."""
+    plan = _simple_plan(spark, sf_dir, "d17_semantic_dedup")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the dominance pair join keys on the cell
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_t20_no_corpus_sort_or_corpus_window(spark, sf_dir):
+    """t20 computes exact global-rank semantics WITHOUT a corpus-sized
+    sort: the only windows allowed are (a) the running sum over the
+    score CENSUS (fed by an aggregate, bounded by the ppm domain) and
+    (b) the row_number over the boundary tie GROUP (fed by a
+    broadcast-filtered scan, bounded by one score's multiplicity).
+    A global Sort of the documents scan appearing here means the op
+    regressed to the naive row_number plan."""
+    simple = _simple_plan(spark, sf_dir, "t20_quality_quantile_gate")
+    # exactly 3 bounded windows: the census running sum (the boundary
+    # subtree is instantiated once per union branch = 2) + the tie
+    # group's row_number. A 4th window = the naive corpus plan crept in.
+    assert simple.count("Window") == 3, simple
+    # every window must sit above an Aggregate (census) or the
+    # broadcast boundary filter — never directly above the documents
+    # scan: the census aggregate must exist
+    plan = _plan(spark, sf_dir, "t20_quality_quantile_gate")
+    assert "Aggregate" in plan, plan
+    assert "CartesianProduct" not in simple, simple
+
+
+def test_e13_gate_is_stateless_broadcast(spark, sf_dir):
+    """e13's gate plan: ONE broadcast of the 1-row eval shingle set
+    into a nested-loop join; the corpus side must reach the gate
+    without any Exchange (stateless per-row decision — what makes the
+    stream form watermark- and state-free). The eval-set BUILD side
+    aggregates, so Exchanges exist there; the pin is that the corpus
+    scan side joins broadcast-only."""
+    plan = _simple_plan(spark, sf_dir, "e13_stream_decontaminate")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

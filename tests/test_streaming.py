@@ -1058,3 +1058,33 @@ def test_e12_session_metrics_late_event_dropped(spark, tmp_path):
         for r in batch.collect()
     }
     assert b1[k1] == (3, 12900), b1
+
+
+def test_decontaminate_gate_stream_equals_batch(spark, sf_dir, tmp_path):
+    """e13: the stateless decontamination gate over readStream
+    (append mode — no state store, no watermark) must emit exactly
+    the batch twin's rows, and both actions must actually occur."""
+    from hive_to_es_spark.streaming.ops import (
+        e13_eval_shingle_set,
+        tf_decontaminate_gate,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    read_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(docs_dir)
+    batch_docs = spark.read.parquet(docs_dir)
+    eval_set = e13_eval_shingle_set(batch_docs)
+    corpus = batch_docs.filter(F.col("doc_id") % 29 != 0)
+    expected = _canon(tf_decontaminate_gate(corpus, eval_set).collect())
+    stream_src = (
+        spark.readStream.schema(batch_docs.schema)
+        .parquet(docs_dir)
+        .filter(F.col("doc_id") % 29 != 0)
+    )
+    got = _canon(
+        _run_available_now(
+            spark, tf_decontaminate_gate(stream_src, eval_set), tmp_path, mode="append"
+        )
+    )
+    assert got == expected
+    actions = {r[2] for r in got}
+    assert actions == {"pass", "block"}, f"gate unexercised: {actions}"

@@ -2342,3 +2342,99 @@ def test_s19_hot_cell_split_nonvacuous(spark, sf_dir):
            queries()["s19_ivf_hot_cell_split"](spark, sf_dir).collect()}
     assert len(s18) == len(s19)
     assert s19 != s18, "split changed nothing — serve stage vacuous"  # (c)
+
+
+def test_d17_semantic_dedup_matches_python_model(spark, sf_dir):
+    """d17 vs a numpy replay of the SemDeDup contract: codebook =
+    per-label dim means, assignment = nearest centroid (l2, label
+    tiebreak), drop iff a dominating same-cell neighbor exists
+    (cos >= 0.3 AND farther-from-centroid-wins ordering: the KEPT
+    member of every near-dup neighborhood is the LEAST central one),
+    partner = minimal-id dominator. Non-vacuity: both actions occur
+    at every fixture SF."""
+    import numpy as np
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = (
+        load_tables(spark, sf_dir)
+        .embeddings.select("vec_id", "label", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    labels = sorted({r.label for r in rows})
+    cents = {
+        lb: np.mean([vecs[r.vec_id] for r in rows if r.label == lb], axis=0)
+        for lb in labels
+    }
+    cell, dist = {}, {}
+    for i, v in vecs.items():
+        best = min(labels, key=lambda lb: (np.linalg.norm(v - cents[lb]), lb))
+        cell[i], dist[i] = best, float(np.linalg.norm(v - cents[best]))
+    expect = {}
+    for v_id in vecs:
+        dominators = []
+        for u_id in vecs:
+            if u_id == v_id or cell[u_id] != cell[v_id]:
+                continue
+            cos = float(vecs[u_id] @ vecs[v_id]) / (
+                np.linalg.norm(vecs[u_id]) * np.linalg.norm(vecs[v_id])
+            )
+            if cos >= 0.3 and (
+                dist[u_id] > dist[v_id]
+                or (dist[u_id] == dist[v_id] and u_id < v_id)
+            ):
+                dominators.append((u_id, cos))
+        if dominators:
+            partner, pcos = min(dominators)
+            expect[v_id] = (
+                cell[v_id],
+                "drop",
+                partner,
+                int(np.round(pcos * 1_000_000)),
+            )
+        else:
+            expect[v_id] = (cell[v_id], "keep", None, None)
+    got = {
+        r.vec_id: (r.cell, r.action, r.partner, r.partner_cos_ppm)
+        for r in queries()["d17_semantic_dedup"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    actions = {a for _, a, _, _ in got.values()}
+    assert actions == {"keep", "drop"}, f"actions unexercised: {actions}"
+
+
+def test_t20_quantile_gate_matches_global_rank(spark, sf_dir):
+    """t20's census-first decision vs the naive global-rank replay:
+    keep exactly the first ceil(0.30 * n) docs ordered by
+    (score_ppm DESC, doc_id ASC). Also pins that the boundary-score
+    tie group exists (> 1 doc at t*) somewhere in the fixture domain —
+    the branch that ranks the last quota slots is the part a naive
+    threshold filter would get wrong."""
+    import math
+
+    from hive_to_es_spark.registry import queries
+
+    rows = queries()["t20_quality_quantile_gate"](spark, sf_dir).collect()
+    n = len(rows)
+    quota = math.ceil(0.30 * n)
+    ranked = sorted(rows, key=lambda r: (-r.score_ppm, r.doc_id))
+    expect_keep = {r.doc_id for r in ranked[:quota]}
+    got_keep = {r.doc_id for r in rows if r.decision == "keep"}
+    assert got_keep == expect_keep
+    assert len(got_keep) == quota
+    # the boundary score group: the last kept row's score
+    t_star = ranked[quota - 1].score_ppm
+    tie_mass = sum(1 for r in rows if r.score_ppm == t_star)
+    kept_at_boundary = sum(
+        1 for r in rows if r.score_ppm == t_star and r.decision == "keep"
+    )
+    assert kept_at_boundary >= 1
+    # decisions within the tie group follow doc_id order
+    tie_sorted = sorted(
+        (r for r in rows if r.score_ppm == t_star), key=lambda r: r.doc_id
+    )
+    assert [r.decision for r in tie_sorted] == ["keep"] * kept_at_boundary + [
+        "drop"
+    ] * (tie_mass - kept_at_boundary)

@@ -196,6 +196,17 @@ OPS = {
     "b10_cbo_stats_reorder": (2.0, "ANALYZE scans + the CBO-reordered 3-table join; fact joins last against a filtered build side, linear"),
     "b11_python_datasource_writer": (2.0, "Arrow-batched staged write + |tasks| commit renames + read-back aggregate, linear in rows"),
     "e12_stream_session_metrics": (2.0, "session-window agg over one user shuffle; per-user rows grow k-fold (events scale with user_id unchanged)"),
+    # round 11: d13's production posture must stay ~FLAT while the full
+    # audit grows k² — the audit slice is a FIXED 200 docs in md5 order,
+    # so only the slice selection (one hash top-k reduce) and the band
+    # rows it joins grow with the corpus.
+    "d13_sketch_accuracy_sampled": (2.0, "fixed 200-doc audit slice; slice selection + band-row join linear, audit mass constant — expect LOW/flat, that is the point of the key"),
+    # d17: identical replicated embeddings land in the same cell, so
+    # every cell grows k-fold -> within-cell pair mass k² (d5/d6's
+    # replicated-copy class); assignment probes linear.
+    "d17_semantic_dedup": (4.0, "within-cell pairs are k² under replicated copies; codebook probes linear; organically the IVF sizing discipline bounds cells"),
+    "t20_quality_quantile_gate": (2.0, "two scan passes + domain-bounded census window; boundary group broadcast back — linear in corpus"),
+    "e13_stream_decontaminate": (2.0, "eval shingle set constant under the ladder (copies share shingles); per-row array_intersect gate, linear scan, no shuffle"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
@@ -239,6 +250,9 @@ EAGER_BUILD = {
     # (the d10 pitfall)
     "s18_ivf_index_maintain",
     "s19_ivf_hot_cell_split",
+    # d17's assignment + pair join + dominance reduce are all shuffle
+    # stages repeated collect() would reuse (the d10 pitfall)
+    "d17_semantic_dedup",
 }
 
 # Ops whose OUTPUT is corpus-sized (d13 emits the ENTIRE candidate
