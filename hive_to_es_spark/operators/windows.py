@@ -1287,3 +1287,145 @@ def w19_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak").alias("peak_cents"),
         F.max(F.col("peak") - F.col("bal")).alias("max_drawdown_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w20: peak concurrent sessions per day — the interval-stabbing
+# maximum over w9's gap sessions. The textbook answer is a GLOBAL
+# running sum over a time-ordered +1/-1 boundary stream, which is a
+# single-task sort at any scale; this op computes the identical
+# values with p6's two-pass arithmetic-range discipline instead:
+#
+#   1. boundaries: each session emits (start, +1) and (end, -1) —
+#      2 rows per session, never per event.
+#   2. pass 1: arithmetic time ranges (fixed-width off one min/max
+#      scan — deterministic from the DATA, page_assign's rule), then
+#      one map-combined sum(delta) per range; the |ranges| partial
+#      sums collect to the driver (same O(n_partitions) state as a
+#      shuffle's map statuses) and prefix-sum into per-range carry-in
+#      offsets.
+#   3. pass 2: running sum WITHIN each range (+ broadcast carry-in)
+#      = the exact global concurrency at every boundary.
+#
+# Boundary order is (tus ASC, delta DESC, user_id ASC): starts before
+# ends at the same instant (endpoint-inclusive overlap — also what
+# keeps a single-event session from dipping to -1), user_id as the
+# unique tiebreaker (one user cannot hold two boundaries at one tus:
+# w9 sessions of the same user are > 12 h apart). Equal-tus rows can
+# never split across ranges (ranges key on tus alone), so the
+# carry-in composition is exact. The day peak reads only +1 rows —
+# the running maximum is always attained immediately after a start.
+# Day arithmetic stays in exact integers: (tus - tus % DAY) / DAY
+# with an evenly-divisible numerator (the b11/t20 exact-DIV trick).
+# ---------------------------------------------------------------------------
+
+_W20_DAY_US = 86_400_000_000
+_W20_N_RANGES = 32
+
+_W20_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+  WHERE ts IS NOT NULL
+),
+g AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN lag(tus) OVER w IS NULL
+                OR tus - lag(tus) OVER w > {{gap}} THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s AS (
+  SELECT user_id, tus,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+),
+sess AS (
+  SELECT user_id, min(tus) AS a, max(tus) AS b FROM s GROUP BY user_id, session_id
+),
+bnd AS (
+  SELECT user_id, a AS tus, 1 AS delta FROM sess
+  UNION ALL
+  SELECT user_id, b AS tus, -1 AS delta FROM sess
+),
+r AS (
+  SELECT tus, delta, user_id,
+         CAST(sum(delta) OVER (ORDER BY tus ASC, delta DESC, user_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM bnd
+)
+SELECT CAST(tus // {_W20_DAY_US} AS BIGINT) AS epoch_day,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       CAST(count(*) AS BIGINT) AS n_sessions_started
+FROM r WHERE delta = 1 GROUP BY epoch_day
+"""
+
+
+@register("w20_peak_concurrency", _W20_ORACLE.format(gap=_W9_GAP_US))
+def w20_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per epoch day (w9's 12-h-gap sessions,
+    endpoint-inclusive overlap) — the capacity-planning census. See
+    the block comment for the two-pass no-global-window plan; the
+    oracle restates it as the naive global running sum, so the hash
+    gate proves the carry-in composition exact."""
+    ev = (
+        load_tables(spark, sf_dir)
+        .events.filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("tus"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("tus").asc(), F.col("event_id").asc())
+    gap = F.col("tus") - F.lag("tus").over(w)
+    new_s = F.when(gap.isNull() | (gap > _W9_GAP_US), 1).otherwise(0)
+    sess = (
+        ev.withColumn(
+            "session_id",
+            F.sum(new_s).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("tus").alias("a"), F.max("tus").alias("b"))
+    )
+    starts = sess.select(
+        "user_id", F.col("a").alias("tus"), F.lit(1).cast("int").alias("delta")
+    )
+    ends = sess.select(
+        "user_id", F.col("b").alias("tus"), F.lit(-1).cast("int").alias("delta")
+    )
+    bnd = starts.unionByName(ends)
+    lo, hi = bnd.agg(F.min("tus"), F.max("tus")).first()
+    if lo is None:  # empty source: zero days, not a TypeError below
+        return bnd.select(
+            F.col("tus").alias("epoch_day"),
+            F.col("tus").alias("peak_concurrency"),
+            F.col("tus").alias("n_sessions_started"),
+        ).limit(0)
+    width = max(1, -(-(hi - lo + 1) // _W20_N_RANGES))  # ceil-div
+    ranged = bnd.withColumn(
+        "_pid", F.floor((F.col("tus") - F.lit(lo)) / F.lit(width)).cast("int")
+    )
+    # pass 1: per-range delta sums -> prefix carry-in offsets (bounded
+    # driver state: one row per range)
+    sums = sorted(
+        (r["_pid"], r["_s"])
+        for r in ranged.groupBy("_pid").agg(F.sum("delta").alias("_s")).collect()
+    )
+    offset_entries: list = []
+    acc = 0
+    for pid, s in sums:
+        offset_entries += [F.lit(pid), F.lit(acc)]
+        acc += s
+    carry = F.element_at(F.create_map(*offset_entries), F.col("_pid"))
+    # pass 2: within-range running sum + carry-in = global concurrency
+    w_run = Window.partitionBy("_pid").orderBy(
+        F.col("tus").asc(), F.col("delta").desc(), F.col("user_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    day = ((F.col("tus") - F.col("tus") % _W20_DAY_US) / _W20_DAY_US).cast("bigint")
+    return (
+        ranged.withColumn("conc", (F.sum("delta").over(w_run) + carry).cast("bigint"))
+        .filter(F.col("delta") == 1)
+        .groupBy(day.alias("epoch_day"))
+        .agg(
+            F.max("conc").alias("peak_concurrency"),
+            F.count("*").cast("bigint").alias("n_sessions_started"),
+        )
+    )

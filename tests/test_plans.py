@@ -34,6 +34,12 @@ UNPARTITIONED_WINDOW_OK = {
     "w10_cumulative_distinct",
     "p25_dataset_card",
     "s15_ann_pq",
+    # t20's two unpartitioned windows are the documented exemption by
+    # construction: the running sum sees the score CENSUS (bounded by
+    # the 1e6-ppm domain at any corpus size) and the row_number sees
+    # only the boundary-score tie group — its own plan test pins the
+    # window count and the census aggregate underneath.
+    "t20_quality_quantile_gate",
 }
 
 
@@ -953,4 +959,15 @@ def test_e13_gate_is_stateless_broadcast(spark, sf_dir):
     scan side joins broadcast-only."""
     plan = _simple_plan(spark, sf_dir, "e13_stream_decontaminate")
     assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_w20_no_single_partition_exchange(spark, sf_dir):
+    """w20 computes a GLOBAL running sum without the global sort: the
+    two-pass carry-in plan must contain NO Exchange SinglePartition —
+    that node appearing means the op regressed to an unpartitioned
+    window over the boundary stream (the single-task 100 TB killer
+    the design exists to avoid)."""
+    plan = _simple_plan(spark, sf_dir, "w20_peak_concurrency")
+    assert "SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan

@@ -2438,3 +2438,53 @@ def test_t20_quantile_gate_matches_global_rank(spark, sf_dir):
     assert [r.decision for r in tie_sorted] == ["keep"] * kept_at_boundary + [
         "drop"
     ] * (tie_mass - kept_at_boundary)
+
+
+def test_w20_peak_concurrency_matches_naive_replay(spark, sf_dir):
+    """w20's two-pass carry-in running sum vs the naive global replay
+    (sessionize in pandas, sort the +1/-1 boundary stream once, take
+    per-day maxima after +1 rows). Non-vacuity: multiple days, and at
+    least one day where the peak is LESS than the number of sessions
+    started (i.e. the running sum actually went down in between — a
+    plain per-day session count would get it wrong)."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.windows import _W9_GAP_US, _W20_DAY_US
+    from hive_to_es_spark.registry import queries
+
+    ev = (
+        load_tables(spark, sf_dir)
+        .events.filter("ts IS NOT NULL")
+        .selectExpr("user_id", "event_id", "unix_micros(ts) AS tus")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.tus, r.event_id))
+    bounds = []
+    for uid, rows in by_user.items():
+        rows.sort()
+        start = prev = rows[0][0]
+        for tus, _ in rows[1:]:
+            if tus - prev > _W9_GAP_US:
+                bounds += [(start, 1, uid), (prev, -1, uid)]
+                start = tus
+            prev = tus
+        bounds += [(start, 1, uid), (prev, -1, uid)]
+    bounds.sort(key=lambda b: (b[0], -b[1], b[2]))
+    conc, expect = 0, {}
+    for tus, delta, _ in bounds:
+        conc += delta
+        if delta == 1:
+            day = tus // _W20_DAY_US
+            peak, n = expect.get(day, (0, 0))
+            expect[day] = (max(peak, conc), n + 1)
+    got = {
+        r.epoch_day: (r.peak_concurrency, r.n_sessions_started)
+        for r in queries()["w20_peak_concurrency"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 1
+    assert any(peak < n for peak, n in got.values()), (
+        "every day's peak equals its session count — concurrency "
+        "never dropped, the running sum is untested"
+    )

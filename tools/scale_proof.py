@@ -207,6 +207,11 @@ OPS = {
     "d17_semantic_dedup": (4.0, "within-cell pairs are k² under replicated copies; codebook probes linear; organically the IVF sizing discipline bounds cells"),
     "t20_quality_quantile_gate": (2.0, "two scan passes + domain-bounded census window; boundary group broadcast back — linear in corpus"),
     "e13_stream_decontaminate": (2.0, "eval shingle set constant under the ladder (copies share shingles); per-row array_intersect gate, linear scan, no shuffle"),
+    # w20: replicated events share timestamps (event_id offset, ts
+    # unchanged) so they MERGE into the same sessions — the boundary
+    # stream and both driver roundtrips stay constant; only the
+    # sessionize window over k-fold per-user rows grows.
+    "w20_peak_concurrency": (2.0, "sessionize window over k-fold per-user rows dominates; boundary stream constant under the ladder (copies share ts)"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
@@ -253,6 +258,8 @@ EAGER_BUILD = {
     # d17's assignment + pair join + dominance reduce are all shuffle
     # stages repeated collect() would reuse (the d10 pitfall)
     "d17_semantic_dedup",
+    # w20 runs its pass-1 offsets collect at build time
+    "w20_peak_concurrency",
 }
 
 # Ops whose OUTPUT is corpus-sized (d13 emits the ENTIRE candidate
