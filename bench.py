@@ -145,8 +145,10 @@ EXTENSION = [
     "t20_quality_quantile_gate",
     "e13_stream_decontaminate",
     # round 11 batch 3: the two-pass interval-stabbing census (w9's
-    # sessionize + carry-in running sum — two collect roundtrips)
+    # sessionize + carry-in running sum — two collect roundtrips) and
+    # the fixed-domain token-budget mixture cut
     "w20_peak_concurrency",
+    "o14_token_budget_mix",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -207,9 +209,10 @@ EAGER_BUILD = {
     # d17's assignment + pair join + dominance reduce are all shuffle
     # stages a repeated collect() would reuse (the d10 pitfall)
     "d17_semantic_dedup",
-    # w20 collects its per-range carry-in offsets at build time
+    # w20/o14 collect their per-range carry-in offsets at build time
     # (pass 1 of the two-pass plan runs as a job inside the op)
     "w20_peak_concurrency",
+    "o14_token_budget_mix",
 }
 
 

@@ -699,3 +699,150 @@ def o13_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# o14: token-budget mixture cut — the "assemble exactly B training
+# tokens" step. o6/o10 sample DOCUMENTS at per-stratum rates; a real
+# pretraining mix is specified in TOKENS: a global budget (40% of the
+# corpus here) split across sources by temperature weights
+# (w_s ∝ sqrt(token_mass), o10's alpha = 0.5 — sqrt because IEEE-754
+# sqrt is the one power both engines round identically), then each
+# source contributes its docs greedily in portable hash order until
+# its budget fills. Greedy-prefix-by-hash keeps the cut deterministic,
+# append-stable (o4's rule: a kept doc stays kept unless its source's
+# budget tightens) and auditable (the cut point is a cumulative token
+# count, not a PRNG state).
+#
+# The greedy prefix needs a per-source RUNNING token sum in hash
+# order. Sources are LOW-cardinality, so a plain per-source window is
+# w7's 3-task ceiling; this op runs w20's two-pass carry-in plan over
+# a FIXED domain instead — the 60-bit hash space pre-splits into
+# _O14_N_RANGES arithmetic ranges (no min/max scan: the domain is a
+# constant, zero extra jobs), per-(source, range) token sums collect
+# (|sources| x |ranges| rows of driver state) and prefix into
+# carry-ins, and the within-range running sum + carry-in is the exact
+# global per-source cumulative. Parallelism = |sources| x |ranges|,
+# decoupled from source cardinality (w8's donor-bucket insight
+# applied to mixture building); budget arithmetic is DECIMAL(38,0)
+# integer DIV (never wraps, never floats).
+# ---------------------------------------------------------------------------
+
+_O14_N_RANGES = 16
+_O14_HBITS = 60  # hash_bucket's 15-hex md5 prefix domain
+
+_O14_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(sum(tok) AS BIGINT) AS tok_total FROM toks GROUP BY source
+),
+wts AS (
+  SELECT source, tok_total,
+         CAST(floor(sqrt(CAST(tok_total AS DOUBLE)) * 1000000) AS BIGINT) AS w
+  FROM per_src
+),
+tot AS (SELECT sum(w) AS sw, sum(tok_total) AS gt FROM wts),
+budgets AS (
+  SELECT source, tok_total,
+         CAST(CAST(gt AS HUGEINT) * 2 * w // (CAST(sw AS HUGEINT) * 5)
+              AS BIGINT) AS budget_tok
+  FROM wts, tot
+),
+cum AS (
+  SELECT source, doc_id, tok,
+         sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS ctok
+  FROM toks
+)
+SELECT b.source, b.tok_total, b.budget_tok,
+       CAST(count(*) FILTER (WHERE ctok <= budget_tok) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(tok) FILTER (WHERE ctok <= budget_tok), 0)
+            AS BIGINT) AS kept_tok
+FROM cum c JOIN budgets b ON c.source = b.source
+GROUP BY b.source, b.tok_total, b.budget_tok
+"""
+
+
+@register("o14_token_budget_mix", _O14_ORACLE)
+def o14_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture cut: 40% of the corpus' tokens, split
+    across sources by sqrt-temperature weights, filled greedily per
+    source in portable hash order (see the block comment for the
+    two-pass fixed-domain plan). Output: one audit row per source
+    (source, tok_total, budget_tok, n_kept, kept_tok); the oracle
+    restates the greedy prefix as the naive per-source window, so the
+    hash gate proves the carry-in composition exact."""
+    d = load_tables(spark, sf_dir).documents
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("tok"),
+        h.alias("h"),
+    )
+    weights = (
+        toks.groupBy("source")
+        .agg(F.sum("tok").alias("tok_total"))
+        .select(
+            "source",
+            "tok_total",
+            F.floor(F.sqrt(F.col("tok_total").cast("double")) * 1e6)
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    tot = weights.agg(F.sum("w").alias("sw"), F.sum("tok_total").alias("gt"))
+    budgets = (
+        weights.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "tok_total",
+            "CAST(CAST(gt AS DECIMAL(38,0)) * 2 * w"
+            " DIV (CAST(sw AS DECIMAL(38,0)) * 5) AS BIGINT) AS budget_tok",
+        )
+    )
+    # fixed-domain ranges: 2^60 divides evenly by 16, so DIV is exact
+    width = (1 << _O14_HBITS) // _O14_N_RANGES
+    ranged = toks.withColumn(
+        "_pid", ((F.col("h") - F.col("h") % width) / width).cast("int")
+    )
+    # pass 1: per-(source, range) token sums -> per-source prefix
+    # carry-ins (bounded driver state: |sources| x |ranges| rows)
+    sums: dict = {}
+    for r in ranged.groupBy("source", "_pid").agg(F.sum("tok").alias("_s")).collect():
+        sums.setdefault(r["source"], []).append((r["_pid"], r["_s"]))
+    carry_entries: list = []
+    for src, pids in sums.items():
+        acc = 0
+        for pid, s in sorted(pids):
+            carry_entries += [F.lit(f"{src}|{pid}"), F.lit(acc)]
+            acc += s
+    carry = F.element_at(
+        F.create_map(*carry_entries),
+        F.concat_ws("|", F.col("source"), F.col("_pid")),
+    )
+    # pass 2: within-range running sum + carry-in = exact per-source
+    # cumulative token count in global hash order
+    w_run = Window.partitionBy("source", "_pid").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = ranged.withColumn("ctok", F.sum("tok").over(w_run) + carry)
+    keep = F.col("ctok") <= F.col("budget_tok")
+    return (
+        cum.join(F.broadcast(budgets), "source")
+        .groupBy("source", "tok_total", "budget_tok")
+        .agg(
+            F.count_if(keep).cast("bigint").alias("n_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col("tok"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_tok"),
+        )
+    )

@@ -971,3 +971,20 @@ def test_w20_no_single_partition_exchange(spark, sf_dir):
     plan = _simple_plan(spark, sf_dir, "w20_peak_concurrency")
     assert "SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_o14_running_sum_partitioned_by_source_and_range(spark, sf_dir):
+    """o14's per-source greedy prefix must run the two-pass fixed-
+    domain carry-in plan: the running-sum window partitioned by
+    (source, _pid) — a window keyed on source ALONE is the
+    low-cardinality task ceiling the design avoids. (A SinglePartition
+    Exchange does appear, but only under the 1-row global weights
+    aggregate — |sources| rows, the bounded a3 class.)"""
+    import re
+
+    plan = _simple_plan(spark, sf_dir, "o14_token_budget_mix")
+    assert re.search(r"windowspecdefinition\(source#\d+, _pid", plan), plan
+    # and no window keyed on source alone (partition list would go
+    # straight from source to the ORDER BY columns)
+    assert not re.search(r"windowspecdefinition\(source#\d+, h#", plan), plan
+    assert "CartesianProduct" not in plan, plan

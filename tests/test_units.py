@@ -2488,3 +2488,50 @@ def test_w20_peak_concurrency_matches_naive_replay(spark, sf_dir):
         "every day's peak equals its session count — concurrency "
         "never dropped, the running sum is untested"
     )
+
+
+def test_o14_token_budget_mix_matches_naive_replay(spark, sf_dir):
+    """o14's two-pass carry-in cumulative vs the naive greedy replay
+    (sort each source's docs by (md5-hash, doc_id), take while the
+    inclusive token sum stays within budget). Non-vacuity: every
+    source both keeps and drops docs, and kept_tok never exceeds
+    budget_tok."""
+    import hashlib
+    import math
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    docs = (
+        load_tables(spark, sf_dir)
+        .documents.selectExpr(
+            "doc_id", "source", "CAST(size(split(text, ' ')) AS BIGINT) AS tok"
+        )
+        .collect()
+    )
+    by_src: dict = {}
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        by_src.setdefault(r.source, []).append((h, r.doc_id, r.tok))
+    tok_total = {s: sum(t for _, _, t in rows) for s, rows in by_src.items()}
+    w = {s: math.floor(math.sqrt(tok_total[s]) * 1e6) for s in by_src}
+    sw, gt = sum(w.values()), sum(tok_total.values())
+    budget = {s: (gt * 2 * w[s]) // (sw * 5) for s in by_src}
+    expect = {}
+    for s, rows in by_src.items():
+        rows.sort()
+        kept_n = kept_t = cum = 0
+        for _, _, t in rows:
+            cum += t
+            if cum <= budget[s]:
+                kept_n += 1
+                kept_t += t
+        expect[s] = (tok_total[s], budget[s], kept_n, kept_t)
+    got = {
+        r.source: (r.tok_total, r.budget_tok, r.n_kept, r.kept_tok)
+        for r in queries()["o14_token_budget_mix"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    for s, (tt, b, n, kt) in got.items():
+        assert kt <= b, (s, kt, b)
+        assert 0 < n < len(by_src[s]), (s, n, "keep AND drop must both occur")

@@ -212,6 +212,10 @@ OPS = {
     # stream and both driver roundtrips stay constant; only the
     # sessionize window over k-fold per-user rows grows.
     "w20_peak_concurrency": (2.0, "sessionize window over k-fold per-user rows dominates; boundary stream constant under the ladder (copies share ts)"),
+    # o14: replicated docs get NEW doc_ids (offset), so every source's
+    # token mass and row count grow k-fold -> census + carry-in window
+    # both linear; budgets scale with the mass, cut stays 40%.
+    "o14_token_budget_mix": (2.0, "per-(source, range) sums + within-range window, all linear in docs; driver state fixed at |sources| x |ranges|"),
 }
 
 # Build-time workers rebuilt inside the timed section (see module doc).
@@ -258,8 +262,9 @@ EAGER_BUILD = {
     # d17's assignment + pair join + dominance reduce are all shuffle
     # stages repeated collect() would reuse (the d10 pitfall)
     "d17_semantic_dedup",
-    # w20 runs its pass-1 offsets collect at build time
+    # w20/o14 run their pass-1 offsets collect at build time
     "w20_peak_concurrency",
+    "o14_token_budget_mix",
 }
 
 # Ops whose OUTPUT is corpus-sized (d13 emits the ENTIRE candidate
