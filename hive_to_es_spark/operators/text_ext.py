@@ -1602,28 +1602,13 @@ def _rnd_div(a, b):
     return ((n - n % d) / d).cast("bigint")
 
 
-@register("t20_quality_quantile_gate", _T20_ORACLE)
-def t20_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-relative quality gate: keep the top 30% by the integer-
-    ppm quality score with exact global-rank semantics, computed
-    census-first so no corpus-sized sort or window appears in the plan
-    (see the block comment). Output: (doc_id, score_ppm, decision)."""
-    d = load_tables(spark, sf_dir).documents
-    tokens = F.split("text", " ")
-    nt = F.size(tokens).cast("bigint")
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    sw = F.size(
-        F.filter(tokens, lambda w: F.array_contains(stop_arr, w))
-    ).cast("bigint")
-    pl = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")).cast("bigint")
-    nc = F.col("n_chars").cast("bigint")
-    score = (
-        F.least(nt * 8000, F.lit(400000).cast("bigint"))
-        + 300000
-        - _rnd_div(pl * 300000, nc)
-        + F.least(_rnd_div(sw * 1500000, nt), F.lit(300000).cast("bigint"))
-    )
-    scores = d.select("doc_id", score.alias("score_ppm"))
+def quantile_gate(scores: DataFrame, frac: float) -> DataFrame:
+    """The census-first exact top-`frac` selection over a
+    (doc_id, score_ppm) frame — t20's decision core, factored so edge
+    geometries (all-equal scores, quota = 1, no boundary ties) can be
+    pinned on synthetic inputs. Keep rank <= ceil(frac * n) under
+    (score_ppm DESC, doc_id ASC); see the block comment above for why
+    no corpus-sized sort or window appears."""
     census = scores.groupBy("score_ppm").agg(F.count("*").alias("n_s"))
     totals = census.agg(F.sum("n_s").alias("n_total"))
     w_cum = Window.orderBy(F.col("score_ppm").desc()).rowsBetween(
@@ -1634,7 +1619,7 @@ def t20_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum", F.sum("n_s").over(w_cum))
         .withColumn(
             "quota",
-            F.ceil(F.lit(_T20_KEEP_FRAC) * F.col("n_total")).cast("bigint"),
+            F.ceil(F.lit(frac) * F.col("n_total")).cast("bigint"),
         )
         .withColumn("above", F.col("cum") - F.col("n_s"))
     )
@@ -1680,3 +1665,29 @@ def t20_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return others.unionByName(ties)
+
+
+@register("t20_quality_quantile_gate", _T20_ORACLE)
+def t20_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate: keep the top 30% by the integer-
+    ppm quality score with exact global-rank semantics, computed
+    census-first so no corpus-sized sort or window appears in the plan
+    (see the block comment). Output: (doc_id, score_ppm, decision)."""
+    d = load_tables(spark, sf_dir).documents
+    tokens = F.split("text", " ")
+    nt = F.size(tokens).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    sw = F.size(
+        F.filter(tokens, lambda w: F.array_contains(stop_arr, w))
+    ).cast("bigint")
+    pl = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")).cast("bigint")
+    nc = F.col("n_chars").cast("bigint")
+    score = (
+        F.least(nt * 8000, F.lit(400000).cast("bigint"))
+        + 300000
+        - _rnd_div(pl * 300000, nc)
+        + F.least(_rnd_div(sw * 1500000, nt), F.lit(300000).cast("bigint"))
+    )
+    return quantile_gate(
+        d.select("doc_id", score.alias("score_ppm")), _T20_KEEP_FRAC
+    )

@@ -1360,18 +1360,11 @@ FROM r WHERE delta = 1 GROUP BY epoch_day
 """
 
 
-@register("w20_peak_concurrency", _W20_ORACLE.format(gap=_W9_GAP_US))
-def w20_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Peak concurrent sessions per epoch day (w9's 12-h-gap sessions,
-    endpoint-inclusive overlap) — the capacity-planning census. See
-    the block comment for the two-pass no-global-window plan; the
-    oracle restates it as the naive global running sum, so the hash
-    gate proves the carry-in composition exact."""
-    ev = (
-        load_tables(spark, sf_dir)
-        .events.filter(F.col("ts").isNotNull())
-        .select("user_id", "event_id", F.unix_micros("ts").alias("tus"))
-    )
+def peak_concurrency(ev: DataFrame) -> DataFrame:
+    """w20's core over a (user_id, event_id, tus) frame — factored
+    from the registered op so edge geometries (single-event sessions,
+    multi-day sessions, simultaneous starts across users) can be
+    pinned on synthetic inputs. See the block comment above."""
     w = Window.partitionBy("user_id").orderBy(F.col("tus").asc(), F.col("event_id").asc())
     gap = F.col("tus") - F.lag("tus").over(w)
     new_s = F.when(gap.isNull() | (gap > _W9_GAP_US), 1).otherwise(0)
@@ -1428,4 +1421,18 @@ def w20_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("conc").alias("peak_concurrency"),
             F.count("*").cast("bigint").alias("n_sessions_started"),
         )
+    )
+
+
+@register("w20_peak_concurrency", _W20_ORACLE.format(gap=_W9_GAP_US))
+def w20_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per epoch day (w9's 12-h-gap sessions,
+    endpoint-inclusive overlap) — the capacity-planning census. See
+    the block comment for the two-pass no-global-window plan; the
+    oracle restates it as the naive global running sum, so the hash
+    gate proves the carry-in composition exact."""
+    return peak_concurrency(
+        load_tables(spark, sf_dir)
+        .events.filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("tus"))
     )

@@ -2535,3 +2535,77 @@ def test_o14_token_budget_mix_matches_naive_replay(spark, sf_dir):
     for s, (tt, b, n, kt) in got.items():
         assert kt <= b, (s, kt, b)
         assert 0 < n < len(by_src[s]), (s, n, "keep AND drop must both occur")
+
+
+def test_quantile_gate_edge_geometries(spark):
+    """t20's decision core on synthetic score frames: (a) ALL scores
+    equal — the entire quota is decided by the tie ranker; (b) quota
+    collapses to 1 doc; (c) strictly distinct scores — no ties, pure
+    threshold; (d) frac so large every doc keeps. Each case is
+    compared against the naive sorted replay."""
+    import math
+
+    from hive_to_es_spark.operators.text_ext import quantile_gate
+
+    def replay(rows, frac):
+        quota = math.ceil(frac * len(rows))
+        ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+        keep = {d for d, _ in ranked[:quota]}
+        return {d: ("keep" if d in keep else "drop") for d, _ in rows}
+
+    cases = [
+        ([(i, 500000) for i in range(10)], 0.30),           # all equal
+        ([(i, 100000 * i) for i in range(1, 8)], 0.10),     # quota = 1
+        ([(i, 100000 * i) for i in range(1, 8)], 0.50),     # distinct
+        ([(i, 900000 - 7 * i) for i in range(9)], 1.0),     # keep all
+        ([(0, 1)], 0.30),                                   # single doc
+    ]
+    for rows, frac in cases:
+        df = spark.createDataFrame(rows, "doc_id long, score_ppm long")
+        got = {
+            r.doc_id: r.decision for r in quantile_gate(df, frac).collect()
+        }
+        assert got == replay(rows, frac), (rows, frac)
+
+
+def test_peak_concurrency_edge_geometries(spark):
+    """w20's core on a hand-built event frame exercising: a
+    single-event (zero-length) session, a session spanning three
+    days, two users starting sessions at the SAME microsecond, and a
+    start coinciding with another session's end (endpoint-inclusive:
+    both count). Expected values derived by hand."""
+    from hive_to_es_spark.operators.windows import _W20_DAY_US, peak_concurrency
+
+    D = _W20_DAY_US
+    rows = [
+        # user 1: one session spanning day0..day2 (events within 12 h)
+        (1, 100, 0),
+        (1, 101, D // 2),
+        (1, 102, D + D // 2),
+        (1, 103, 2 * D + D // 4),
+        # user 2: zero-length session on day 0 at the same instant
+        # user 1's session starts
+        (2, 200, 0),
+        # user 3: session on day 1 starting exactly when user 4's ends
+        (3, 300, D + D // 4),
+        (3, 301, D + D // 2),
+        # user 4: session day0 -> ends exactly at day1 + D//4
+        (4, 400, D - 1),
+        (4, 401, D + D // 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, tus long")
+    got = {
+        r.epoch_day: (r.peak_concurrency, r.n_sessions_started)
+        for r in peak_concurrency(df).collect()
+    }
+    # sessions (12-h gap = D//2, strictly-greater starts a new one):
+    #   u1: [0, D//2] (the D//2 gap is NOT > 12 h), then zero-length
+    #       [1.5D] (gap D > 12 h) and [2.25D] (gap 0.75D > 12 h)
+    #   u2: zero-length [0]      u3: [1.25D, 1.5D]   u4: [D-1, 1.25D]
+    # day 0: at tus=0 order is +1(u1), +1(u2), -1(u2) -> conc 1,2,1;
+    #   -1(u1) at D//2 -> 0; +1(u4) at D-1 -> 1. peak 2, starts 3.
+    # day 1: +1(u3) at 1.25D sorts BEFORE -1(u4) (endpoint-inclusive)
+    #   -> conc 2; at 1.5D +1(u1) before the two ends -> conc 2,1,0.
+    #   peak 2, starts 2.
+    # day 2: u1's last zero-length session -> +1 then -1: peak 1.
+    assert got == {0: (2, 3), 1: (2, 2), 2: (1, 1)}, got
