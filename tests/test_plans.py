@@ -950,15 +950,16 @@ def test_t20_no_corpus_sort_or_corpus_window(spark, sf_dir):
     assert "CartesianProduct" not in simple, simple
 
 
-def test_e13_gate_is_stateless_broadcast(spark, sf_dir):
-    """e13's gate plan: ONE broadcast of the 1-row eval shingle set
-    into a nested-loop join; the corpus side must reach the gate
-    without any Exchange (stateless per-row decision — what makes the
-    stream form watermark- and state-free). The eval-set BUILD side
-    aggregates, so Exchanges exist there; the pin is that the corpus
-    scan side joins broadcast-only."""
+def test_e13_gate_is_broadcast_hash_join(spark, sf_dir):
+    """e13's gate plan (round-12 rewrite): the corpus's exploded
+    shingles probe the eval set through a BROADCAST-HASH join — the
+    hash table is built once per task, and no BroadcastNestedLoopJoin
+    may appear anywhere (the r11-weak plan copied the full eval
+    shingle array into every corpus output row; 150x the cost of this
+    form). The per-doc hit count then partial-aggregates map-side."""
     plan = _simple_plan(spark, sf_dir, "e13_stream_decontaminate")
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 

@@ -1061,30 +1061,41 @@ def test_e12_session_metrics_late_event_dropped(spark, tmp_path):
 
 
 def test_decontaminate_gate_stream_equals_batch(spark, sf_dir, tmp_path):
-    """e13: the stateless decontamination gate over readStream
-    (append mode — no state store, no watermark) must emit exactly
-    the batch twin's rows, and both actions must actually occur."""
+    """e13: the decontamination gate over readStream via foreachBatch
+    (within-batch groupBy against the broadcast eval shingles — no
+    state store, no watermark, each doc decided in its arrival batch)
+    must emit exactly the batch twin's rows, and both actions must
+    actually occur."""
     from hive_to_es_spark.streaming.ops import (
-        e13_eval_shingle_set,
-        tf_decontaminate_gate,
+        e13_eval_shingles,
+        tf_decontaminate_counts,
     )
 
     docs_dir = str(tmp_path / "docs")
     read_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(docs_dir)
     batch_docs = spark.read.parquet(docs_dir)
-    eval_set = e13_eval_shingle_set(batch_docs)
+    eval_sh = e13_eval_shingles(batch_docs)
     corpus = batch_docs.filter(F.col("doc_id") % 29 != 0)
-    expected = _canon(tf_decontaminate_gate(corpus, eval_set).collect())
+    expected = _canon(tf_decontaminate_counts(corpus, eval_sh).collect())
     stream_src = (
         spark.readStream.schema(batch_docs.schema)
         .parquet(docs_dir)
         .filter(F.col("doc_id") % 29 != 0)
     )
-    got = _canon(
-        _run_available_now(
-            spark, tf_decontaminate_gate(stream_src, eval_set), tmp_path, mode="append"
+    sink = str(tmp_path / "gate_out")
+    q = (
+        stream_src.writeStream.foreachBatch(
+            lambda bdf, _bid: tf_decontaminate_counts(bdf, eval_sh)
+            .write.mode("append")
+            .parquet(sink)
         )
+        .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
     )
+    q.awaitTermination(120)
+    q.stop()
+    got = _canon(spark.read.parquet(sink).collect())
     assert got == expected
     actions = {r[2] for r in got}
     assert actions == {"pass", "block"}, f"gate unexercised: {actions}"
