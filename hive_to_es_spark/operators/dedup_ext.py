@@ -1656,7 +1656,7 @@ def d16_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d17: semantic (cluster-scoped) embedding dedup — the SemDeDup recipe
 # (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus embeddings
 # with the IVF codebook, then WITHIN each cluster drop every vector
-# that has a cosine-near neighbor closer to the cluster centroid,
+# that has a cosine-near neighbor FARTHER from the cluster centroid,
 # keeping the LEAST-central member of each near-dup neighborhood (the
 # paper's "keep low similarity to centroid" rule — it preserves the
 # cluster's diversity frontier instead of its densest core).
@@ -1666,10 +1666,10 @@ def d16_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the pair report; d7 closes pairs into components with an
 # iterative propagation loop. d17 is the one-pass DECISION operator —
 # no closure, no iteration: a vector is dropped iff a dominating
-# neighbor exists (cos >= tau AND nearer to the centroid, id
+# neighbor exists (cos >= tau AND farther from the centroid, id
 # tiebreak). Dominance is a strict total order within a cell
-# (d ASC, vec_id ASC), so exactly the per-neighborhood minimum
-# survives and the decision is independent of evaluation order —
+# (d DESC, vec_id ASC), so exactly the per-neighborhood maximum-d
+# member survives and the decision is independent of evaluation order —
 # what makes the single SQL replay (and the oracle hash gate) exact.
 #
 # Scale shape (100 TB): the cell is the blocking key, so the quadratic

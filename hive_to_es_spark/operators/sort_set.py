@@ -764,21 +764,26 @@ SELECT b.source, b.tok_total, b.budget_tok,
        CAST(count(*) FILTER (WHERE ctok <= budget_tok) AS BIGINT) AS n_kept,
        CAST(coalesce(sum(tok) FILTER (WHERE ctok <= budget_tok), 0)
             AS BIGINT) AS kept_tok
-FROM cum c JOIN budgets b ON c.source = b.source
+FROM cum c JOIN budgets b ON c.source IS NOT DISTINCT FROM b.source
 GROUP BY b.source, b.tok_total, b.budget_tok
 """
 
 
-@register("o14_token_budget_mix", _O14_ORACLE)
-def o14_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget mixture cut: 40% of the corpus' tokens, split
-    across sources by sqrt-temperature weights, filled greedily per
-    source in portable hash order (see the block comment for the
-    two-pass fixed-domain plan). Output: one audit row per source
-    (source, tok_total, budget_tok, n_kept, kept_tok); the oracle
-    restates the greedy prefix as the naive per-source window, so the
-    hash gate proves the carry-in composition exact."""
-    d = load_tables(spark, sf_dir).documents
+# Sentinel standing in for a NULL source in the carry-in map key and
+# the null-safe budget join key. Contract: no real source value equals
+# this string (control characters never appear in source names).
+_O14_NULL_KEY = "\x00<null-source>\x00"
+
+
+def token_budget_mix(d: DataFrame) -> DataFrame:
+    """o14's core over a (doc_id, source, text) frame — factored from
+    the registered op so edge geometries (NULL source stratum, budget
+    boundary ties) can be pinned on synthetic inputs (round-11
+    ADVICE: concat_ws skips NULLs, so a NULL source's carry key
+    collided with nothing and the stratum silently vanished; the key
+    and the budget join are now null-safe via _O14_NULL_KEY /
+    eqNullSafe). See the block comment above for the two-pass
+    fixed-domain plan."""
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
@@ -822,22 +827,31 @@ def o14_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry_entries: list = []
     for src, pids in sums.items():
         acc = 0
+        skey = _O14_NULL_KEY if src is None else src
         for pid, s in sorted(pids):
-            carry_entries += [F.lit(f"{src}|{pid}"), F.lit(acc)]
+            carry_entries += [F.lit(f"{skey}|{pid}"), F.lit(acc)]
             acc += s
     carry = F.element_at(
         F.create_map(*carry_entries),
-        F.concat_ws("|", F.col("source"), F.col("_pid")),
+        F.concat_ws(
+            "|", F.coalesce(F.col("source"), F.lit(_O14_NULL_KEY)), F.col("_pid")
+        ),
     )
     # pass 2: within-range running sum + carry-in = exact per-source
-    # cumulative token count in global hash order
+    # cumulative token count in global hash order (a NULL source is one
+    # partition group like any other)
     w_run = Window.partitionBy("source", "_pid").orderBy(
         F.col("h").asc(), F.col("doc_id").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = ranged.withColumn("ctok", F.sum("tok").over(w_run) + carry)
     keep = F.col("ctok") <= F.col("budget_tok")
+    b = F.broadcast(
+        budgets.select(
+            F.col("source").alias("_bsrc"), "tok_total", "budget_tok"
+        )
+    )
     return (
-        cum.join(F.broadcast(budgets), "source")
+        cum.join(b, F.col("source").eqNullSafe(F.col("_bsrc")))
         .groupBy("source", "tok_total", "budget_tok")
         .agg(
             F.count_if(keep).cast("bigint").alias("n_kept"),
@@ -846,3 +860,15 @@ def o14_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tok"),
         )
     )
+
+
+@register("o14_token_budget_mix", _O14_ORACLE)
+def o14_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture cut: 40% of the corpus' tokens, split
+    across sources by sqrt-temperature weights, filled greedily per
+    source in portable hash order (see the block comment for the
+    two-pass fixed-domain plan). Output: one audit row per source
+    (source, tok_total, budget_tok, n_kept, kept_tok); the oracle
+    restates the greedy prefix as the naive per-source window, so the
+    hash gate proves the carry-in composition exact."""
+    return token_budget_mix(load_tables(spark, sf_dir).documents)

@@ -1636,10 +1636,15 @@ def quantile_gate(scores: DataFrame, frac: float) -> DataFrame:
         )
     )
     # branch 1: strictly above / strictly below the boundary — a pure
-    # broadcast-filtered scan, no shuffle of the corpus
+    # broadcast-filtered scan, no shuffle of the corpus. The filter is
+    # null-safe (round-11 ADVICE): a NULL score is not the boundary
+    # score, lands here, fails the > comparison and routes to 'drop' —
+    # matching the oracle, where DESC NULLS LAST ranks NULL scores past
+    # every real score. (Contract edge: a corpus whose scores are ALL
+    # NULL has no boundary and emits no rows.)
     others = (
         scores.crossJoin(F.broadcast(boundary))
-        .filter(F.col("score_ppm") != F.col("t_star"))
+        .filter(~F.col("score_ppm").eqNullSafe(F.col("t_star")))
         .select(
             "doc_id",
             "score_ppm",

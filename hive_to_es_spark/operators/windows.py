@@ -1378,13 +1378,25 @@ def peak_concurrency(ev: DataFrame) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.min("tus").alias("a"), F.max("tus").alias("b"))
     )
-    starts = sess.select(
-        "user_id", F.col("a").alias("tus"), F.lit(1).cast("int").alias("delta")
-    )
-    ends = sess.select(
-        "user_id", F.col("b").alias("tus"), F.lit(-1).cast("int").alias("delta")
-    )
-    bnd = starts.unionByName(ends)
+    # one-pass boundary stream (r11-verdict task 3): a single explode
+    # off the session aggregate emits both boundary rows, so the
+    # user_id Exchange + session window + agg subtree runs ONCE — the
+    # previous two-select union instantiated it twice (ReuseExchange
+    # does not collapse the differing projections above the agg),
+    # doubling the dominant cost at scale.
+    bnd = sess.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("tus"), F.lit(1).cast("int").alias("delta")
+                ),
+                F.struct(
+                    F.col("b").alias("tus"), F.lit(-1).cast("int").alias("delta")
+                ),
+            )
+        ).alias("_e"),
+    ).select("user_id", "_e.tus", "_e.delta")
     lo, hi = bnd.agg(F.min("tus"), F.max("tus")).first()
     if lo is None:  # empty source: zero days, not a TypeError below
         return bnd.select(

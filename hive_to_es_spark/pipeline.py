@@ -31,17 +31,29 @@ from hive_to_es_spark.io import es_writer_options, load_tables
 TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
 
 
+# Per-process token: every operator that writes a derived artifact and
+# reads it back does so within one call, so scoping scratch paths to
+# the process (in addition to the sf_dir digest below) makes CONCURRENT
+# sessions against the SAME sf_dir safe too — without it, one session's
+# overwrite could interleave with another's read-back (observed round
+# 11 as a transient s18 failure when tools/check.py ran alongside
+# pytest).
+_PROC_TOKEN = f"{os.getpid():x}"
+
+
 def dataset_tmp_path(name: str, sf_dir: str) -> str:
     """Scratch path for data DERIVED from a source dataset, keyed on
-    the RESOLVED source path (sha256 suffix): two sessions running the
-    same operator against different sf_dirs must never interleave one
-    directory's overwrite-write with the other's read-back. Same
-    scheme as b4's bucketed-table names; use this helper instead of a
-    bare TMP_ROOT join whenever the written bytes depend on sf_dir."""
+    the RESOLVED source path (sha256 suffix) AND the current process:
+    sessions running the same operator against different sf_dirs — or
+    two concurrent sessions against the SAME sf_dir — must never
+    interleave one directory's overwrite-write with the other's
+    read-back. Same digest scheme as b4's bucketed-table names; use
+    this helper instead of a bare TMP_ROOT join whenever the written
+    bytes depend on sf_dir."""
     import hashlib
 
     digest = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return os.path.join(TMP_ROOT, f"{name}_{digest}")
+    return os.path.join(TMP_ROOT, f"{name}_{digest}_{_PROC_TOKEN}")
 
 
 @dataclass(frozen=True)

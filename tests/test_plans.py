@@ -972,6 +972,15 @@ def test_w20_no_single_partition_exchange(spark, sf_dir):
     plan = _simple_plan(spark, sf_dir, "w20_peak_concurrency")
     assert "SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # round-12 one-pass boundary stream: the sessionize subtree
+    # (user_id Exchange + lag/sum windows + session agg) must appear
+    # exactly ONCE — both boundary rows come off a single explode, not
+    # a two-select union that instantiates the subtree twice.
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    # 3 Window operators total: lag (session break), running session
+    # id, and the pass-2 per-range running sum — a 4th means the
+    # duplicated subtree crept back.
+    assert plan.count("+- Window") == 3, plan
 
 
 def test_o14_running_sum_partitioned_by_source_and_range(spark, sf_dir):

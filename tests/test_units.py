@@ -2609,3 +2609,98 @@ def test_peak_concurrency_edge_geometries(spark):
     #   peak 2, starts 2.
     # day 2: u1's last zero-length session -> +1 then -1: peak 1.
     assert got == {0: (2, 3), 1: (2, 2), 2: (1, 1)}, got
+
+
+def test_o14_null_source_stratum_kept(spark):
+    """o14's carry-in key and budget join must be null-safe (round-11
+    ADVICE): a NULL source is a stratum like any other — its audit row
+    must appear with the exact greedy-cut values, verified against a
+    pure-Python replay of the whole mixture cut."""
+    import hashlib
+    import math
+
+    from hive_to_es_spark.operators.sort_set import token_budget_mix
+
+    rows = [
+        (1, "web", "a b c d e f g h"),
+        (2, "web", "a b c d"),
+        (3, None, "x y z w v u"),
+        (4, None, "x y"),
+        (5, None, "q r s t u v w x y z"),
+        (6, "book", "m n o p q r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: (r.tok_total, r.budget_tok, r.n_kept, r.kept_tok)
+        for r in token_budget_mix(df).collect()
+    }
+
+    # pure-Python replay of the contract
+    toks = [
+        (
+            did,
+            src,
+            len(text.split(" ")),
+            int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16),
+        )
+        for did, src, text in rows
+    ]
+    totals: dict = {}
+    for _, src, tok, _h in toks:
+        totals[src] = totals.get(src, 0) + tok
+    wts = {s: math.floor(math.sqrt(t) * 1_000_000) for s, t in totals.items()}
+    sw, gt = sum(wts.values()), sum(totals.values())
+    expected = {}
+    for src, t in totals.items():
+        budget = (gt * 2 * wts[src]) // (sw * 5)
+        ordered = sorted((x for x in toks if x[1] == src), key=lambda x: (x[3], x[0]))
+        ctok = n_kept = kept = 0
+        for did, _, tok, _h in ordered:
+            ctok += tok
+            if ctok <= budget:
+                n_kept += 1
+                kept += tok
+        expected[src] = (t, budget, n_kept, kept)
+    assert got == expected, (got, expected)
+    assert None in got, "NULL-source stratum missing from the audit"
+
+
+def test_t20_null_scores_route_to_drop(spark):
+    """quantile_gate on a frame with NULL scores (round-11 ADVICE): a
+    NULL score must surface as an explicit 'drop' row — the old
+    non-null-safe boundary filter silently removed the doc from the
+    output entirely."""
+    from hive_to_es_spark.operators.text_ext import quantile_gate
+
+    rows = [(1, 900), (2, 800), (3, 700), (4, None), (5, None), (6, 600)]
+    df = spark.createDataFrame(rows, "doc_id long, score_ppm long")
+    got = {r.doc_id: r.decision for r in quantile_gate(df, 0.30).collect()}
+    # quota = ceil(0.3 * 6) = 2 -> docs 1,2 keep; 3,6 drop; NULLs drop
+    assert got == {1: "keep", 2: "keep", 3: "drop", 4: "drop", 5: "drop", 6: "drop"}, got
+
+
+def test_dataset_tmp_path_is_process_scoped():
+    """Two concurrent sessions against the SAME sf_dir must use
+    disjoint scratch paths (round-11 verdict: a transient s18 failure
+    when check.py ran alongside pytest) — the path embeds a
+    per-process token, so a sibling process computes a different one."""
+    import subprocess
+    import sys
+
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+
+    mine = dataset_tmp_path("s18_index", "/root/testdata/sf0.01")
+    theirs = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from hive_to_es_spark.pipeline import dataset_tmp_path;"
+            "print(dataset_tmp_path('s18_index', '/root/testdata/sf0.01'))",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+    assert mine != theirs, (mine, theirs)
+    # same dataset digest, different process token
+    assert mine.rsplit("_", 1)[0] == theirs.rsplit("_", 1)[0], (mine, theirs)
