@@ -144,6 +144,8 @@ EXTENSION = [
     "d17_semantic_dedup",
     "t20_quality_quantile_gate",
     "e13_stream_decontaminate",
+    # round 12: repeated-span removal (two gram passes + per-row edit)
+    "d18_span_dedup",
     # round 11 batch 3: the two-pass interval-stabbing census (w9's
     # sessionize + carry-in running sum — two collect roundtrips) and
     # the fixed-domain token-budget mixture cut
@@ -262,16 +264,39 @@ def main() -> int:
     for name in FLAGSHIPS + EXTENSION:
         per_query[name] = _bench_one(spark, qs, name)
     flagship_total = round(sum(per_query[n] for n in FLAGSHIPS), 4)
+    # The driver records only the TAIL of stdout, so the per-round
+    # artifact must stay compact enough that the gate-relevant numbers
+    # (flagship total + per-flagship seconds) always survive capture —
+    # round 11's artifact truncated them out when the extended set
+    # outgrew the window (r11 verdict task 8). The stdout line now
+    # carries the 7 flagships + roll-ups only; the FULL per-query
+    # detail (extension set included) is written to
+    # BENCH_latest_full.json next to this script every run.
+    full = {
+        "metric": "flagship_total_sec",
+        "value": flagship_total,
+        "unit": "sec",
+        "queries": per_query,
+        "extended_total_sec": round(sum(per_query[n] for n in EXTENSION), 4),
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_latest_full.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
     print(
         json.dumps(
             {
                 "metric": "flagship_total_sec",
                 "value": flagship_total,
                 "unit": "sec",
-                "queries": per_query,
+                "queries": {n: per_query[n] for n in FLAGSHIPS},
                 "extended_total_sec": round(
                     sum(per_query[n] for n in EXTENSION), 4
                 ),
+                "full_detail": "BENCH_latest_full.json",
                 "sf": sf,
                 # Round-4 VERDICT asked for the r3->r4 extended-set
                 # drift (s2 1.8x, d1 1.74x, d6 1.55x, w4 1.61x, e1

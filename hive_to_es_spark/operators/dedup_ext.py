@@ -1804,3 +1804,140 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pcos") * 1e6).cast("bigint").alias("partner_cos_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d18: repeated-span REMOVAL — the ExactSubstr side of Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499): where d11/d12 (NearDup) drop whole near-duplicate
+# DOCUMENTS, ExactSubstr-class dedup cuts the repeated SPANS out of
+# documents that otherwise survive, because verbatim passages repeated
+# across the corpus are what a model memorizes even when the documents
+# around them differ. t18 MINES the repeated passages (the census);
+# d18 CONSUMES the same census as an edit: every k-token (k=5) span
+# occurring in >= 2 distinct documents is removed from every document,
+# the remaining tokens are reassembled in order, and the removed mass
+# is accounted per doc. (The paper removes 50-token spans found via a
+# suffix array over the concatenated corpus; over short fixture docs
+# the 5-gram census is the same contract — span membership by exact
+# token identity — with the blocking key being the gram itself.)
+#
+# Plan shape at 100 TB: one scan explodes per-position 5-grams into a
+# map-side-combinable census (groupBy(gram), countDistinct doc_id);
+# the hot set (df >= 2) is broadcast back onto a second gram pass and
+# the flagged START POSITIONS collapse to one bounded array per doc
+# (collect_set over <= tokens-per-doc ints). The edit itself is then
+# a pure per-row array program — expand starts to covered positions,
+# filter the token array by index, rejoin — so the corpus text never
+# shuffles at all; the only corpus-keyed exchange is the doc_id join
+# of the (smaller) flagged-positions table back to the documents scan.
+# On open-web corpora the hot-gram set needs the same census cap t13
+# documents (df ceiling / count-min guard) before broadcast.
+# ---------------------------------------------------------------------------
+
+_D18_K = 5
+_D18_MIN_DOCS = 2
+
+_D18_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  WHERE text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - {_D18_K - 1})) AS i
+  FROM d WHERE len(w) >= {_D18_K}
+),
+grams AS (
+  SELECT doc_id, i - 1 AS gpos,
+         concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS gram
+  FROM pos
+),
+hot AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= {_D18_MIN_DOCS}
+),
+flagged AS (SELECT g.doc_id, g.gpos FROM grams g JOIN hot USING (gram)),
+cov AS (
+  SELECT DISTINCT f.doc_id, f.gpos + t.k AS p
+  FROM flagged f CROSS JOIN generate_series(0, {_D18_K - 1}) t(k)
+),
+toks AS (
+  SELECT doc_id, unnest(w) AS token,
+         unnest(generate_series(1, len(w))) AS i
+  FROM d
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(c.p) AS BIGINT) AS n_removed,
+       coalesce(string_agg(t.token, ' ' ORDER BY t.i)
+                FILTER (WHERE c.p IS NULL), '') AS cleaned_text
+FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i - 1 = c.p
+GROUP BY t.doc_id
+"""
+
+
+def span_dedup(docs: DataFrame, k: int = _D18_K,
+               min_docs: int = _D18_MIN_DOCS) -> DataFrame:
+    """d18's census -> broadcast-hot-set -> per-row array edit as a
+    DataFrame-in/DataFrame-out helper (docs must carry doc_id + text;
+    NULL text is out of contract — filter it upstream), parameterized
+    so synthetic-input tests can drive the SHIPPED plan. Output:
+    (doc_id, n_tokens, n_removed, cleaned_text); overlapping flagged
+    spans remove the UNION of their positions (each token cut once)."""
+    base = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    grams = (
+        base.filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {k - 1}), i -> "
+                    f"concat_ws(' ', {', '.join(f'w[i+{j - 1}]' for j in range(k))}))"
+                )
+            ).alias("gpos", "gram"),
+        )
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gram")
+    )
+    flagged = (
+        grams.join(F.broadcast(hot), "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_set("gpos").alias("gps"))
+    )
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("gps"), F.array().cast("array<int>")),
+                lambda g: F.sequence(g, g + F.lit(k - 1)),
+            )
+        )
+    )
+    edited = base.join(flagged, "doc_id", "left").withColumn("cov", cov)
+    kept = F.filter(
+        F.transform(F.col("w"), lambda t, i: F.struct(i.alias("i"), t.alias("t"))),
+        lambda s: ~F.array_contains(F.col("cov"), s["i"]),
+    )
+    return edited.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.size("cov").cast("bigint").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("cleaned_text"),
+    )
+
+
+@register("d18_span_dedup", _D18_ORACLE)
+def d18_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-class repeated-span removal (see the block comment):
+    cut every 5-token span occurring in >= 2 distinct documents out of
+    every document, reassemble the survivors in order, and account the
+    removed token mass per doc. The oracle restates the edit as the
+    exploded token/coverage LEFT JOIN, so the hash gate proves the
+    per-row array program equals the relational replay exactly —
+    including overlapping-span unions and docs shorter than one span."""
+    return span_dedup(
+        load_tables(spark, sf_dir).documents.filter(F.col("text").isNotNull())
+    )

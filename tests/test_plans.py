@@ -998,3 +998,16 @@ def test_o14_running_sum_partitioned_by_source_and_range(spark, sf_dir):
     # straight from source to the ORDER BY columns)
     assert not re.search(r"windowspecdefinition\(source#\d+, h#", plan), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_d18_no_token_reassembly_shuffle(spark, sf_dir):
+    """d18's edit is a per-row array program: the only Generates are
+    the two gram posexplodes (census pass + hot-set probe pass) — a
+    third Generate means token-level explode/reassembly crept in. The
+    hot-gram membership probe must be a broadcast hash join, and no
+    plan may cartesian."""
+    plan = _simple_plan(spark, sf_dir, "d18_span_dedup")
+    assert plan.count("Generate") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -2704,3 +2704,38 @@ def test_dataset_tmp_path_is_process_scoped():
     assert mine != theirs, (mine, theirs)
     # same dataset digest, different process token
     assert mine.rsplit("_", 1)[0] == theirs.rsplit("_", 1)[0], (mine, theirs)
+
+
+def test_d18_span_dedup_overlap_and_union_geometry(spark):
+    """span_dedup on a hand-built corpus exercising: two docs sharing
+    one exact 5-gram (both lose exactly those 5 tokens), OVERLAPPING
+    flagged spans in one doc (union of positions — shared tokens cut
+    once), a doc shorter than one span (never edited), and a unique
+    doc (untouched). Expected values derived by hand."""
+    from hive_to_es_spark.operators.dedup_ext import span_dedup
+
+    rows = [
+        # docs 1,2: share "a b c d e" at different offsets
+        (1, "x a b c d e y"),
+        (2, "a b c d e z w q r"),
+        # docs 3,4: share BOTH "p q r s t" and "q r s t u" -> doc 3
+        # has overlapping spans covering positions 1..6 (union = 6
+        # tokens), not 10
+        (3, "m p q r s t u n o v"),
+        (4, "p q r s t u"),
+        (5, "too short"),
+        (6, "totally unique text with nothing repeated here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in span_dedup(df).collect()
+    }
+    assert got[1] == (7, 5, "x y"), got[1]
+    assert got[2] == (9, 5, "z w q r"), got[2]
+    # doc 3: flagged starts {1, 2} -> covered 1..6 (6 tokens)
+    assert got[3] == (10, 6, "m n o v"), got[3]
+    # doc 4: starts {0, 1} -> covered 0..5 = the whole doc
+    assert got[4] == (6, 6, ""), got[4]
+    assert got[5] == (2, 0, "too short"), got[5]
+    assert got[6] == (9, 0, rows[5][1]), got[6]
