@@ -145,7 +145,9 @@ EXTENSION = [
     "t20_quality_quantile_gate",
     "e13_stream_decontaminate",
     # round 12: repeated-span removal (two gram passes + per-row edit)
+    # and the Gopher rule family (pure scan-side projection)
     "d18_span_dedup",
+    "t21_repetition_rules",
     # round 11 batch 3: the two-pass interval-stabbing census (w9's
     # sessionize + carry-in running sum — two collect roundtrips) and
     # the fixed-domain token-budget mixture cut

@@ -1696,3 +1696,188 @@ def t20_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_gate(
         d.select("doc_id", score.alias("score_ppm")), _T20_KEEP_FRAC
     )
+
+
+# ---------------------------------------------------------------------------
+# t21: the Gopher repetition/format rule family (Rae et al. 2021,
+# arXiv:2112.11446, Table A1) — the document-format gates production
+# quality filtering runs ALONGSIDE t11's top-unigram rule: duplicate-
+# line fraction (> 30% drop), symbol-to-word ratio ('#' and '...'
+# mass, > 10% drop), bullet-line fraction (> 90% drop) and
+# ellipsis-line fraction (> 30% drop). One row per doc with per-rule
+# ppm metrics AND per-rule verdicts, so the policy layer can report
+# WHY a doc fell, not just that it fell; the composed corpus gate is
+# t11 ∧ t21.
+#
+# Fixture texts are punctuation-free word soup (no bullets, ellipses,
+# symbols, or newline structure), so — t10's synthetic-PII precedent —
+# the operator first RENDERS each doc deterministically from doc_id:
+# lines are t13's 3-token chunks, every 3rd line of doc_id%5==0 docs
+# is replaced by line 1 (duplicate injection), doc_id%7==0 docs get
+# every line bulleted, doc_id%11==0 docs get every 2nd line
+# ellipsis-terminated, doc_id%13==0 docs get ' ###' appended per
+# line. The decoration is mirrored token-for-token in the oracle, and
+# every rule both fires and passes somewhere on the fixtures
+# (asserted in tests). All scan-side: the whole operator is one
+# projection of array HOFs — no explode, no join, no shuffle of any
+# kind before the final (tiny) output.
+#
+# Integer discipline: every fraction is floor-ppm via exact integer
+# DIV, every verdict a pure-integer compare — no float can flip a
+# rule cross-engine.
+# ---------------------------------------------------------------------------
+
+_T21_LINE_TOKS = 3
+_T21_DUP_PPM = 300_000
+_T21_SYM_PPM = 100_000
+_T21_BULLET_PPM = 900_000
+_T21_ELLIPSIS_PPM = 300_000
+
+
+def _t21_decorated_lines_sql() -> str:
+    """The DuckDB rendering of the decorated line array — composed
+    nested CASEs so Spark and SQL share the decoration rule
+    term-for-term."""
+    base = "CASE WHEN doc_id % 5 = 0 AND i % 3 = 0 THEN ls[1] ELSE ls[i] END"
+    b = f"CASE WHEN doc_id % 7 = 0 THEN '- ' || ({base}) ELSE ({base}) END"
+    e = f"CASE WHEN doc_id % 11 = 0 AND i % 2 = 0 THEN ({b}) || '...' ELSE ({b}) END"
+    return f"CASE WHEN doc_id % 13 = 0 THEN ({e}) || ' ###' ELSE ({e}) END"
+
+
+_T21_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE text IS NOT NULL
+),
+l0 AS (
+  SELECT doc_id,
+         list_transform(range(1, (len(w) + {_T21_LINE_TOKS - 1}) // {_T21_LINE_TOKS} + 1),
+           i -> array_to_string(
+                  list_slice(w, (i-1)*{_T21_LINE_TOKS} + 1, i*{_T21_LINE_TOKS}), ' ')
+         ) AS ls
+  FROM t
+),
+dec AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ls) + 1), i -> {_t21_decorated_lines_sql()}) AS dl
+  FROM l0
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(dl) AS BIGINT) AS n_lines,
+         CAST(len(dl) - len(list_distinct(dl)) AS BIGINT) AS n_dup,
+         CAST(len(list_filter(dl, l -> starts_with(l, '- '))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(dl, l -> ends_with(l, '...'))) AS BIGINT) AS n_ell,
+         array_to_string(dl, ' ') AS fulltxt
+  FROM dec
+),
+s AS (
+  SELECT doc_id, n_lines, n_dup, n_bullet, n_ell,
+         CAST(len(string_split(fulltxt, ' ')) AS BIGINT) AS n_words,
+         CAST(length(fulltxt) - length(replace(fulltxt, '#', ''))
+              + (length(fulltxt) - length(replace(fulltxt, '...', ''))) // 3
+              AS BIGINT) AS n_sym
+  FROM m
+)
+SELECT doc_id,
+       n_dup * 1000000 // n_lines AS dup_line_ppm,
+       n_sym * 1000000 // n_words AS symbol_ppm,
+       n_bullet * 1000000 // n_lines AS bullet_ppm,
+       n_ell * 1000000 // n_lines AS ellipsis_ppm,
+       n_dup * 1000000 // n_lines <= {_T21_DUP_PPM} AS dup_ok,
+       n_sym * 1000000 // n_words <= {_T21_SYM_PPM} AS symbol_ok,
+       n_bullet * 1000000 // n_lines <= {_T21_BULLET_PPM} AS bullet_ok,
+       n_ell * 1000000 // n_lines <= {_T21_ELLIPSIS_PPM} AS ellipsis_ok,
+       CASE WHEN n_dup * 1000000 // n_lines <= {_T21_DUP_PPM}
+             AND n_sym * 1000000 // n_words <= {_T21_SYM_PPM}
+             AND n_bullet * 1000000 // n_lines <= {_T21_BULLET_PPM}
+             AND n_ell * 1000000 // n_lines <= {_T21_ELLIPSIS_PPM}
+            THEN 'keep' ELSE 'drop' END AS action
+FROM s
+"""
+
+
+def repetition_rules(docs: DataFrame, line_toks: int = _T21_LINE_TOKS) -> DataFrame:
+    """t21's render -> measure -> gate as a DataFrame-in/out helper
+    (docs must carry doc_id + non-null text). One projection of array
+    HOFs per row; see the block comment for the decoration rule."""
+    w = F.split(F.col("text"), " ")
+    n_lines0 = F.expr(
+        f"(size(split(text, ' ')) + {line_toks - 1}) DIV {line_toks}"
+    )
+    ls = F.transform(
+        F.sequence(F.lit(1), n_lines0.cast("int")),
+        lambda i: F.array_join(F.slice(w, (i - 1) * line_toks + 1, line_toks), " "),
+    )
+    d5 = F.col("doc_id") % 5 == 0
+    d7 = F.col("doc_id") % 7 == 0
+    d11 = F.col("doc_id") % 11 == 0
+    d13 = F.col("doc_id") % 13 == 0
+
+    def _decorate(x, i0):
+        i = i0 + 1  # 1-based line number, as in the oracle
+        base = F.when(d5 & (i % 3 == 0), F.element_at(F.col("_ls"), 1)).otherwise(x)
+        b = F.when(d7, F.concat(F.lit("- "), base)).otherwise(base)
+        e = F.when(d11 & (i % 2 == 0), F.concat(b, F.lit("..."))).otherwise(b)
+        return F.when(d13, F.concat(e, F.lit(" ###"))).otherwise(e)
+
+    dec = docs.withColumn("_ls", ls).withColumn(
+        "dl", F.transform(F.col("_ls"), _decorate)
+    )
+    full = F.array_join(F.col("dl"), " ")
+    stats = dec.select(
+        "doc_id",
+        F.size("dl").cast("bigint").alias("n_lines"),
+        (F.size("dl") - F.size(F.array_distinct("dl"))).cast("bigint").alias("n_dup"),
+        F.size(F.filter(F.col("dl"), lambda l: l.startswith("- ")))
+        .cast("bigint")
+        .alias("n_bullet"),
+        F.size(F.filter(F.col("dl"), lambda l: l.endswith("...")))
+        .cast("bigint")
+        .alias("n_ell"),
+        F.size(F.split(full, " ")).cast("bigint").alias("n_words"),
+        (
+            F.length(full)
+            - F.length(F.replace(full, F.lit("#"), F.lit("")))
+            + F.expr(
+                "(length(array_join(dl, ' ')) "
+                "- length(replace(array_join(dl, ' '), '...', ''))) DIV 3"
+            )
+        )
+        .cast("bigint")
+        .alias("n_sym"),
+    )
+    ppm = stats.select(
+        "doc_id",
+        F.expr("n_dup * 1000000 DIV n_lines").alias("dup_line_ppm"),
+        F.expr("n_sym * 1000000 DIV n_words").alias("symbol_ppm"),
+        F.expr("n_bullet * 1000000 DIV n_lines").alias("bullet_ppm"),
+        F.expr("n_ell * 1000000 DIV n_lines").alias("ellipsis_ppm"),
+    )
+    dup_ok = F.col("dup_line_ppm") <= _T21_DUP_PPM
+    sym_ok = F.col("symbol_ppm") <= _T21_SYM_PPM
+    bullet_ok = F.col("bullet_ppm") <= _T21_BULLET_PPM
+    ell_ok = F.col("ellipsis_ppm") <= _T21_ELLIPSIS_PPM
+    return ppm.select(
+        "*",
+        dup_ok.alias("dup_ok"),
+        sym_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ell_ok.alias("ellipsis_ok"),
+        F.when(dup_ok & sym_ok & bullet_ok & ell_ok, "keep")
+        .otherwise("drop")
+        .alias("action"),
+    )
+
+
+@register("t21_repetition_rules", _T21_ORACLE)
+def t21_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition/format rule family (see the block
+    comment): per-doc duplicate-line / symbol-ratio / bullet-line /
+    ellipsis-line ppm metrics with per-rule verdicts and the composed
+    keep/drop action, over the deterministically rendered fixture
+    corpus. Pure scan-side array HOFs — the plan has no exchange at
+    all before the output."""
+    return repetition_rules(
+        load_tables(spark, sf_dir).documents.filter(F.col("text").isNotNull())
+    )

@@ -1011,3 +1011,13 @@ def test_d18_no_token_reassembly_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_t21_is_pure_scan_side_projection(spark, sf_dir):
+    """t21's render->measure->gate is ONE projection of array HOFs
+    per row: no Exchange (nothing aggregates), no Generate (lines are
+    never exploded), no join of any kind may appear."""
+    plan = _simple_plan(spark, sf_dir, "t21_repetition_rules")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan

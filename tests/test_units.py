@@ -2739,3 +2739,47 @@ def test_d18_span_dedup_overlap_and_union_geometry(spark):
     assert got[4] == (6, 6, ""), got[4]
     assert got[5] == (2, 0, "too short"), got[5]
     assert got[6] == (9, 0, rows[5][1]), got[6]
+
+
+def test_t21_each_rule_fires_and_passes(spark, sf_dir):
+    """Non-vacuity for every Gopher rule at the fixture SF: each of
+    the four verdict columns must be False somewhere AND True
+    somewhere, and both composed actions must occur — otherwise the
+    policy layer verifies nothing."""
+    from hive_to_es_spark.registry import queries
+
+    rows = queries()["t21_repetition_rules"](spark, sf_dir).collect()
+    for col in ("dup_ok", "symbol_ok", "bullet_ok", "ellipsis_ok"):
+        vals = {getattr(r, col) for r in rows}
+        assert vals == {True, False}, (col, vals)
+    assert {r.action for r in rows} == {"keep", "drop"}
+
+
+def test_t21_decoration_geometry(spark):
+    """repetition_rules on a hand-built doc frame: doc 35 (%5 and %7)
+    gets duplicate lines AND bullets; doc 11 gets ellipses on even
+    lines; doc 13 gets ' ###' per line; doc 1 is untouched and passes
+    every rule. Metrics derived by hand."""
+    from hive_to_es_spark.operators.text_ext import repetition_rules
+
+    text12 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"  # 4 lines of 3
+    df = spark.createDataFrame(
+        [(1, text12), (11, text12), (13, text12), (35, text12)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_rules(df).collect()}
+    r1 = got[1]
+    assert (r1.dup_line_ppm, r1.symbol_ppm, r1.bullet_ppm, r1.ellipsis_ppm) == (
+        0, 0, 0, 0,
+    ), r1
+    assert r1.action == "keep"
+    # doc 11: lines 2 and 4 ellipsis-terminated -> 2/4 = 500000 ppm
+    assert got[11].ellipsis_ppm == 500_000 and not got[11].ellipsis_ok
+    # doc 13: ' ###' per line -> 3 '#' per 3-word line + 1 extra word
+    # per line: 12 '#' chars over 16 words = 750000 ppm
+    assert got[13].symbol_ppm == 750_000 and not got[13].symbol_ok
+    # doc 35: line 3 replaced by line 1 -> 1 dup in 4 lines = 250000
+    # ppm (passes at 30%), all lines bulleted -> 1000000 ppm fails
+    assert got[35].dup_line_ppm == 250_000 and got[35].dup_ok
+    assert got[35].bullet_ppm == 1_000_000 and not got[35].bullet_ok
+    assert got[35].action == "drop"
