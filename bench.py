@@ -148,6 +148,8 @@ EXTENSION = [
     # and the Gopher rule family (pure scan-side projection)
     "d18_span_dedup",
     "t21_repetition_rules",
+    # round 12: the carried-in daily peak (w20's plan + day census)
+    "w21_peak_concurrency_daily",
     # round 11 batch 3: the two-pass interval-stabbing census (w9's
     # sessionize + carry-in running sum — two collect roundtrips) and
     # the fixed-domain token-budget mixture cut
@@ -217,6 +219,8 @@ EAGER_BUILD = {
     # (pass 1 of the two-pass plan runs as a job inside the op)
     "w20_peak_concurrency",
     "o14_token_budget_mix",
+    # w21 reuses w20's two-pass plan (carry offsets collect at build)
+    "w21_peak_concurrency_daily",
 }
 
 

@@ -1360,11 +1360,14 @@ FROM r WHERE delta = 1 GROUP BY epoch_day
 """
 
 
-def peak_concurrency(ev: DataFrame) -> DataFrame:
-    """w20's core over a (user_id, event_id, tus) frame — factored
-    from the registered op so edge geometries (single-event sessions,
-    multi-day sessions, simultaneous starts across users) can be
-    pinned on synthetic inputs. See the block comment above."""
+def boundary_concurrency(ev: DataFrame) -> DataFrame | None:
+    """Sessionize + boundary stream + two-pass carry-in running sum,
+    factored from w20 so w21 can reuse it: returns one row per session
+    BOUNDARY (user_id, tus, delta, conc) where conc is the exact
+    global concurrency immediately after that boundary in
+    (tus ASC, delta DESC, user_id ASC) order; None on an empty source
+    (callers emit their own empty frame). See the block comment above
+    for why no global window appears."""
     w = Window.partitionBy("user_id").orderBy(F.col("tus").asc(), F.col("event_id").asc())
     gap = F.col("tus") - F.lag("tus").over(w)
     new_s = F.when(gap.isNull() | (gap > _W9_GAP_US), 1).otherwise(0)
@@ -1399,11 +1402,7 @@ def peak_concurrency(ev: DataFrame) -> DataFrame:
     ).select("user_id", "_e.tus", "_e.delta")
     lo, hi = bnd.agg(F.min("tus"), F.max("tus")).first()
     if lo is None:  # empty source: zero days, not a TypeError below
-        return bnd.select(
-            F.col("tus").alias("epoch_day"),
-            F.col("tus").alias("peak_concurrency"),
-            F.col("tus").alias("n_sessions_started"),
-        ).limit(0)
+        return None
     width = max(1, -(-(hi - lo + 1) // _W20_N_RANGES))  # ceil-div
     ranged = bnd.withColumn(
         "_pid", F.floor((F.col("tus") - F.lit(lo)) / F.lit(width)).cast("int")
@@ -1424,10 +1423,40 @@ def peak_concurrency(ev: DataFrame) -> DataFrame:
     w_run = Window.partitionBy("_pid").orderBy(
         F.col("tus").asc(), F.col("delta").desc(), F.col("user_id").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ranged.select(
+        "user_id",
+        "tus",
+        "delta",
+        (F.sum("delta").over(w_run) + carry).cast("bigint").alias("conc"),
+    )
+
+
+def _w20_empty(ev: DataFrame) -> DataFrame:
+    """Zero-day result frame with w20/w21's output schema."""
+    return ev.select(
+        F.lit(0).cast("bigint").alias("epoch_day"),
+        F.lit(0).cast("bigint").alias("peak_concurrency"),
+        F.lit(0).cast("bigint").alias("n_sessions_started"),
+    ).limit(0)
+
+
+def peak_concurrency(ev: DataFrame) -> DataFrame:
+    """w20's core over a (user_id, event_id, tus) frame — factored
+    from the registered op so edge geometries (single-event sessions,
+    multi-day sessions, simultaneous starts across users) can be
+    pinned on synthetic inputs. See the block comment above. Contract
+    (documented, round-11 ADVICE): the per-day peak is the maximum
+    concurrency attained at SESSION STARTS within that day — a day
+    whose true maximum is inherited from sessions carried in from
+    earlier days reports the post-start maximum only, and a day with
+    active sessions but no starts emits no row. w21
+    (peak_concurrency_daily) is the carried-in variant."""
+    conc = boundary_concurrency(ev)
+    if conc is None:
+        return _w20_empty(ev)
     day = ((F.col("tus") - F.col("tus") % _W20_DAY_US) / _W20_DAY_US).cast("bigint")
     return (
-        ranged.withColumn("conc", (F.sum("delta").over(w_run) + carry).cast("bigint"))
-        .filter(F.col("delta") == 1)
+        conc.filter(F.col("delta") == 1)
         .groupBy(day.alias("epoch_day"))
         .agg(
             F.max("conc").alias("peak_concurrency"),
@@ -1444,6 +1473,138 @@ def w20_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle restates it as the naive global running sum, so the hash
     gate proves the carry-in composition exact."""
     return peak_concurrency(
+        load_tables(spark, sf_dir)
+        .events.filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("tus"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# w21: TRUE per-day peak concurrency (round 12, r11-ADVICE medium).
+# w20's contract reports the peak attained AT SESSION STARTS within
+# each day — a day whose maximum is inherited from sessions carried in
+# from earlier days understates it, and a day with active sessions but
+# no boundaries emits no row at all. w21 is the carried-in variant the
+# capacity planner actually wants: every day from the first to the
+# last session boundary where anything is active gets a row, each day
+# seeded with the concurrency carried across midnight.
+#
+# Identity it rests on: the concurrency step function attains a local
+# maximum only (a) immediately after a +1 boundary or (b) at the start
+# of the day (the carried-in value), so
+#   peak(day) = greatest(carry_in, max conc over the day's +1 rows),
+# and carry_in(day) = conc after the LAST boundary of the previous
+# present day (constant across boundary-free gap days). The day
+# CENSUS (one row per day with any boundary) is bounded by the time
+# domain — a few thousand rows for years of data at ANY corpus size —
+# so the lag/lead prefix over it is the a19/w10 tiny-input window
+# class, never a corpus-sized one; gap days materialize from a
+# per-row sequence() explode bounded by the same domain.
+# ---------------------------------------------------------------------------
+
+# The oracle reuses w20's sessionize/boundary/running-sum CTE chain
+# verbatim (string-sliced, the d14 discipline — the contracts cannot
+# drift), then adds the day census + carry/gap-fill layer.
+_W21_ORACLE = _W20_ORACLE[: _W20_ORACLE.index("SELECT CAST(tus //")].rstrip() + f""",
+rd AS (
+  SELECT tus, delta, user_id, conc,
+         CAST(tus // {_W20_DAY_US} AS BIGINT) AS d,
+         row_number() OVER (PARTITION BY tus // {_W20_DAY_US}
+                            ORDER BY tus DESC, delta ASC, user_id DESC) AS rn
+  FROM r
+),
+days AS (
+  SELECT d,
+         CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_started,
+         max(conc) FILTER (WHERE delta = 1) AS mas,
+         max(conc) FILTER (WHERE rn = 1) AS end_conc
+  FROM rd GROUP BY d
+),
+census AS (
+  SELECT d, n_started, mas, end_conc,
+         coalesce(lag(end_conc) OVER (ORDER BY d), 0) AS carry,
+         lead(d) OVER (ORDER BY d) AS nxt
+  FROM days
+)
+SELECT d AS epoch_day,
+       CAST(greatest(coalesce(mas, carry), carry) AS BIGINT) AS peak_concurrency,
+       n_started AS n_sessions_started
+FROM census
+UNION ALL
+SELECT unnest(generate_series(d + 1, nxt - 1)) AS epoch_day,
+       CAST(end_conc AS BIGINT) AS peak_concurrency,
+       CAST(0 AS BIGINT) AS n_sessions_started
+FROM census WHERE nxt IS NOT NULL AND nxt > d + 1 AND end_conc > 0
+"""
+
+
+def peak_concurrency_daily(ev: DataFrame) -> DataFrame:
+    """w21's core over a (user_id, event_id, tus) frame — the
+    carried-in per-day peak (see the block comment). Output schema is
+    w20's: (epoch_day, peak_concurrency, n_sessions_started)."""
+    conc = boundary_concurrency(ev)
+    if conc is None:
+        return _w20_empty(ev)
+    day = ((F.col("tus") - F.col("tus") % _W20_DAY_US) / _W20_DAY_US).cast("bigint")
+    # last boundary of the day in (tus ASC, delta DESC, user_id ASC)
+    # order = max of (tus, -delta, user_id); unique per row (one user
+    # cannot hold two identical boundaries at one tus)
+    last_ord = F.struct(
+        F.col("tus"), (-F.col("delta")).alias("late"), F.col("user_id")
+    )
+    days = conc.groupBy(day.alias("d")).agg(
+        F.count_if(F.col("delta") == 1).cast("bigint").alias("n_started"),
+        F.max(F.when(F.col("delta") == 1, F.col("conc"))).alias("mas"),
+        F.max_by("conc", last_ord).alias("end_conc"),
+    )
+    # day-census prefix: bounded by the time domain (a19/w10 class)
+    w_day = Window.orderBy(F.col("d").asc())
+    census = days.select(
+        "*",
+        F.coalesce(F.lag("end_conc").over(w_day), F.lit(0)).alias("carry"),
+        F.lead("d").over(w_day).alias("nxt"),
+    )
+    # one-pass emission (the w20 union lesson): the present-day row and
+    # its trailing gap-day rows explode off the SAME census row, so the
+    # sessionize/carry/census subtree is instantiated once — a
+    # present ∪ gaps union would recompute it per branch.
+    present_struct = F.struct(
+        F.col("d").alias("epoch_day"),
+        F.greatest(F.coalesce(F.col("mas"), F.col("carry")), F.col("carry"))
+        .cast("bigint")
+        .alias("peak_concurrency"),
+        F.col("n_started").alias("n_sessions_started"),
+    )
+    gap_arr = F.when(
+        F.col("nxt").isNotNull()
+        & (F.col("nxt") > F.col("d") + 1)
+        & (F.col("end_conc") > 0),
+        F.transform(
+            F.sequence(F.col("d") + 1, F.col("nxt") - 1),
+            lambda g: F.struct(
+                g.alias("epoch_day"),
+                F.col("end_conc").cast("bigint").alias("peak_concurrency"),
+                F.lit(0).cast("bigint").alias("n_sessions_started"),
+            ),
+        ),
+    )
+    typed_empty = F.slice(F.array(present_struct), 1, 0)
+    return census.select(
+        F.explode(
+            F.concat(F.array(present_struct), F.coalesce(gap_arr, typed_empty))
+        ).alias("_r")
+    ).select("_r.*")
+
+
+@register("w21_peak_concurrency_daily", _W21_ORACLE.format(gap=_W9_GAP_US))
+def w21_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True per-day peak concurrent sessions with cross-midnight
+    carry-in and boundary-free active days filled (see the block
+    comment; w20 is the peaks-at-starts variant). The oracle restates
+    the same day census over the naive global running sum, so the
+    hash gate proves both the carry-in composition AND the day
+    seeding/gap-fill exact."""
+    return peak_concurrency_daily(
         load_tables(spark, sf_dir)
         .events.filter(F.col("ts").isNotNull())
         .select("user_id", "event_id", F.unix_micros("ts").alias("tus"))

@@ -40,6 +40,11 @@ UNPARTITIONED_WINDOW_OK = {
     # only the boundary-score tie group — its own plan test pins the
     # window count and the census aggregate underneath.
     "t20_quality_quantile_gate",
+    # w21's lag/lead prefix runs over the DAY census (one row per day
+    # with any session boundary — bounded by the time domain, a few
+    # thousand rows for years of data at any corpus size); its own
+    # plan test pins the day aggregate underneath it.
+    "w21_peak_concurrency_daily",
 }
 
 
@@ -1021,3 +1026,16 @@ def test_t21_is_pure_scan_side_projection(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_w21_single_sessionize_and_census_only_windows(spark, sf_dir):
+    """w21 reuses w20's one-pass boundary stream (one user_id
+    Exchange, sessionize subtree once) and adds exactly ONE more
+    window — the lag/lead prefix over the DAY census, which must sit
+    above the day Aggregate (bounded input), bringing the total to 4:
+    session lag, session running sum, pass-2 running sum, census
+    prefix."""
+    plan = _simple_plan(spark, sf_dir, "w21_peak_concurrency_daily")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert plan.count("+- Window") == 4, plan
+    assert "CartesianProduct" not in plan, plan

@@ -2783,3 +2783,55 @@ def test_t21_decoration_geometry(spark):
     assert got[35].dup_line_ppm == 250_000 and got[35].dup_ok
     assert got[35].bullet_ppm == 1_000_000 and not got[35].bullet_ok
     assert got[35].action == "drop"
+
+
+def test_w21_carried_in_daily_peaks_vs_w20(spark):
+    """The ADVICE-r11 scenario pinned: a multi-day session makes (a)
+    boundary-free middle days emit carried-peak rows, (b) a day whose
+    only boundary is an END report the carried concurrency, and (c) a
+    day whose post-start maximum is BELOW the carried-in concurrency
+    report the carry — all places w20's peaks-at-starts contract
+    understates or omits. Expected values derived by hand."""
+    from hive_to_es_spark.operators.windows import (
+        _W20_DAY_US,
+        peak_concurrency,
+        peak_concurrency_daily,
+    )
+
+    D = _W20_DAY_US
+    ev = []
+    eid = 0
+
+    def sess(uid, *times):
+        nonlocal eid
+        for t in times:
+            ev.append((uid, (eid := eid + 1), t))
+
+    sess(1, 0, D // 2, D, 3 * D // 2, 2 * D, 5 * D // 2, 3 * D, 7 * D // 2, 4 * D)
+    sess(2, 0, D // 4)
+    sess(3, D // 4)
+    sess(4, 5 * D, 11 * D // 2, 6 * D, 6 * D + D // 4)
+    sess(7, 5 * D, 11 * D // 2, 6 * D, 6 * D + 3 * D // 8)
+    sess(5, 5 * D, 5 * D + D // 4)
+    sess(6, 6 * D + D // 2)
+    df = spark.createDataFrame(ev, "user_id long, event_id long, tus long")
+    got21 = {
+        r.epoch_day: (r.peak_concurrency, r.n_sessions_started)
+        for r in peak_concurrency_daily(df).collect()
+    }
+    assert got21 == {
+        0: (3, 3),  # three starts, peak after u3's start
+        1: (1, 0),  # gap days: u1 alone, carried
+        2: (1, 0),
+        3: (1, 0),
+        4: (1, 0),  # only u1's END — w20 emits nothing for this day
+        5: (3, 3),
+        6: (2, 1),  # carry 2 (u4,u7) > post-start max 1 (u6)
+    }, got21
+    got20 = {
+        r.epoch_day: (r.peak_concurrency, r.n_sessions_started)
+        for r in peak_concurrency(df).collect()
+    }
+    # w20's documented contract on the same frame: start-days only,
+    # day-6 peak sampled at u6's start AFTER the carried sessions ended
+    assert got20 == {0: (3, 3), 5: (3, 3), 6: (1, 1)}, got20
