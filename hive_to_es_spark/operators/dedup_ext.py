@@ -1726,16 +1726,15 @@ FROM assigned s LEFT JOIN dominated dm ON s.vec_id = dm.v
 """
 
 
-@register("d17_semantic_dedup", _D17_ORACLE)
-def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup (SemDeDup): per-vector keep/drop decision with
-    the dominating neighbor as evidence. See the block comment above
-    for the decision rule and the 100 TB shape. Output: (vec_id, cell,
-    action, partner, partner_cos_ppm) — partner is the minimal-id
-    dominating neighbor of a dropped vector, NULL for keeps."""
+def semantic_dedup(e: DataFrame) -> DataFrame:
+    """d17's core over an embeddings frame (vec_id, embedding, label)
+    — factored from the registered op so the SCALE ladder can drive it
+    over a GROWN-codebook corpus (tools/scale_d17_grownk.py: k ∝ n
+    cells, the IVF sizing discipline the 100 TB argument rests on).
+    The codebook is the per-label centroid table, so cell count scales
+    with the label domain of the input."""
     from hive_to_es_spark.operators.similarity import _ivf_codebook, _l2
 
-    e = load_tables(spark, sf_dir).embeddings
     codebook = _ivf_codebook(e)
     vecs = e.select("vec_id", _dbl("embedding").alias("evec"))
     w = Window.partitionBy("vec_id").orderBy(
@@ -1804,6 +1803,16 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pcos") * 1e6).cast("bigint").alias("partner_cos_ppm"),
         )
     )
+
+
+@register("d17_semantic_dedup", _D17_ORACLE)
+def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup): per-vector keep/drop decision with
+    the dominating neighbor as evidence. See the block comment above
+    for the decision rule and the 100 TB shape. Output: (vec_id, cell,
+    action, partner, partner_cos_ppm) — partner is the minimal-id
+    dominating neighbor of a dropped vector, NULL for keeps."""
+    return semantic_dedup(load_tables(spark, sf_dir).embeddings)
 
 
 # ---------------------------------------------------------------------------
