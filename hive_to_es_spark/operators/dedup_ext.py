@@ -1581,12 +1581,15 @@ def incremental_neardup(
             f"ACCEPTED; raise rows_per_band/n_hashes (more bands) or "
             f"the threshold for complete boundary recall."
         )
-        warnings.warn(msg, UserWarning, stacklevel=2)
-        # warnings dedup per call site; logging does not — in a
-        # per-micro-batch ingest loop the log line would fire every
-        # batch (round-10 advice), so emit it once per process
+        # Once per PROCESS for both channels (round-11 ADVICE nit:
+        # warnings.warn dedups per call SITE, so five call sites each
+        # surfaced it once in the pytest summary; logging dedups not
+        # at all — in a per-micro-batch ingest loop it would fire
+        # every batch, round-10 advice). The recall trade is a
+        # property of the configuration, not of the caller.
         global _SUBHALF_THRESHOLD_LOGGED
         if not _SUBHALF_THRESHOLD_LOGGED:
+            warnings.warn(msg, UserWarning, stacklevel=2)
             _LOG.warning(msg)
             _SUBHALF_THRESHOLD_LOGGED = True
     sh_inc = materialize(
