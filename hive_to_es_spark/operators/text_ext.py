@@ -1881,3 +1881,227 @@ def t21_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_rules(
         load_tables(spark, sf_dir).documents.filter(F.col("text").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# t22: DSIR — Data Selection via Importance Resampling (Xie et al.
+# 2023, arXiv:2302.03169). The data-SELECTION counterpart of the
+# quality gates above: instead of scoring documents against absolute
+# heuristics (t4) or the corpus's own LM (t8), DSIR scores each raw
+# document by how much MORE likely its hashed n-gram features are
+# under a TARGET-domain distribution than under the raw-corpus
+# distribution, and keeps the documents whose importance weight
+# clears a threshold. The paper's recipe: features = unigrams +
+# bigrams hashed into a fixed B-bucket space, bag-of-hashed-ngrams
+# unigram models with add-1 smoothing over buckets, importance
+# weight = sum over feature OCCURRENCES of
+# log p_target(bucket) - log p_raw(bucket).
+#
+# Fixture note (the t21/t10 rendering precedent): every fixture lang
+# shares ONE 31-word vocabulary, so no natural column carries a
+# lexical domain signal. The op therefore RENDERS a deterministic
+# latent domain from doc_id, mirrored term-for-term in the oracle:
+# target docs (doc_id % 3 = 0) carry one extra 'dom<k>' token per 4
+# words, doc_id % 7 = 0 non-target docs one per 6 (weak contamination
+# — the raw docs DSIR exists to find), everyone else none.
+#
+# Selection rule: add-1 smoothing over B buckets puts a systematic
+# NEGATIVE drift on every ordinary-token occurrence (tt + B inflates
+# the target model proportionally more than tr + B inflates the raw
+# one), and the drift's magnitude moves with corpus size — so no
+# absolute threshold on the raw sum separates the classes at every
+# SF. The self-calibrating gate DSIR's top-fraction resampling
+# implies: a doc is selected iff its PER-FEATURE mean log-ratio
+# exceeds the CORPUS per-occurrence mean. The corpus mean needs no
+# extra corpus pass — sum(s)/sum(n_features) over docs == the
+# census-weighted mean sum(cr*lrat)/sum(cr) over the <=B bucket rows
+# (both are sum-over-occurrences / count-of-occurrences), so it falls
+# out of the same bounded census. Measured at sf0.001/0.01/0.1: 100%
+# of target docs select, most weak-contaminated docs select, clean
+# docs land below the mean with a handful of near-boundary
+# exceptions — non-vacuous in both directions at every SF.
+#
+# Why hashed buckets (and why this scales): the two "models" are
+# censuses over a CONSTANT domain of B=4096 buckets — at 100 TB the
+# census aggregate still map-combines every partition down to <=B
+# partial rows, and the finished log-ratio table is a <=B-row
+# broadcast. The corpus is touched exactly twice, both times as a
+# straight scan: once to count buckets (census pass), once to score
+# (explode -> broadcast-hash probe -> per-doc partial sum); the only
+# corpus-keyed exchange in the whole plan is the final groupBy(doc_id)
+# whose partial aggregate already collapsed each task to its local
+# doc set. Both distributions come out of ONE census pass
+# (count FILTER), not two scans.
+#
+# Cross-engine determinism: buckets use the md5-prefix idiom
+# (sort_set.hash_bucket, same 60-bit trick as o4/d3); the float sum of
+# per-occurrence log-ratios is rounded to 4 dp exactly like t8's
+# lm_score (per-term ln() may differ by <=1 ulp between libm and
+# java.lang.Math — the documented 1e-13-class noise the rounding
+# absorbs). `selected` thresholds the ROUNDED score so the verdict
+# can never disagree across engines.
+_T22_B = 4096
+_T22_DOM_EVERY_TGT = 4  # one rendered domain token per 4 words (target)
+_T22_DOM_EVERY_WEAK = 6  # ... per 6 words (doc_id%7 contaminated raw docs)
+
+_T22_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+feats AS (
+  SELECT doc_id, doc_id % 3 = 0 AS is_target,
+         list_concat(
+           list_concat(
+             w, list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+           ),
+           list_transform(
+             range(1, CASE WHEN doc_id % 3 = 0
+                             THEN len(w) // {_T22_DOM_EVERY_TGT}
+                           WHEN doc_id % 7 = 0
+                             THEN len(w) // {_T22_DOM_EVERY_WEAK}
+                           ELSE 0 END + 1),
+             i -> 'dom' || CAST((doc_id * 31 + 7 * i) % 16 AS VARCHAR)
+           )
+         ) AS fs
+  FROM t
+),
+occ AS (
+  SELECT doc_id, is_target,
+         CAST(concat('0x', substr(md5(unnest(fs)), 1, 15)) AS BIGINT)
+           % {_T22_B} AS b
+  FROM feats
+),
+census AS (
+  SELECT b,
+         CAST(count(*) AS BIGINT) AS cr,
+         CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS ct
+  FROM occ GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt
+  FROM census
+),
+lr AS (
+  SELECT b, cr,
+         ln((ct + 1.0) / (tt + {_T22_B}.0))
+           - ln((cr + 1.0) / (tr + {_T22_B}.0)) AS lrat
+  FROM census, tot
+),
+gm AS (SELECT sum(cr * lrat) / sum(cr) AS mu FROM lr)
+SELECT o.doc_id,
+       CAST(count(*) AS BIGINT) AS n_features,
+       round(sum(lr.lrat), 4) AS dsir_logratio,
+       round(sum(lr.lrat) / count(*) - any_value(gm.mu), 4) AS dsir_rel,
+       round(sum(lr.lrat) / count(*) - any_value(gm.mu), 4) > 0 AS selected
+FROM occ o JOIN lr USING (b), gm
+GROUP BY o.doc_id
+"""
+
+
+def dsir_features(text_col: str = "text"):
+    """Unigram + bigram + rendered-domain feature array of
+    lower(text) — the DSIR hashed-ngram feature stream, one entry per
+    OCCURRENCE (counts matter; no dedup). See the block comment for
+    the deterministic domain rendering."""
+    w = F.split(F.lower(F.col(text_col)), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(
+            "_", F.element_at(w, i), F.element_at(w, i + 1)
+        ),
+    )
+    n_dom = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.floor(F.size(w) / _T22_DOM_EVERY_TGT).cast("int"),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.floor(F.size(w) / _T22_DOM_EVERY_WEAK).cast("int"),
+        )
+        .otherwise(F.lit(0))
+    )
+    # Spark's sequence(1, 0) steps DOWNWARD ([1, 0]) instead of
+    # returning the empty array DuckDB's range(1, 1) does — guard the
+    # zero-token case explicitly.
+    dom = F.when(
+        n_dom > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_dom),
+            lambda i: F.concat(
+                F.lit("dom"),
+                ((F.col("doc_id") * 31 + 7 * i) % 16).cast("string"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(w, bigrams, dom)
+
+
+@register("t22_dsir_importance", _T22_ORACLE)
+def t22_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (see block comment): per-doc hashed
+    unigram+bigram log-likelihood ratio of the rendered target-domain
+    model vs the raw-corpus model (add-1 smoothing over B=4096
+    buckets), with `selected` = per-feature mean ratio above the
+    corpus per-occurrence mean (self-calibrating at any SF).
+
+    Plan shape (pinned): two Generates (census explode + scoring
+    explode) and nothing else corpus-sized. The model totals (tr/tt)
+    and the corpus mean (mu) are UNPARTITIONED WINDOW sums over the
+    census — bounded by the CONSTANT B=4096 bucket domain at any
+    corpus size, the t20 exemption class — so the census subtree is
+    instantiated exactly once and (b, lrat, mu) broadcasts as one
+    table (a naive scalar-aggregate formulation re-derives the census
+    4x, 5 corpus scans instead of 2). One BroadcastHashJoin probe,
+    final partial-aggregated groupBy(doc_id). No cartesian, no
+    corpus-keyed window, no sort."""
+    from hive_to_es_spark.operators.sort_set import hash_bucket
+
+    d = (
+        load_tables(spark, sf_dir)
+        .documents.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 3 == 0).alias("is_target"),
+            F.explode(dsir_features()).alias("f"),
+        )
+        .select("doc_id", "is_target", hash_bucket("f", _T22_B).alias("b"))
+    )
+    census = d.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("cr"),
+        F.count_if(F.col("is_target")).cast("bigint").alias("ct"),
+    )
+    everything = Window.partitionBy()  # <=B census rows by construction
+    lr = census.select(
+        "b",
+        "cr",
+        (
+            F.log(
+                (F.col("ct") + 1.0)
+                / (F.sum("ct").over(everything) + float(_T22_B))
+            )
+            - F.log(
+                (F.col("cr") + 1.0)
+                / (F.sum("cr").over(everything) + float(_T22_B))
+            )
+        ).alias("lrat"),
+    ).select(
+        "b",
+        "lrat",
+        (
+            F.sum(F.col("cr") * F.col("lrat")).over(everything)
+            / F.sum("cr").over(everything)
+        ).alias("mu"),
+    )
+    rel = F.round(F.sum("lrat") / F.count("*") - F.any_value("mu"), 4)
+    return (
+        d.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_features"),
+            F.round(F.sum("lrat"), 4).alias("dsir_logratio"),
+            rel.alias("dsir_rel"),
+            (rel > 0).alias("selected"),
+        )
+    )

@@ -45,6 +45,11 @@ UNPARTITIONED_WINDOW_OK = {
     # thousand rows for years of data at any corpus size); its own
     # plan test pins the day aggregate underneath it.
     "w21_peak_concurrency_daily",
+    # t22's two unpartitioned window sums (model totals + corpus mean)
+    # run over the hashed-feature CENSUS — bounded by the constant
+    # B=4096 bucket domain at any corpus size; its own plan test pins
+    # the census aggregate underneath and the 2-Generate corpus cost.
+    "t22_dsir_importance",
 }
 
 
@@ -1039,3 +1044,19 @@ def test_w21_single_sessionize_and_census_only_windows(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
     assert plan.count("+- Window") == 4, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_t22_two_scans_bounded_windows_broadcast_probe(spark, sf_dir):
+    """t22's corpus work is exactly two Generates (census explode +
+    scoring explode); the model totals and corpus mean are the two
+    unpartitioned windows over the <=B=4096-row census (bounded by the
+    constant bucket domain), and the log-ratio table reaches the
+    scoring side as a BroadcastHashJoin — a scalar-aggregate
+    formulation would re-derive the census subtree 4x (5 corpus scans)
+    and plan BroadcastNestedLoopJoins instead."""
+    plan = _simple_plan(spark, sf_dir, "t22_dsir_importance")
+    assert plan.count("Generate") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") == 2, plan

@@ -2835,3 +2835,29 @@ def test_w21_carried_in_daily_peaks_vs_w20(spark):
     # w20's documented contract on the same frame: start-days only,
     # day-6 peak sampled at u6's start AFTER the carried sessions ended
     assert got20 == {0: (3, 3), 5: (3, 3), 6: (1, 1)}, got20
+
+
+def test_t22_dsir_selects_target_and_contaminated(spark, sf_dir):
+    """DSIR's gate must (a) select EVERY rendered target doc, (b) pull
+    in a nonzero share of the weak-contaminated raw docs (what the op
+    exists to find), and (c) leave most clean raw docs below the
+    corpus-mean importance — non-vacuous in both directions on the
+    raw slice."""
+    from hive_to_es_spark.registry import queries
+
+    rows = {
+        r["doc_id"]: r
+        for r in queries()["t22_dsir_importance"](spark, sf_dir).collect()
+    }
+    target = [r for d, r in rows.items() if d % 3 == 0]
+    weak = [r for d, r in rows.items() if d % 3 != 0 and d % 7 == 0]
+    clean = [r for d, r in rows.items() if d % 3 != 0 and d % 7 != 0]
+    assert target and weak and clean
+    assert all(r["selected"] for r in target)
+    n_weak_sel = sum(r["selected"] for r in weak)
+    assert 0 < n_weak_sel  # contamination detected...
+    n_clean_sel = sum(r["selected"] for r in clean)
+    assert n_clean_sel < len(clean) / 2  # ...without flooding the gate
+    # per-feature mean centering: dsir_rel is the selection statistic
+    for r in rows.values():
+        assert r["selected"] == (r["dsir_rel"] > 0)
