@@ -811,3 +811,209 @@ def x14_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("keep_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x15: domain PageRank — the canonical link-graph quality prior of web
+# corpus curation (Page et al. 1999; used by Common-Crawl-derived
+# pipelines to weight/filter domains before document-level gates).
+# Complements the graph ladder: d7/d9/d12 CLOSE components (reach-
+# ability), x15 runs a weighted fixed-point ON the graph (influence).
+# Five damped iterations (d = 0.85), dangling mass redistributed
+# uniformly — the standard formulation, cut to a fixed round budget so
+# the oracle can unroll it as chained CTEs (t16's discipline).
+#
+# Fixture note (t21/t10 rendering precedent): documents carries no
+# link column, so the edge list is RENDERED deterministically and
+# mirrored in the oracle: each doc contributes one link
+# src = doc_id % 64 -> dst = md5-bucket(doc_id) % 64 (the o4 idiom —
+# the md5 side depends on the FULL doc_id, not just its residue, so
+# in-degrees vary and the stationary ranks are non-uniform;
+# self-loops dropped).
+#
+# Integer-exact cross-engine arithmetic (the money.py discipline —
+# no float sums to drift): ranks live in parts-per-billion, edge
+# weights are pre-normalized to wppm = w * 1e6 DIV out_weight <= 1e6
+# ONCE (so the per-iteration product r * wppm <= 1e9 * 1e6 = 1e15
+# cannot overflow bigint AT ANY CORPUS SIZE — normalizing per
+# iteration instead would put the raw count w in the product and wrap
+# at web-scale edge weights), per-edge contribution
+# r * wppm DIV 1e6, update r' = (1e9 - d_ppb) DIV N
+# + 850 * (contrib + dang DIV N) DIV 1000. Floor-division mass leak
+# is deterministic and identical in both engines.
+#
+# Scale shape (100 TB): the corpus is touched ONCE — the (src, dst)
+# edge census is one map-combinable groupBy; everything after runs on
+# |domains|-bounded tables (edges, out-weights, ranks), so five
+# iterations cost five domain-keyed shuffle joins of ~1e7-row tables,
+# independent of corpus row count. The edge table is materialized
+# once (lifecycle.materialize localCheckpoint; pass a checkpoint_dir
+# for the reliable-storage tier on a real cluster) because every
+# iteration joins it — without that the corpus census would re-execute
+# per reference, exactly the d7 lesson. N (node count) is the one
+# driver-side scalar: a bounded 1-row collect, the documented class.
+_X15_DOMAINS = 64
+_X15_ITERS = 5
+_X15_DAMP_PPK = 850  # damping in parts-per-thousand
+
+
+def _x15_iteration_sql(i: int) -> str:
+    """One unrolled PageRank round as oracle CTEs (t16's generated-
+    chain discipline — constants shared with the Spark side)."""
+    return f"""
+c{i} AS (
+  SELECT e.dst AS v, CAST(sum(r{i - 1}.r * e.wppm // 1000000) AS BIGINT) AS c
+  FROM e JOIN r{i - 1} ON e.src = r{i - 1}.v GROUP BY e.dst
+),
+d{i} AS (
+  SELECT CAST(coalesce(sum(CASE WHEN NOT has_out THEN r END), 0) AS BIGINT)
+         AS dang
+  FROM r{i - 1}
+),
+r{i} AS (
+  SELECT r{i - 1}.v, r{i - 1}.has_out,
+         CAST((1000000000 - {_X15_DAMP_PPK} * 1000000) // n
+              + {_X15_DAMP_PPK} * (coalesce(c{i}.c, 0) + d{i}.dang // n)
+                // 1000 AS BIGINT) AS r
+  FROM r{i - 1} LEFT JOIN c{i} ON r{i - 1}.v = c{i}.v, nn, d{i}
+)"""
+
+
+_X15_ORACLE = (
+    f"""
+WITH e0 AS (
+  SELECT doc_id % {_X15_DOMAINS} AS src,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_X15_DOMAINS} AS dst
+  FROM documents
+),
+ew AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM e0 WHERE src <> dst GROUP BY src, dst
+),
+ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM ew GROUP BY src),
+e AS (
+  SELECT ew.src, ew.dst, ew.w * 1000000 // ow.ow AS wppm
+  FROM ew JOIN ow USING (src)
+),
+nodes AS (
+  SELECT DISTINCT v
+  FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (
+  SELECT nodes.v, ow.src IS NOT NULL AS has_out,
+         CAST(1000000000 // n AS BIGINT) AS r
+  FROM nodes LEFT JOIN ow ON nodes.v = ow.src, nn
+),"""
+    + ",".join(_x15_iteration_sql(i) for i in range(1, _X15_ITERS + 1))
+    + f"""
+SELECT v AS domain, r AS rank_ppb FROM r{_X15_ITERS}
+"""
+)
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = _X15_ITERS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Integer-ppb damped PageRank over an (src, dst, w) weighted edge
+    DataFrame (see block comment for the exact update rule). Returns
+    (v, has_out, r) — rank in parts-per-billion after `iterations`
+    damped rounds. Self-loops must already be dropped; parallel edges
+    should be pre-aggregated into w.
+
+    Loop discipline (graph.py's): every round's rank table is
+    materialized eagerly and the previous round released — each round
+    references its predecessor three times (contribution join,
+    dangling-mass aggregate, node carry), so an unbroken lazy chain
+    re-instantiates round r-k's subtree 3^k times; harmless on a
+    64-domain fixture, a real shuffle storm on a 1e7-domain web
+    graph."""
+    from hive_to_es_spark.functions.lifecycle import (
+        materialize,
+        release_checkpoint,
+    )
+
+    ow = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("ow"))
+    e = materialize(
+        edges.join(ow, "src").select(
+            "src", "dst", F.expr("w * 1000000 DIV ow").alias("wppm")
+        ),
+        checkpoint_dir,
+    )
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    out_srcs = e.select("src").distinct()
+    n = nodes.count()  # bounded |domains|-scalar (1-row collect class)
+    ranks = nodes.join(out_srcs, nodes.v == out_srcs.src, "left").select(
+        "v",
+        F.col("src").isNotNull().alias("has_out"),
+        F.lit(1_000_000_000 // n).cast("bigint").alias("r"),
+    )
+    base = (1_000_000_000 - _X15_DAMP_PPK * 1_000_000) // n
+    prev = None  # previous round's checkpoint, released once superseded
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.select(F.col("v").alias("src"), "r"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r * wppm DIV 1000000")).cast("bigint").alias("c"))
+        )
+        dang = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(~F.col("has_out"), F.col("r"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("dang")
+        )
+        ranks = materialize(
+            ranks.select("v", "has_out")
+            .join(contrib, F.col("v") == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "v",
+                "has_out",
+                F.expr(
+                    f"CAST({base} + {_X15_DAMP_PPK} * (coalesce(c, 0)"
+                    f" + dang DIV {n}) DIV 1000 AS BIGINT)"
+                ).alias("r"),
+            ),
+            checkpoint_dir,
+        )
+        if prev is not None:
+            release_checkpoint(prev)
+        prev = ranks
+    if prev is not None:
+        # The returned frame reads only the FINAL round's checkpoint —
+        # the edge table is dead now (graph.py's convergence release).
+        # (iterations=0 returns the initial ranks, which still READ e.)
+        release_checkpoint(e)
+    return ranks
+
+
+@register("x15_domain_pagerank", _X15_ORACLE)
+def x15_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain PageRank (see block comment): 5 damped integer-ppb
+    iterations over the deterministically rendered 64-domain link
+    graph, dangling mass redistributed uniformly. The corpus is read
+    once (edge census); every iteration runs on the |domains|-bounded
+    edge/rank tables."""
+    d = load_tables(spark, sf_dir).documents
+    from hive_to_es_spark.operators.sort_set import hash_bucket
+
+    edges = (
+        d.select(
+            (F.col("doc_id") % _X15_DOMAINS).alias("src"),
+            hash_bucket("doc_id", _X15_DOMAINS).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    return pagerank(edges).select(
+        F.col("v").alias("domain"), F.col("r").alias("rank_ppb")
+    )

@@ -1060,3 +1060,15 @@ def test_t22_two_scans_bounded_windows_broadcast_probe(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Window") == 2, plan
+
+
+def test_x15_iterations_read_checkpoints_not_corpus(spark, sf_dir):
+    """x15's five PageRank rounds must run on the materialized
+    |domains|-bounded tables: the FINAL plan reads only checkpoint
+    RDDs (the corpus parquet scan happened exactly once, inside the
+    eager edge-census materialization) and plans no CartesianProduct —
+    the per-round dangling-mass frames are 1-row broadcasts."""
+    plan = _simple_plan(spark, sf_dir, "x15_domain_pagerank")
+    assert "ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -2861,3 +2861,41 @@ def test_t22_dsir_selects_target_and_contaminated(spark, sf_dir):
     # per-feature mean centering: dsir_rel is the selection statistic
     for r in rows.values():
         assert r["selected"] == (r["dsir_rel"] > 0)
+
+
+def test_x15_pagerank_dangling_vs_python_replay(spark):
+    """Exact replay of the integer-ppb update on a hand-built graph
+    whose fixture-rendered counterpart never occurs: a dangling node
+    (in-links, no out-links), an unequal-weight fan-out, and a
+    no-inlink source. The pure-Python replay implements the update
+    rule independently; ranks must match EXACTLY (integer arithmetic,
+    no float tolerance)."""
+    from hive_to_es_spark.operators.scalars import pagerank
+
+    #   1 -> 2 (w=3), 1 -> 3 (w=1), 2 -> 3 (w=1); 3 dangling; 1 no inlinks
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (2, 3, 1)], "src long, dst long, w long"
+    )
+    got = {r["v"]: (r["has_out"], r["r"]) for r in pagerank(edges).collect()}
+
+    nodes, n = [1, 2, 3], 3
+    wppm = {(1, 2): 3 * 1_000_000 // 4, (1, 3): 1_000_000 // 4, (2, 3): 1_000_000}
+    has_out = {1: True, 2: True, 3: False}
+    r = {v: 1_000_000_000 // n for v in nodes}
+    base = (1_000_000_000 - 850_000_000) // n
+    for _ in range(5):
+        contrib = {v: 0 for v in nodes}
+        for (s, d), w in wppm.items():
+            contrib[d] += r[s] * w // 1_000_000
+        dang = sum(r[v] for v in nodes if not has_out[v])
+        r = {v: base + 850 * (contrib[v] + dang // n) // 1000 for v in nodes}
+    assert got == {v: (has_out[v], r[v]) for v in nodes}
+    # sanity on the rendered-corpus key itself: full mass ~1e9, spread
+    from hive_to_es_spark.registry import queries
+
+    rows = queries()["x15_domain_pagerank"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(x["rank_ppb"] for x in rows)
+    assert 0.99e9 < total <= 1e9  # floor-leak only
+    assert len({x["rank_ppb"] for x in rows}) > 1  # non-uniform
