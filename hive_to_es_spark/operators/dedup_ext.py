@@ -1953,3 +1953,112 @@ def d18_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(
         load_tables(spark, sf_dir).documents.filter(F.col("text").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# d19: cross-source overlap matrix — the provenance/duplication report
+# corpus curation runs BEFORE mixing sources: for every source pair,
+# how much content do they share (same articles syndicated, mirrored
+# crawls, re-scraped dumps)? Feeds o6/o14's mixture weights (double-
+# counted mass inflates a source's effective epoch) and decides which
+# source pairs to route through the d11/d12 near-dup ladder at all.
+# Content key = the shared 8-word-prefix fingerprint (o11/o13's ONE
+# spelling — full-text md5 is near-vacuous on fixtures and too strict
+# in practice: syndicated copies differ in tails).
+#
+# Scale shape (100 TB): the Spark plan never self-joins the
+# fingerprint table. distinct(fp, source) collapses the corpus
+# map-side; ONE groupBy(fp) collect_set builds the per-fingerprint
+# source set (bounded by |sources| — a curated registry, dozens not
+# millions); unordered pairs explode from that array scan-side
+# (<= |sources|²/2 per fingerprint) into a map-combined pair count
+# whose output is at most |sources|² rows; per-source totals broadcast
+# back. The ORACLE deliberately restates the semantics as the naive
+# fp-equijoin self-join (a DIFFERENT algorithm, so a bug in the
+# array-pair program cannot hide in a mirrored oracle).
+# Jaccard in integer ppm (n_shared·1e6 DIV (n_a + n_b − n_shared)) —
+# no float seam.
+_D19_ORACLE = """
+WITH fp AS (
+  SELECT DISTINCT
+    md5(array_to_string(string_split(lower(text), ' ')[1:8], ' ')) AS f,
+    source
+  FROM documents WHERE text IS NOT NULL
+),
+per_src AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_shared,
+       pa.n AS n_a, pb.n AS n_b,
+       n_shared * 1000000 // (pa.n + pb.n - n_shared) AS jaccard_ppm
+FROM shared
+JOIN per_src pa ON pa.source = source_a
+JOIN per_src pb ON pb.source = source_b
+"""
+
+
+@register("d19_source_overlap", _D19_ORACLE)
+def d19_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix (see block comment): one
+    row per unordered source pair sharing at least one 8-word-prefix
+    fingerprint, with shared-fingerprint count, per-source distinct
+    totals and integer-ppm Jaccard.
+
+    Plan: distinct → ONE collect_set aggregate keyed on the
+    fingerprint → scan-side pair explosion from the (bounded,
+    sorted) source array → map-combined pair count → two broadcast
+    probes for the per-source totals. No self-join anywhere."""
+    from hive_to_es_spark.operators.sort_set import prefix_fingerprint
+
+    fp = (
+        load_tables(spark, sf_dir)
+        .documents.filter(F.col("text").isNotNull())
+        .select(prefix_fingerprint().alias("f"), "source")
+        .distinct()
+    )
+    per_src = fp.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    src_sets = fp.groupBy("f").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    pairs = src_sets.filter(F.size("ss") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ss"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                        lambda y: F.struct(
+                            x.alias("source_a"), y.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    shared = pairs.groupBy("p.source_a", "p.source_b").agg(
+        F.count("*").cast("bigint").alias("n_shared")
+    )
+    pa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("n_shared * 1000000 DIV (n_a + n_b - n_shared)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

@@ -1072,3 +1072,17 @@ def test_x15_iterations_read_checkpoints_not_corpus(spark, sf_dir):
     assert "ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_d19_no_self_join_pairs_from_collect_set(spark, sf_dir):
+    """d19's pair matrix must come from the scan-side array program
+    over ONE collect_set aggregate — a fingerprint self-join
+    (SortMergeJoin/ShuffledHashJoin on f) is the shape the design
+    avoids; the only joins are the two broadcast per-source-total
+    probes."""
+    plan = _simple_plan(spark, sf_dir, "d19_source_overlap")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan  # the pair explosion

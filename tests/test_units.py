@@ -2899,3 +2899,40 @@ def test_x15_pagerank_dangling_vs_python_replay(spark):
     total = sum(x["rank_ppb"] for x in rows)
     assert 0.99e9 < total <= 1e9  # floor-leak only
     assert len({x["rank_ppb"] for x in rows}) > 1  # non-uniform
+
+
+def test_d19_pair_program_hand_frame(spark):
+    """The array pair-explosion must emit every unordered source pair
+    exactly once per shared fingerprint, with correct ppm Jaccard —
+    pinned on a hand-built frame with a 3-source fingerprint (3 pairs),
+    a 2-source one and two singletons (no pairs)."""
+    from hive_to_es_spark.registry import queries
+    import os
+    import tempfile
+
+    # fp F1 in s1,s2,s3 via identical 8-word prefixes; F2 in s1,s2
+    t1 = "alpha beta gamma delta epsilon zeta eta theta tail-%d"
+    t2 = "one two three four five six seven eight tail-%d"
+    docs = [
+        (1, t1 % 1, "s1"), (2, t1 % 2, "s2"), (3, t1 % 3, "s3"),
+        (4, t2 % 4, "s1"), (5, t2 % 5, "s2"),
+        (6, "unique a b c d e f g h", "s1"),
+        (7, "another q w e r t y u i", "s3"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "documents.parquet")
+        df.coalesce(1).write.parquet(path)
+        got = {
+            (r.source_a, r.source_b): (r.n_shared, r.n_a, r.n_b, r.jaccard_ppm)
+            for r in queries()["d19_source_overlap"](spark, d).collect()
+        }
+    # s1: {F1,F2,u} n=3; s2: {F1,F2} n=2; s3: {F1,a} n=2
+    assert got == {
+        ("s1", "s2"): (2, 3, 2, 2_000_000 // 3),      # J = 2/3
+        ("s1", "s3"): (1, 3, 2, 1_000_000 // 4),      # J = 1/4
+        ("s2", "s3"): (1, 2, 2, 1_000_000 // 3),      # J = 1/3
+    }
