@@ -155,6 +155,13 @@ EXTENSION = [
     # the fixed-domain token-budget mixture cut
     "w20_peak_concurrency",
     "o14_token_budget_mix",
+    # round 12 batch 2: DSIR hashed-ngram selection (two feature
+    # explodes + bounded-census model tables), integer-ppb PageRank
+    # (eager edge census + 5 checkpointed domain-table rounds), and
+    # the cross-source overlap matrix (collect_set + pair explosion)
+    "t22_dsir_importance",
+    "x15_domain_pagerank",
+    "d19_source_overlap",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -221,6 +228,9 @@ EAGER_BUILD = {
     "o14_token_budget_mix",
     # w21 reuses w20's two-pass plan (carry offsets collect at build)
     "w21_peak_concurrency_daily",
+    # x15 runs the eager edge-census materialization + 5 checkpointed
+    # PageRank rounds at build time — rebuild prices the whole loop
+    "x15_domain_pagerank",
 }
 
 

@@ -624,19 +624,24 @@ def line_dedup(docs: DataFrame, line_toks: int = _T13_LINE_TOKS,
     the hypothesis property test drives the SHIPPED plan rather than
     an inline copy that could drift (round-7 advice). Output columns:
     doc_id, n_lines, n_dropped, cleaned_text."""
-    toks = F.split(F.col("text"), " ")
-    n_lines = F.expr(
-        f"(size(split(text, ' ')) + {line_toks - 1}) DIV {line_toks}"
-    )
+    # Tokens materialize as a column BEFORE the chunking lambda: Spark
+    # does not CSE inside lambda functions, so an inline split() makes
+    # every per-line slice re-split the whole text — O(n_lines *
+    # n_tokens) per document (the t22 lesson; word_shingles' arrays_zip
+    # note is the same finding).
+    toks = F.col("_toks")
+    n_lines = F.expr(f"(size(_toks) + {line_toks - 1}) DIV {line_toks}")
     lines_arr = F.transform(
         F.sequence(F.lit(1), n_lines.cast("int")),
         lambda i: F.array_join(
             F.slice(toks, (i - 1) * line_toks + 1, line_toks), " "
         ),
     )
-    lines = docs.select(
-        "doc_id", F.posexplode(lines_arr).alias("pos", "line")
-    ).select("doc_id", (F.col("pos") + 1).alias("line_no"), "line")
+    lines = (
+        docs.withColumn("_toks", F.split(F.col("text"), " "))
+        .select("doc_id", F.posexplode(lines_arr).alias("pos", "line"))
+        .select("doc_id", (F.col("pos") + 1).alias("line_no"), "line")
+    )
     boiler = (
         lines.groupBy("line")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -1801,10 +1806,11 @@ def repetition_rules(docs: DataFrame, line_toks: int = _T21_LINE_TOKS) -> DataFr
     """t21's render -> measure -> gate as a DataFrame-in/out helper
     (docs must carry doc_id + non-null text). One projection of array
     HOFs per row; see the block comment for the decoration rule."""
-    w = F.split(F.col("text"), " ")
-    n_lines0 = F.expr(
-        f"(size(split(text, ' ')) + {line_toks - 1}) DIV {line_toks}"
-    )
+    # _toks materializes before the chunking lambda — inline split()
+    # would re-split per line inside the transform (no CSE in lambdas;
+    # the t13/t22 lesson).
+    w = F.col("_toks")
+    n_lines0 = F.expr(f"(size(_toks) + {line_toks - 1}) DIV {line_toks}")
     ls = F.transform(
         F.sequence(F.lit(1), n_lines0.cast("int")),
         lambda i: F.array_join(F.slice(w, (i - 1) * line_toks + 1, line_toks), " "),
@@ -1821,8 +1827,10 @@ def repetition_rules(docs: DataFrame, line_toks: int = _T21_LINE_TOKS) -> DataFr
         e = F.when(d11 & (i % 2 == 0), F.concat(b, F.lit("..."))).otherwise(b)
         return F.when(d13, F.concat(e, F.lit(" ###"))).otherwise(e)
 
-    dec = docs.withColumn("_ls", ls).withColumn(
-        "dl", F.transform(F.col("_ls"), _decorate)
+    dec = (
+        docs.withColumn("_toks", F.split(F.col("text"), " "))
+        .withColumn("_ls", ls)
+        .withColumn("dl", F.transform(F.col("_ls"), _decorate))
     )
     full = F.array_join(F.col("dl"), " ")
     stats = dec.select(
@@ -1999,12 +2007,21 @@ GROUP BY o.doc_id
 """
 
 
-def dsir_features(text_col: str = "text"):
-    """Unigram + bigram + rendered-domain feature array of
-    lower(text) — the DSIR hashed-ngram feature stream, one entry per
-    OCCURRENCE (counts matter; no dedup). See the block comment for
-    the deterministic domain rendering."""
-    w = F.split(F.lower(F.col(text_col)), " ")
+def dsir_features(tokens_col: str = "_w"):
+    """Unigram + bigram + rendered-domain feature array over a
+    PRE-MATERIALIZED token-array column — the DSIR hashed-ngram
+    feature stream, one entry per OCCURRENCE (counts matter; no
+    dedup). See the block comment for the deterministic domain
+    rendering.
+
+    Why a column and not split(text) inline: Spark does NOT
+    common-subexpression-eliminate inside lambda functions, so an
+    inline split makes every element_at(w, i) in the bigram transform
+    re-split the whole text — O(n_tokens²) splits per document
+    (measured: 6.1s for the explode alone at sf0.1 vs 0.3s over a
+    materialized column). The oracle's CTE materializes w for the
+    same reason."""
+    w = F.col(tokens_col)
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(w) - 1),
         lambda i: F.concat_ws(
@@ -2064,7 +2081,10 @@ def t22_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.col("doc_id") % 3 == 0).alias("is_target"),
-            F.explode(dsir_features()).alias("f"),
+            F.split(F.lower(F.col("text")), " ").alias("_w"),
+        )
+        .select(
+            "doc_id", "is_target", F.explode(dsir_features("_w")).alias("f")
         )
         .select("doc_id", "is_target", hash_bucket("f", _T22_B).alias("b"))
     )

@@ -62,6 +62,28 @@ OPS = [
         "per-doc hit count (was: per-row broadcast-array intersect, "
         "7.07s at k=1 in the r11 addendum row)",
     ),
+    (
+        "t22_dsir_importance",
+        2.0,
+        "two feature explodes (census + scoring) linear in token mass; "
+        "model tables bounded by the constant B=4096 bucket domain, "
+        "broadcast back",
+    ),
+    (
+        "x15_domain_pagerank",
+        2.0,
+        "one map-combined edge census scan is the only corpus-sized "
+        "work; all 5 iterations run on the 64-domain tables "
+        "(constant under the ladder), so small-k rungs are "
+        "iteration-overhead-floored",
+    ),
+    (
+        "d19_source_overlap",
+        2.0,
+        "distinct + collect_set linear in docs; pair mass bounded by "
+        "|sources|^2 regardless of corpus size (ladder copies reuse "
+        "the same 20 sources, so output rows are CONSTANT)",
+    ),
 ]
 
 
