@@ -693,6 +693,115 @@ def t13_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(load_tables(spark, sf_dir).documents)
 
 
+# ---------------------------------------------------------------------------
+# d20: paragraph-level keep-first dedup — the CCNet rule (Wenzek et
+# al. 2020): hash every paragraph, keep ONLY the first occurrence in
+# corpus order, drop every later instance (across documents AND
+# within one). The third exact-dedup granularity: d1 drops duplicate
+# DOCUMENTS, t13 removes lines whose corpus frequency crosses a
+# threshold (both instances of a df=2 line survive t13; neither
+# survives if df>=3), d20 keeps exactly one instance of every
+# paragraph ever seen. "First" is the deterministic total order
+# (doc_id, para_no) — CCNet's file-order made distributed: the
+# survivor set is a pure function of content, independent of
+# partitioning or execution order. Paragraphs are the t13 chunker
+# (_T13_LINE_TOKS-token chunks; real corpora swap in split('\n')) so
+# the two operators' contracts stay coupled.
+#
+# Scale shape (100 TB): exactly d1's class — a hash-partitioned
+# window (row_number over PARTITION BY para), never a pair stream or
+# a census broadcast (the distinct-paragraph set is corpus-sized,
+# NOT broadcastable — what makes this op different from t13's plan).
+# Two data-sized shuffles total: the para-keyed window exchange and
+# the doc_id reassembly groupBy. Both map-combine nothing away but
+# carry only (doc_id, para_no, para) rows. Hot paragraphs (the empty
+# string, boilerplate) are bounded skew: a window partition is one
+# paragraph's instance list, and the heaviest possible partition is
+# the df of the most-duplicated paragraph — salt-and-two-phase it if
+# a profiler flags one (j12's recipe).
+_D20_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         (len(string_split(text, ' ')) + {_T13_LINE_TOKS - 1}) // {_T13_LINE_TOKS}
+           AS nl
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         CAST(unnest(range(1, nl + 1)) AS BIGINT) AS para_no,
+         unnest(list_transform(range(1, nl + 1),
+           i -> array_to_string(tk[(i - 1) * {_T13_LINE_TOKS} + 1
+                                   : i * {_T13_LINE_TOKS}], ' '))) AS para
+  FROM toks
+),
+ranked AS (
+  SELECT doc_id, para_no, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, para_no) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+       coalesce(
+         string_agg(para, ' ' ORDER BY para_no) FILTER (WHERE rn = 1), ''
+       ) AS cleaned_text
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+def paragraph_dedup(
+    docs: DataFrame, line_toks: int = _T13_LINE_TOKS
+) -> DataFrame:
+    """d20's chunk -> global keep-first -> reassembly plan as a
+    DataFrame-in/out helper (docs must carry doc_id + text); chunker
+    and reassembly are t13's (line_dedup) so the two contracts cannot
+    drift. Output columns: doc_id, n_paras, n_dropped,
+    cleaned_text."""
+    toks = F.col("_toks")
+    nl = F.expr(f"(size(_toks) + {line_toks - 1}) DIV {line_toks}")
+    paras_arr = F.transform(
+        F.sequence(F.lit(1), nl.cast("int")),
+        lambda i: F.array_join(
+            F.slice(toks, (i - 1) * line_toks + 1, line_toks), " "
+        ),
+    )
+    paras = (
+        docs.withColumn("_toks", F.split(F.col("text"), " "))
+        .select("doc_id", F.posexplode(paras_arr).alias("pos", "para"))
+        .select("doc_id", (F.col("pos") + 1).alias("para_no"), "para")
+    )
+    w = Window.partitionBy("para").orderBy("doc_id", "para_no")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("para_no"), F.col("para"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_paras"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+@register("d20_paragraph_dedup", _D20_ORACLE)
+def d20_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet keep-first paragraph dedup (see block comment): one
+    global instance of every paragraph survives, chosen by the
+    deterministic (doc_id, para_no) order; documents reassemble from
+    their surviving paragraphs. d1's hash-partitioned-window scale
+    class — two data-sized shuffles, no census broadcast, no pair
+    stream."""
+    return paragraph_dedup(load_tables(spark, sf_dir).documents)
+
+
 # t14 — graded contamination: t9's boolean gate -> per-doc overlap
 # fraction + release action, over ALL corpus docs (0-hit docs too).
 _T14_ORACLE = """

@@ -1086,3 +1086,19 @@ def test_d19_no_self_join_pairs_from_collect_set(spark, sf_dir):
     assert "ShuffledHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Generate" in plan, plan  # the pair explosion
+
+
+def test_d20_window_keyed_on_para_no_join(spark, sf_dir):
+    """d20 is d1's hash-partitioned-window class: the survivor pick
+    must be a window PARTITIONED BY the paragraph (never an
+    unpartitioned rank, never a census join like t13's — the distinct
+    paragraph set is corpus-sized and must not broadcast). One
+    Generate (the chunk posexplode), no join of any kind."""
+    import re
+
+    plan = _plan(spark, sf_dir, "d20_paragraph_dedup")
+    assert re.search(r"windowspecdefinition\(para#\d+", plan), plan
+    simple = _simple_plan(spark, sf_dir, "d20_paragraph_dedup")
+    assert simple.count("Generate") == 1, simple
+    assert "Join" not in simple, simple
+    assert "CartesianProduct" not in simple, simple

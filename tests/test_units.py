@@ -2936,3 +2936,29 @@ def test_d19_pair_program_hand_frame(spark):
         ("s1", "s3"): (1, 3, 2, 1_000_000 // 4),      # J = 1/4
         ("s2", "s3"): (1, 2, 2, 1_000_000 // 3),      # J = 1/3
     }
+
+
+def test_d20_keep_first_across_and_within_docs(spark):
+    """The CCNet keep-first rule on a hand-built frame: a chunk
+    repeated across docs survives only in the earliest doc; a chunk
+    repeated within one doc survives only at its earliest position;
+    t13 (df>=3 removal) would treat both differently."""
+    from hive_to_es_spark.operators.text_ext import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # paras: "a b c", "d e f"
+            (2, "a b c x y z"),       # "a b c" dropped (doc 1 has it)
+            (3, "p q r p q r"),       # second "p q r" dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_dropped, r.cleaned_text)
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got == {
+        1: (2, 0, "a b c d e f"),
+        2: (2, 1, "x y z"),
+        3: (2, 1, "p q r"),
+    }
