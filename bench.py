@@ -162,6 +162,11 @@ EXTENSION = [
     "t22_dsir_importance",
     "x15_domain_pagerank",
     "d19_source_overlap",
+    # round 12 batch 3: keep-first paragraph dedup (the para-keyed
+    # window + reassembly, d1's class at paragraph grain) and the 2-D
+    # grid hotspot census (one corpus agg + census-sized neighborhood)
+    "d20_paragraph_dedup",
+    "a23_grid_hotspots",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -231,6 +236,9 @@ EAGER_BUILD = {
     # x15 runs the eager edge-census materialization + 5 checkpointed
     # PageRank rounds at build time — rebuild prices the whole loop
     "x15_domain_pagerank",
+    # a23 materializes its cell census (the corpus-sized aggregate) at
+    # build — rebuild prices the census scan, not just the tiny tail
+    "a23_grid_hotspots",
 }
 
 

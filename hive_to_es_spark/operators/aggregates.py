@@ -890,3 +890,159 @@ def a22_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("slope_den") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# a23: grid hotspot census — spatial density reporting (the Getis-Ord
+# /KDE-lite primitive of geo-analytics engines): bucket points into a
+# fixed grid, compare every cell's mass against its 3x3 neighborhood,
+# flag cells denser than 2x their local average. The capability class
+# none of the other aggregates cover: a17/a21 bin ONE dimension; a23
+# is the 2-D binned census plus a LOCAL (neighborhood) comparison —
+# the report that decides where a radius-join (or a skew salt) is
+# even worth running.
+#
+# Fixture note (t21/t10 rendering precedent): events carries no
+# coordinates, so points are RENDERED deterministically from
+# event_id, mirrored in the oracle — 1 in 5 events snaps into one of
+# 5 single-cell "hubs" (hub index (event_id DIV 5) % 5), the rest
+# scatter uniformly over the 32x32 grid via the o4 md5 idiom with
+# distinct salts per axis. Uniform background ~= a few points/cell,
+# hubs = hundreds — exactly 5 hotspot cells at every SF, plus flat
+# cells, so the flag is non-vacuous in both directions.
+#
+# Scale shape (100 TB): the corpus collapses in ONE map-combinable
+# groupBy(cell) census bounded by the CONSTANT grid domain (<=1024
+# rows at any corpus size); the 3x3 neighborhood is a scan-side
+# 9-way explode OVER THE CENSUS (<=9216 rows) re-aggregated by cell —
+# points never pair, the corpus never shuffles twice. The hotspot
+# rule is an integer cross-multiplication (own*9 > 2*neighborhood,
+# p18's no-float-threshold idiom); edge cells compare against their
+# truncated neighborhood as-is (deterministic both engines).
+_A23_GRID = 32  # cells per side
+_A23_CELL = 16  # units per cell side
+_A23_HUBS = 5
+
+
+def _a23_md5b_sql(expr: str, n: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {n}"
+    )
+
+
+_A23_ORACLE = f"""
+WITH pts AS (
+  SELECT CASE WHEN event_id % 5 = 0
+           THEN (4 + 6 * ((event_id // 5) % {_A23_HUBS})) * {_A23_CELL}
+                + {_a23_md5b_sql("event_id", _A23_CELL)}
+           ELSE {_a23_md5b_sql("event_id + 13", _A23_GRID * _A23_CELL)}
+         END AS x,
+         CASE WHEN event_id % 5 = 0
+           THEN (3 + 5 * ((event_id // 5) % {_A23_HUBS})) * {_A23_CELL}
+                + {_a23_md5b_sql("event_id + 7", _A23_CELL)}
+           ELSE {_a23_md5b_sql("event_id + 29", _A23_GRID * _A23_CELL)}
+         END AS y
+  FROM events
+),
+census AS (
+  SELECT x // {_A23_CELL} AS cx, y // {_A23_CELL} AS cy,
+         CAST(count(*) AS BIGINT) AS n_points
+  FROM pts GROUP BY 1, 2
+),
+spread AS (
+  SELECT census.cx + dx.d AS nx, census.cy + dy.d AS ny, n_points
+  FROM census,
+       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       (SELECT unnest([-1, 0, 1]) AS d) dy
+),
+nbhd AS (
+  SELECT nx AS cx, ny AS cy,
+         CAST(sum(n_points) AS BIGINT) AS nbhd_points,
+         CAST(count(*) AS BIGINT) AS nbhd_cells
+  FROM spread GROUP BY 1, 2
+)
+SELECT c.cx, c.cy, c.n_points, n.nbhd_points, n.nbhd_cells,
+       c.n_points * n.nbhd_cells > 2 * n.nbhd_points AS hotspot
+FROM census c JOIN nbhd n USING (cx, cy)
+"""
+
+
+@register("a23_grid_hotspots", _A23_ORACLE)
+def a23_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D grid density census with 3x3-neighborhood hotspot flags
+    (see block comment). One corpus-sized aggregate; everything after
+    runs on the constant <=32x32 cell domain.
+
+    Plan (pinned): ONE map-combined groupBy(cell) over the rendered
+    points, a 9-way Generate over the census, the census-vs-
+    neighborhood equijoin (broadcast — both sides are the bounded
+    cell table), integer cross-multiplied flag. No window, no
+    cartesian, no second corpus pass."""
+    from hive_to_es_spark.operators.sort_set import hash_bucket
+
+    e = load_tables(spark, sf_dir).events
+    eid = F.col("event_id")
+    # Integer DIV throughout — double division + cast floors correctly
+    # only below 2^53; ids/coords are bigints, keep them exact.
+    hub = F.expr("event_id DIV 5") % _A23_HUBS
+    span = _A23_GRID * _A23_CELL
+    x = F.when(
+        eid % 5 == 0,
+        (4 + 6 * hub) * _A23_CELL + hash_bucket(eid, _A23_CELL),
+    ).otherwise(hash_bucket(eid + 13, span))
+    y = F.when(
+        eid % 5 == 0,
+        (3 + 5 * hub) * _A23_CELL + hash_bucket(eid + 7, _A23_CELL),
+    ).otherwise(hash_bucket(eid + 29, span))
+    # The census is referenced twice (own side + neighborhood side);
+    # materialize the <=1024-row table so the corpus scan runs ONCE
+    # (the t22/x15 lesson — Spark re-instantiates shared subtrees).
+    from hive_to_es_spark.functions.lifecycle import materialize
+
+    census = materialize(
+        e.select(x.alias("x"), y.alias("y"))
+        .select(
+            F.expr(f"x DIV {_A23_CELL}").alias("cx"),
+            F.expr(f"y DIV {_A23_CELL}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("bigint").alias("n_points"))
+    )
+    offsets = F.array([F.lit(d) for d in (-1, 0, 1)])
+    spread = census.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    offsets,
+                    lambda dx: F.transform(
+                        offsets,
+                        lambda dy: F.struct(
+                            (F.col("cx") + dx).alias("cx"),
+                            (F.col("cy") + dy).alias("cy"),
+                            F.col("n_points").alias("n_points"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("s")
+    ).select("s.cx", "s.cy", "s.n_points")
+    nbhd = spread.groupBy("cx", "cy").agg(
+        F.sum("n_points").cast("bigint").alias("nbhd_points"),
+        F.count("*").cast("bigint").alias("nbhd_cells"),
+    )
+    # hotspot = denser than 2x the neighborhood AVERAGE over the cells
+    # actually PRESENT (cross-multiplied): lone points in empty
+    # surroundings (1*1 > 2*1 is false) and edge cells with truncated
+    # neighborhoods self-correct, where a fixed /9 average flags both.
+    return census.join(F.broadcast(nbhd), ["cx", "cy"]).select(
+        "cx",
+        "cy",
+        "n_points",
+        "nbhd_points",
+        "nbhd_cells",
+        (
+            F.col("n_points") * F.col("nbhd_cells")
+            > 2 * F.col("nbhd_points")
+        ).alias("hotspot"),
+    )

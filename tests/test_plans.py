@@ -1102,3 +1102,19 @@ def test_d20_window_keyed_on_para_no_join(spark, sf_dir):
     assert simple.count("Generate") == 1, simple
     assert "Join" not in simple, simple
     assert "CartesianProduct" not in simple, simple
+
+
+def test_a23_one_corpus_pass_census_sized_neighborhood(spark, sf_dir):
+    """a23's corpus cost is ONE map-combined census aggregate; the
+    neighborhood spread must be a Generate over the census (9 rows per
+    cell, <=9216 total) re-aggregated and broadcast back — a second
+    corpus scan or a point-level join is the shape the design avoids.
+    The census materializes (ExistingRDD) so the corpus parquet scan
+    ran exactly once at build; one Generate, one BroadcastHashJoin."""
+    simple = _simple_plan(spark, sf_dir, "a23_grid_hotspots")
+    assert "Scan parquet" not in simple, simple
+    assert "ExistingRDD" in simple, simple
+    assert simple.count("Generate") == 1, simple
+    assert "BroadcastHashJoin" in simple, simple
+    assert "CartesianProduct" not in simple, simple
+    assert "Window" not in simple, simple

@@ -2962,3 +2962,21 @@ def test_d20_keep_first_across_and_within_docs(spark):
         2: (2, 1, "x y z"),
         3: (2, 1, "p q r"),
     }
+
+
+def test_a23_hub_cells_always_flag(spark, sf_dir):
+    """The 5 rendered hub cells (hub h at cell (4+6h, 3+5h)) must flag
+    as hotspots at any SF; the overwhelming majority of cells must
+    not; and every flagged cell must actually satisfy the present-cell
+    cross-multiplied rule."""
+    from hive_to_es_spark.registry import queries
+
+    rows = queries()["a23_grid_hotspots"](spark, sf_dir).collect()
+    by_cell = {(r.cx, r.cy): r for r in rows}
+    hubs = {(4 + 6 * h, 3 + 5 * h) for h in range(5)}
+    for hub in hubs:
+        assert by_cell[hub].hotspot, hub
+    flagged = [r for r in rows if r.hotspot]
+    assert len(flagged) < len(rows) / 10  # hotspots are the exception
+    for r in rows:
+        assert r.hotspot == (r.n_points * r.nbhd_cells > 2 * r.nbhd_points)
