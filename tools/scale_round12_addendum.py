@@ -84,6 +84,21 @@ OPS = [
         "|sources|^2 regardless of corpus size (ladder copies reuse "
         "the same 20 sources, so output rows are CONSTANT)",
     ),
+    (
+        "d20_paragraph_dedup",
+        2.0,
+        "d1's hash-partitioned-window class at paragraph grain: two "
+        "data-sized shuffles (para window + doc_id reassembly); NOTE "
+        "the ladder replicates every paragraph k-fold, so the hottest "
+        "window partition grows k-fold — the op's worst-case skew",
+    ),
+    (
+        "a23_grid_hotspots",
+        2.0,
+        "one map-combined cell census (eager-materialized) is the "
+        "only corpus-sized work; the 9-way spread + equijoin run on "
+        "the constant <=1024-cell domain",
+    ),
 ]
 
 
