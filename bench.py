@@ -239,6 +239,12 @@ EAGER_BUILD = {
     # a23 materializes its cell census (the corpus-sized aggregate) at
     # build — rebuild prices the census scan, not just the tiny tail
     "a23_grid_hotspots",
+    # t22/d19/d20 have no checkpoint, but their heavy stages (feature
+    # explodes, fingerprint distinct, para window) are shuffles a
+    # repeated collect() would reuse (the d10 pitfall) — rebuild
+    "t22_dsir_importance",
+    "d19_source_overlap",
+    "d20_paragraph_dedup",
 }
 
 
