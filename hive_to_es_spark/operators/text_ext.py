@@ -2108,12 +2108,16 @@ lr AS (
 gm AS (SELECT sum(cr * lrat) / sum(cr) AS mu FROM lr)
 SELECT o.doc_id,
        CAST(count(*) AS BIGINT) AS n_features,
-       round(sum(lr.lrat), 4) AS dsir_logratio,
-       round(sum(lr.lrat) / count(*) - any_value(gm.mu), 4) AS dsir_rel,
+       round(sum(lr.lrat), 4) + 0.0 AS dsir_logratio,
+       round(sum(lr.lrat) / count(*) - any_value(gm.mu), 4) + 0.0 AS dsir_rel,
        round(sum(lr.lrat) / count(*) - any_value(gm.mu), 4) > 0 AS selected
 FROM occ o JOIN lr USING (b), gm
 GROUP BY o.doc_id
 """
+# ^ "+ 0.0" normalizes IEEE negative zero: a ~-1e-13 float sum rounds
+# to -0.0 in one engine and +0.0 in the other (observed at 16x), and
+# the comparator formats them differently ('-0.000000' vs '0.000000').
+# -0.0 + 0.0 = +0.0 under round-to-nearest, identically in both.
 
 
 def dsir_features(tokens_col: str = "_w"):
@@ -2229,8 +2233,10 @@ def t22_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_features"),
-            F.round(F.sum("lrat"), 4).alias("dsir_logratio"),
-            rel.alias("dsir_rel"),
+            # + 0.0 normalizes IEEE -0.0 (both engines; see the oracle
+            # note — a ~-1e-13 sum rounds to signed zero at 16x)
+            (F.round(F.sum("lrat"), 4) + 0.0).alias("dsir_logratio"),
+            (rel + 0.0).alias("dsir_rel"),
             (rel > 0).alias("selected"),
         )
     )
