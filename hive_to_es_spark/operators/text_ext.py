@@ -2135,12 +2135,20 @@ def dsir_features(tokens_col: str = "_w"):
     materialized column). The oracle's CTE materializes w for the
     same reason."""
     w = F.col(tokens_col)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(
-            "_", F.element_at(w, i), F.element_at(w, i + 1)
+    # Same sequence(1, 0)-steps-DOWNWARD pitfall as the dom branch
+    # below: a 0/1-token doc (empty text splits to ['']) would make
+    # sequence(1, size-1) yield [1, 0] and element_at(w, 0) raise
+    # "SQL array indices start at 1" — guard to the oracle's empty
+    # range(1, 1) semantics explicitly.
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     n_dom = (
         F.when(
             F.col("doc_id") % 3 == 0,

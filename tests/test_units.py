@@ -2863,6 +2863,31 @@ def test_t22_dsir_selects_target_and_contaminated(spark, sf_dir):
         assert r["selected"] == (r["dsir_rel"] > 0)
 
 
+def test_t22_dsir_features_degenerate_docs(spark):
+    """dsir_features on 0/1-token docs must yield NO bigrams (the
+    oracle's empty range(1, 1)), not crash: Spark's sequence(1, 0)
+    steps DOWNWARD to [1, 0] and element_at(w, 0) raises at runtime —
+    the guard added round 13 (ADVICE r12 medium). Empty text splits to
+    [''] (one token, one unigram feature); a two-token doc gets
+    exactly one bigram."""
+    from hive_to_es_spark.operators.text_ext import dsir_features
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (4, "two words")], ["doc_id", "text"]
+    ).select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("_w")
+    )
+    got = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", dsir_features("_w").alias("f")
+        ).collect()
+    }
+    assert got[1] == [""]  # one unigram, no bigram, no crash
+    assert got[2] == ["solo"]
+    assert got[4] == ["two", "words", "two_words"]
+
+
 def test_x15_pagerank_dangling_vs_python_replay(spark):
     """Exact replay of the integer-ppb update on a hand-built graph
     whose fixture-rendered counterpart never occurs: a dangling node
