@@ -1836,19 +1836,38 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Plan shape at 100 TB: one scan explodes per-position 5-grams into a
 # map-side-combinable census (groupBy(gram), countDistinct doc_id);
-# the hot set (df >= 2) is broadcast back onto a second gram pass and
+# the hot set (df >= 2) joins back onto a second gram pass (broadcast
+# only below the size gate — see next paragraph) and
 # the flagged START POSITIONS collapse to one bounded array per doc
 # (collect_set over <= tokens-per-doc ints). The edit itself is then
 # a pure per-row array program — expand starts to covered positions,
 # filter the token array by index, rejoin — so the corpus text never
 # shuffles at all; the only corpus-keyed exchange is the doc_id join
 # of the (smaller) flagged-positions table back to the documents scan.
-# On open-web corpora the hot-gram set needs the same census cap t13
-# documents (df ceiling / count-min guard) before broadcast.
+# The hot-set SIZE is the scale risk: on an open-web corpus the set of
+# spans occurring in >= 2 documents is itself corpus-scale (billions of
+# grams — exactly why Lee et al. use suffix arrays), so an
+# unconditional broadcast hint dies at the 8 GB broadcast ceiling long
+# before 100 TB. span_dedup therefore size-gates the hint on the d4
+# precedent: broadcast below _D18_BROADCAST_MAX_DOCS input docs, plain
+# gram-keyed shuffle join above (the join is data-sized either way and
+# the rest of the plan is unchanged; AQE may still broadcast at runtime
+# if the REAL hot set turns out tiny — gating on measured size is the
+# correct behavior). Threshold arithmetic is MEASURED, not guessed
+# (tools/scale_d18_k50.py, round 13; docs/SCALE.md "paper-shape
+# rung"): hot-set bytes grow linearly with corpus docs (fitted
+# exponent 1.05) at ~200 B/doc for the Lee-et-al. k=50 span shape and
+# ~65 B/doc at the fixture k=5 shape, so 1M docs put ~65-200 MB of
+# gram strings (a few hundred MB with join-relation overhead) on the
+# broadcast side — safely inside executor memory — while the open-web
+# regime (10M+ docs, duplicated mass a large corpus fraction) lands
+# multi-GB, so the gate sits at 1e6 docs with an order of magnitude
+# of headroom under the 8 GB ceiling.
 # ---------------------------------------------------------------------------
 
 _D18_K = 5
 _D18_MIN_DOCS = 2
+_D18_BROADCAST_MAX_DOCS = 1_000_000
 
 _D18_ORACLE = f"""
 WITH d AS (
@@ -1889,13 +1908,21 @@ GROUP BY t.doc_id
 
 
 def span_dedup(docs: DataFrame, k: int = _D18_K,
-               min_docs: int = _D18_MIN_DOCS) -> DataFrame:
-    """d18's census -> broadcast-hot-set -> per-row array edit as a
+               min_docs: int = _D18_MIN_DOCS,
+               n_docs: int | None = None) -> DataFrame:
+    """d18's census -> hot-set-probe -> per-row array edit as a
     DataFrame-in/DataFrame-out helper (docs must carry doc_id + text;
     NULL text is out of contract — filter it upstream), parameterized
     so synthetic-input tests can drive the SHIPPED plan. Output:
     (doc_id, n_tokens, n_removed, cleaned_text); overlapping flagged
-    spans remove the UNION of their positions (each token cut once)."""
+    spans remove the UNION of their positions (each token cut once).
+
+    The hot-set probe join is broadcast only when n_docs (parquet
+    footer count, the d4 gate precedent) is known to sit below
+    _D18_BROADCAST_MAX_DOCS — see the block comment for the threshold
+    arithmetic; above it (or when the caller cannot bound the input,
+    n_docs=None) the hint is omitted and the gram-keyed shuffle join
+    plans, hash-identical at any gate setting."""
     base = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     grams = (
         base.filter(F.size("w") >= k)
@@ -1915,8 +1942,9 @@ def span_dedup(docs: DataFrame, k: int = _D18_K,
         .filter(F.col("df") >= min_docs)
         .select("gram")
     )
+    small = n_docs is not None and n_docs <= _D18_BROADCAST_MAX_DOCS
     flagged = (
-        grams.join(F.broadcast(hot), "gram")
+        grams.join(F.broadcast(hot) if small else hot, "gram")
         .groupBy("doc_id")
         .agg(F.collect_set("gpos").alias("gps"))
     )
@@ -1951,7 +1979,8 @@ def d18_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array program equals the relational replay exactly —
     including overlapping-span unions and docs shorter than one span."""
     return span_dedup(
-        load_tables(spark, sf_dir).documents.filter(F.col("text").isNotNull())
+        load_tables(spark, sf_dir).documents.filter(F.col("text").isNotNull()),
+        n_docs=table_row_count(spark, sf_dir, "documents"),
     )
 
 

@@ -1023,6 +1023,46 @@ def test_d18_no_token_reassembly_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_d18_hot_set_broadcast_is_size_gated(spark, sf_dir):
+    """Both arms of the round-13 hot-set size gate (VERDICT r12 item
+    1): with Catalyst's auto-broadcast disabled — so the ONLY way a
+    BroadcastHashJoin can appear is span_dedup's own hint — an input
+    bounded below _D18_BROADCAST_MAX_DOCS must broadcast the hot-gram
+    probe, and an input declared above it must omit the hint and plan
+    the gram-keyed shuffle join (SortMergeJoin / ShuffledHashJoin;
+    AQE may still broadcast at RUNTIME off the measured size, which is
+    the desired behavior). Hash-identical at any gate setting — the
+    oracle gate runs the registered below arm; the geometry unit test
+    replays the above arm's values."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.dedup_ext import (
+        _D18_BROADCAST_MAX_DOCS,
+        span_dedup,
+    )
+
+    docs = load_tables(spark, sf_dir).documents.filter("text IS NOT NULL")
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        below = plan_of(span_dedup(docs, n_docs=100))
+        assert "BroadcastHashJoin" in below, below
+        for above_docs in (_D18_BROADCAST_MAX_DOCS + 1, None):
+            above = plan_of(span_dedup(docs, n_docs=above_docs))
+            assert "BroadcastHashJoin" not in above, above
+            assert (
+                "SortMergeJoin" in above or "ShuffledHashJoin" in above
+            ), above
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_t21_is_pure_scan_side_projection(spark, sf_dir):
     """t21's render->measure->gate is ONE projection of array HOFs
     per row: no Exchange (nothing aggregates), no Generate (lines are

@@ -2739,6 +2739,13 @@ def test_d18_span_dedup_overlap_and_union_geometry(spark):
     assert got[4] == (6, 6, ""), got[4]
     assert got[5] == (2, 0, "too short"), got[5]
     assert got[6] == (9, 0, rows[5][1]), got[6]
+    # n_docs=None above exercised the shuffle (no-hint) gate arm; the
+    # broadcast arm must be value-identical at any gate setting.
+    got_bcast = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in span_dedup(df, n_docs=len(rows)).collect()
+    }
+    assert got_bcast == got
 
 
 def test_t21_each_rule_fires_and_passes(spark, sf_dir):
