@@ -96,16 +96,18 @@ def main() -> int:
         )["d14_canonical_pick"]
         print(f"d14 lifted replay: {results['d14_canonical_pick']['status']}")
 
-    # 2) everything else through chunked fresh-JVM sweeps, one retry
-    #    for keys whose chunk died (a crash poisons only its chunk)
+    # 2) everything else through chunked fresh-JVM sweeps; EVERY
+    #    failed key gets one fresh-JVM retry — that covers both the
+    #    mid-run 'spark query raised' poisoning AND a chunk that died
+    #    before writing its partial artifact ('chunk crashed: ...'),
+    #    while a deterministic fail just fails again and keeps its
+    #    label (ADVICE r12: the old 'raised'-substring filter skipped
+    #    the crashed-chunk class the docstring promised to retry)
     for idx in range(0, len(keys), CHUNK):
         chunk = keys[idx : idx + CHUNK]
         got = _run_chunk(chunk, sdir, idx // CHUNK)
         retry = [
-            k
-            for k in chunk
-            if got.get(k, {}).get("status") == "fail"
-            and "raised" in got.get(k, {}).get("err", "")
+            k for k in chunk if got.get(k, {}).get("status") == "fail"
         ]
         if retry:
             print(f"retrying {len(retry)} keys from crashed/failed chunk {idx // CHUNK}")
@@ -114,12 +116,23 @@ def main() -> int:
         done = sum(1 for r in results.values() if r.get("status") == "pass")
         print(f"[chunk {idx // CHUNK}] cumulative: {done} pass / {len(results)} run")
 
+    # subset runs label every unswept key explicitly so the artifact
+    # is reproducible from this tool alone (ADVICE r12: the r12
+    # summary's not_run count was hand-patched, with no per-key cells)
+    if want:
+        for k in ["d14_canonical_pick", *all_keys]:
+            if k not in results:
+                results[k] = {
+                    "status": "not_run_this_round",
+                    "err": "subset run: key not in the requested list; "
+                    "see the previous full-inventory artifact",
+                }
     art = {
         "keys_total": len(results),
         "summary": {
             "scale16x": {
                 s: sum(1 for r in results.values() if r["status"] == s)
-                for s in ("pass", "fail", "rows_only")
+                for s in ("pass", "fail", "rows_only", "not_run_this_round")
             }
         },
         "sweeps": {"scale16x": results},
@@ -127,7 +140,7 @@ def main() -> int:
     if want:
         art["note"] = (
             "subset run: only the listed keys were swept at 16x this round; "
-            "see the previous full-inventory artifact for the remainder"
+            "unswept keys carry explicit not_run_this_round cells"
         )
     with open(os.path.join(REPO, out), "w") as f:
         json.dump(art, f, indent=1, sort_keys=True)
