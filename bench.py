@@ -167,6 +167,9 @@ EXTENSION = [
     # grid hotspot census (one corpus agg + census-sized neighborhood)
     "d20_paragraph_dedup",
     "a23_grid_hotspots",
+    # round 13: CCNet head/middle/tail perplexity-bucket mixture
+    # (t8 scoring checkpoint + census boundaries + scan-side draw)
+    "o15_perplexity_buckets",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -245,6 +248,9 @@ EAGER_BUILD = {
     "t22_dsir_importance",
     "d19_source_overlap",
     "d20_paragraph_dedup",
+    # o15 materializes the t8 score frame via localCheckpoint at
+    # build — rebuild prices the scoring scans, not just the census
+    "o15_perplexity_buckets",
 }
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hive_to_es_spark.functions.lifecycle import materialize
 from hive_to_es_spark.io import load_tables
 from hive_to_es_spark.registry import register
 
@@ -872,3 +873,181 @@ def o14_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     restates the greedy prefix as the naive per-source window, so the
     hash gate proves the carry-in composition exact."""
     return token_budget_mix(load_tables(spark, sf_dir).documents)
+
+
+# ---------------------------------------------------------------------------
+# o15: CCNet perplexity-bucket mixture (Wenzek et al. 2020, "CCNet:
+# Extracting High Quality Monolingual Datasets from Web Crawl Data")
+# — THE most-used mixture recipe over an LM quality score: partition
+# the corpus into head / middle / tail buckets at the global 1/3 and
+# 2/3 quantile boundaries of the t8 unigram-LM score (high score =
+# low perplexity = head), then keep each bucket at a different rate
+# (head 100%, middle 50%, tail 10% here) via o9's deterministic md5
+# draw. Output: one accounting row per bucket.
+#
+# Decision-grade score: t8's 4-dp-rounded mean log-prob, lifted to an
+# INTEGER fixed-point (x 10^4) so every boundary compare is integer —
+# the two engines produce bit-identical 4-dp doubles (t8's hash gate
+# proves it at every SF), so round(score4 * 10000) is the same bigint
+# in both. NULL-text docs drop out of scoring in both engines
+# (explode/unnest of NULL emits no rows — t8's own contract).
+#
+# PLAN (the t20 census-first discipline — no corpus sort, ever):
+#   1. per-doc scores = t8's explode + word-census join, materialized
+#      ONCE via localCheckpoint (doc_id + one bigint: ~16 B/doc; a
+#      shared lazy subtree would re-instantiate the whole scoring
+#      plan for census AND decision — the lambda-CSE/shared-subtree
+#      pitfall, 4 corpus scans instead of 2).
+#   2. score census: groupBy(score_fp) — bounded by the score VALUE
+#      domain (4-dp LM scores span a few score units, ~1e5 distinct
+#      cells at any corpus size), the t20 exemption class.
+#   3. one single-partition running sum over the census finds BOTH
+#      boundaries (t_head = highest score whose cumulative count
+#      reaches ceil(n/3); t_mid at ceil(2n/3)); the whole boundary-
+#      score tie group lands in the better bucket, so bucketing is a
+#      pure function of score_fp — no per-doc rank needed at all
+#      (this is where o15 is CHEAPER than t20: no tie-splitting).
+#   4. the 1-row boundary frame broadcasts back onto the checkpointed
+#      scores; bucket + keep-draw are scan-side expressions; final
+#      map-combined groupBy(bucket) emits <=3 rows.
+# The oracle restates the boundaries via the NAIVE global
+# row_number sort (rank ceil(n/3)'s score IS the highest score whose
+# cumulative count reaches the quota — different algorithm, same
+# boundary), so a census bug cannot hide in a mirrored oracle.
+# ---------------------------------------------------------------------------
+
+_O15_RATE_PPM = {"head": 1_000_000, "middle": 500_000, "tail": 100_000}
+
+_O15_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+total AS (SELECT sum(c) AS t FROM freq),
+s AS (
+  SELECT wo.doc_id,
+         CAST(round(round(avg(ln(f.c / total.t)), 4) * 10000) AS BIGINT)
+           AS score_fp
+  FROM words wo JOIN freq f ON wo.w = f.w, total
+  GROUP BY wo.doc_id
+),
+r AS (
+  SELECT doc_id, score_fp,
+         row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rn,
+         count(*) OVER () AS n
+  FROM s
+),
+b AS (
+  SELECT
+    max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+             THEN score_fp END) AS t_head,
+    max(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+             THEN score_fp END) AS t_mid
+  FROM r
+),
+d AS (
+  SELECT doc_id, score_fp,
+         CASE WHEN score_fp >= t_head THEN 'head'
+              WHEN score_fp >= t_mid THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM s, b
+),
+k AS (
+  SELECT bucket, score_fp,
+         (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000)
+           < CASE bucket WHEN 'head' THEN {_O15_RATE_PPM['head']}
+                         WHEN 'middle' THEN {_O15_RATE_PPM['middle']}
+                         ELSE {_O15_RATE_PPM['tail']} END AS kept
+  FROM d
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+       min(score_fp) AS min_score_fp,
+       max(score_fp) AS max_score_fp
+FROM k GROUP BY bucket
+"""
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    rates_ppm: dict[str, int] = _O15_RATE_PPM,
+) -> DataFrame:
+    """o15's census -> boundary -> bucket -> draw core over an
+    ALREADY-MATERIALIZED (doc_id, score_fp) frame, factored so edge
+    geometries (all-equal scores, 1-2 docs, boundary ties) can be
+    pinned on synthetic inputs. Higher score_fp = better (head)."""
+    census = scores.groupBy("score_fp").agg(F.count("*").alias("n_s"))
+    totals = census.agg(F.sum("n_s").alias("n_total"))
+    w_cum = Window.orderBy(F.col("score_fp").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = census.crossJoin(F.broadcast(totals)).withColumn(
+        "cum", F.sum("n_s").over(w_cum)
+    )
+    bounds = cum.agg(
+        F.max(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n_total") / 3.0),
+                F.col("score_fp"),
+            )
+        ).alias("t_head"),
+        F.max(
+            F.when(
+                F.col("cum") >= F.ceil(2.0 * F.col("n_total") / 3.0),
+                F.col("score_fp"),
+            )
+        ).alias("t_mid"),
+    )
+    bucket = (
+        F.when(F.col("score_fp") >= F.col("t_head"), "head")
+        .when(F.col("score_fp") >= F.col("t_mid"), "middle")
+        .otherwise("tail")
+    )
+    rate = (
+        F.when(F.col("bucket") == "head", F.lit(rates_ppm["head"]))
+        .when(F.col("bucket") == "middle", F.lit(rates_ppm["middle"]))
+        .otherwise(F.lit(rates_ppm["tail"]))
+    )
+    return (
+        scores.crossJoin(F.broadcast(bounds))
+        .withColumn("bucket", bucket)
+        .withColumn("kept", hash_bucket("doc_id", 1_000_000) < rate)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_if("kept").cast("bigint").alias("n_kept"),
+            F.min("score_fp").alias("min_score_fp"),
+            F.max("score_fp").alias("max_score_fp"),
+        )
+    )
+
+
+@register("o15_perplexity_buckets", _O15_ORACLE)
+def o15_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity-bucket mixture (see the block
+    comment): bucket documents at the global 1/3 and 2/3 quantile
+    boundaries of the t8 unigram-LM score via the t20 census-first
+    exact-quantile plan (no corpus sort), keep per-bucket at
+    100%/50%/10% via o9's deterministic md5 draw, and emit per-bucket
+    accounting (n_docs, n_kept, score range)."""
+    d = load_tables(spark, sf_dir).documents
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    scores = materialize(
+        words.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c") / F.col("t")).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.round(F.avg("lp"), 4) * 10000)
+            .cast("bigint")
+            .alias("score_fp")
+        )
+    )
+    return perplexity_buckets(scores)

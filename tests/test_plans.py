@@ -50,6 +50,11 @@ UNPARTITIONED_WINDOW_OK = {
     # B=4096 bucket domain at any corpus size; its own plan test pins
     # the census aggregate underneath and the 2-Generate corpus cost.
     "t22_dsir_importance",
+    # o15's running sum is over the score CENSUS (bounded by the 4-dp
+    # LM-score value domain at any corpus size — the t20 class); its
+    # own plan test pins the census aggregate underneath it and that
+    # the final plan reads only the checkpointed score frame.
+    "o15_perplexity_buckets",
 }
 
 
@@ -1100,6 +1105,24 @@ def test_t22_two_scans_bounded_windows_broadcast_probe(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Window") == 2, plan
+
+
+def test_o15_census_window_over_checkpointed_scores(spark, sf_dir):
+    """o15's corpus work happens once, inside the eager score
+    materialization: the FINAL plan reads only the checkpointed
+    (doc_id, score_fp) frame (no parquet scan), carries exactly ONE
+    window — the running sum over the score census, whose aggregate
+    sits underneath it — and sorts only census rows (every Sort in
+    the plan is census-side, fed by the SinglePartition exchange, not
+    a corpus sort). Boundary and totals frames are 1-row broadcasts
+    (BroadcastNestedLoopJoin is the bounded s1 class here)."""
+    plan = _simple_plan(spark, sf_dir, "o15_perplexity_buckets")
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    # the census aggregate (groupBy score_fp) must feed the window
+    assert plan.count("HashAggregate(keys=[score_fp") >= 2, plan
 
 
 def test_x15_iterations_read_checkpoints_not_corpus(spark, sf_dir):

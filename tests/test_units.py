@@ -2895,6 +2895,61 @@ def test_t22_dsir_features_degenerate_docs(spark):
     assert got[4] == ["two", "words", "two_words"]
 
 
+def test_o15_bucket_boundary_geometry(spark):
+    """perplexity_buckets on hand-built score frames: (a) nine
+    distinct scores split exactly 3/3/3 at the 1/3 and 2/3 ranks; (b)
+    an all-equal corpus collapses entirely into head (both boundaries
+    are the one score); (c) a boundary TIE group lands wholly in the
+    better bucket — [10,10,10,5] puts all three 10s in head (quota 2,
+    tie-inclusive) and the 5 in tail, middle empty. Head rate is
+    1.0, so n_kept == n_docs there by construction."""
+    from hive_to_es_spark.operators.sort_set import perplexity_buckets
+
+    def run(scores):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(scores)],
+            "doc_id long, score_fp long",
+        )
+        return {
+            r.bucket: (r.n_docs, r.n_kept, r.min_score_fp, r.max_score_fp)
+            for r in perplexity_buckets(df).collect()
+        }
+
+    a = run([90, 80, 70, 60, 50, 40, 30, 20, 10])
+    assert a["head"][:1] == (3,) and a["head"][2:] == (70, 90), a
+    assert a["middle"][:1] == (3,) and a["middle"][2:] == (40, 60), a
+    assert a["tail"][:1] == (3,) and a["tail"][2:] == (10, 30), a
+    assert a["head"][1] == 3  # head keep-rate is 1.0
+
+    b = run([5, 5, 5, 5, 5, 5])
+    assert set(b) == {"head"} and b["head"][0] == 6, b
+
+    c = run([10, 10, 10, 5])
+    assert set(c) == {"head", "tail"}, c
+    assert c["head"][0] == 3 and c["tail"][0] == 1, c
+
+
+def test_o15_fixture_buckets_nonvacuous(spark, sf_dir):
+    """On the fixtures all three buckets must be populated, bucket
+    score ranges must be disjoint and ordered (head > middle > tail),
+    and the kept fraction must follow the configured rates: head
+    keeps everything, middle keeps a strict subset, tail keeps least
+    (the mixture does actual thinning in both lower buckets)."""
+    from hive_to_es_spark.registry import queries
+
+    rows = {
+        r.bucket: r
+        for r in queries()["o15_perplexity_buckets"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"head", "middle", "tail"}, rows
+    assert rows["head"].min_score_fp > rows["middle"].max_score_fp
+    assert rows["middle"].min_score_fp > rows["tail"].max_score_fp
+    assert rows["head"].n_kept == rows["head"].n_docs
+    mid_frac = rows["middle"].n_kept / rows["middle"].n_docs
+    tail_frac = rows["tail"].n_kept / rows["tail"].n_docs
+    assert 0 < tail_frac < mid_frac < 1, (mid_frac, tail_frac)
+
+
 def test_x15_pagerank_dangling_vs_python_replay(spark):
     """Exact replay of the integer-ppb update on a hand-built graph
     whose fixture-rendered counterpart never occurs: a dangling node
