@@ -169,7 +169,9 @@ EXTENSION = [
     "a23_grid_hotspots",
     # round 13: CCNet head/middle/tail perplexity-bucket mixture
     # (t8 scoring checkpoint + census boundaries + scan-side draw)
+    # and the bounded-state dedup batch twin (iterative horizon chain)
     "o15_perplexity_buckets",
+    "e14_stream_dedup_watermarked",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -251,6 +253,9 @@ EAGER_BUILD = {
     # o15 materializes the t8 score frame via localCheckpoint at
     # build — rebuild prices the scoring scans, not just the census
     "o15_perplexity_buckets",
+    # e14 runs its checkpointed chain rounds at build — rebuild
+    # prices the whole iteration, not just the final union read
+    "e14_stream_dedup_watermarked",
 }
 
 

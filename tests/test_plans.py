@@ -1107,6 +1107,21 @@ def test_t22_two_scans_bounded_windows_broadcast_probe(spark, sf_dir):
     assert plan.count("Window") == 2, plan
 
 
+def test_e14_chain_rounds_read_checkpoints(spark, sf_dir):
+    """e14's batch twin iterates the horizon chain by depth with
+    per-round localCheckpoints: the FINAL plan is a Union of the
+    kept-round checkpoint reads only (no parquet scan — the corpus
+    was read exactly once, into round 1's materialization), with no
+    window, no sort, and no cartesian anywhere; the registered
+    input's chain depth is 2, so exactly two kept frames union."""
+    plan = _simple_plan(spark, sf_dir, "e14_stream_dedup_watermarked")
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "Union" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_o15_census_window_over_checkpointed_scores(spark, sf_dir):
     """o15's corpus work happens once, inside the eager score
     materialization: the FINAL plan reads only the checkpointed

@@ -1099,3 +1099,82 @@ def test_decontaminate_gate_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got == expected
     actions = {r[2] for r in got}
     assert actions == {"pass", "block"}, f"gate unexercised: {actions}"
+
+
+def test_e14_within_watermark_dedup_drop_evict_reemit(spark, tmp_path):
+    """dropDuplicatesWithinWatermark end to end across three
+    checkpointed AvailableNow replays (the e4 pattern — the event-time
+    watermark persists and advances between runs):
+
+      run 1: A@10:00, B@10:05 -> both first occurrences, EMITTED;
+        watermark ends at 9:05 (max ts - 1h).
+      run 2: A@10:10 (duplicate while A's state entry — expiring at
+        11:00 — is still live) -> DROPPED; C@12:30 advances the
+        watermark to 11:30, past A's and B's expiry -> both EVICTED.
+      run 3: A@12:00 arrives after eviction -> treated as new,
+        EMITTED AGAIN (the bounded-state arm e5's dropDuplicates can
+        never show: its state would still remember A).
+
+    And the replay satisfies the batch-twin contract's premise (every
+    beyond-horizon redelivery arrives after the watermark passed the
+    expiry), so the streamed output must equal dedup_within_horizon
+    over the union of all three files — stream == batch where the
+    contract allows."""
+    import datetime as dt
+
+    from hive_to_es_spark.streaming.ops import (
+        dedup_within_horizon,
+        tf_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "e14_src")
+    ckpt = str(tmp_path / "e14_ckpt")
+    out = str(tmp_path / "e14_out")
+    schema = "event_id long, ts timestamp, value double"
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    def add_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def emit(batch_df, batch_id):
+            if batch_df.count() > 0:
+                batch_df.write.mode("append").parquet(out)
+
+        q = (
+            tf_dedup_within_watermark(stream)
+            .writeStream.foreachBatch(emit)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    add_file([(1, t(10, 0), 1.0), (2, t(10, 5), 2.0)])
+    run()
+    add_file([(1, t(10, 10), 1.0), (3, t(12, 30), 3.0)])
+    run()
+    add_file([(1, t(12, 0), 1.0)])
+    run()
+
+    got = sorted((r.event_id, r.ts) for r in spark.read.parquet(out).collect())
+    assert got == [
+        (1, t(10, 0)),   # first occurrence
+        (1, t(12, 0)),   # re-emitted AFTER eviction
+        (2, t(10, 5)),
+        (3, t(12, 30)),
+    ], got
+    assert (1, t(10, 10)) not in got  # within-horizon duplicate dropped
+
+    # stream == batch twin on the same replayed rows
+    batch = dedup_within_horizon(spark.read.parquet(src))
+    expect = sorted((r.event_id, r.ts) for r in batch.collect())
+    assert got == expect

@@ -2895,6 +2895,67 @@ def test_t22_dsir_features_degenerate_docs(spark):
     assert got[4] == ["two", "words", "two_words"]
 
 
+def test_e14_horizon_chain_depth4_and_edges(spark):
+    """dedup_within_horizon's general greedy recursion on a
+    hand-built frame the registered input never produces: key 1 has
+    copies every 45 min against a 60-min horizon, so the chain is
+    keep 0:00 (horizon 1:00) -> drop 0:45 -> keep 1:30 (horizon
+    2:30) -> drop 2:15 -> keep 3:00 — three rounds of the iterative
+    plan, one more than the registered input ever needs; key 2 has a
+    copy exactly AT the horizon boundary (kept — the >= contract);
+    key 3 is a singleton. Expected keeps derived by hand."""
+    import datetime as dt
+
+    from hive_to_es_spark.streaming.ops import dedup_within_horizon
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=m)
+
+    rows = [
+        # key 1: copies at 0, 45, 90, 135, 180 -> keep 0, 90, 180
+        *[(1, t(m), 1.0) for m in (0, 45, 90, 135, 180)],
+        # key 2: copies at 0 and exactly 60 -> BOTH kept (>= horizon)
+        (2, t(0), 2.0),
+        (2, t(60), 2.0),
+        # key 3: singleton
+        (3, t(7), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    got = sorted(
+        (r.event_id, r.ts.minute + 60 * r.ts.hour)
+        for r in dedup_within_horizon(df, delay_minutes=60).collect()
+    )
+    assert got == [
+        (1, 0), (1, 90), (1, 180),
+        (2, 0), (2, 60),
+        (3, 7),
+    ], got
+
+
+def test_e14_registered_input_has_both_arms(spark, sf_dir):
+    """Non-vacuity for the registered key: the redelivered input must
+    carry BOTH within-horizon duplicates (so the drop arm does real
+    work) and beyond-horizon redeliveries (so some key legitimately
+    emits twice — the eviction arm), and the output must show it:
+    n_out strictly between n_unique_keys and n_input, with at least
+    one key appearing exactly twice."""
+    from collections import Counter
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+    from hive_to_es_spark.streaming.ops import e14_redelivered_input
+
+    ev = load_tables(spark, sf_dir).events
+    duped = e14_redelivered_input(ev)
+    n_in, n_keys = duped.count(), ev.count()
+    assert n_in > n_keys  # redelivery really happened
+    out = queries()["e14_stream_dedup_watermarked"](spark, sf_dir).collect()
+    assert n_keys < len(out) < n_in, (n_keys, len(out), n_in)
+    mult = Counter(r.event_id for r in out)
+    assert max(mult.values()) == 2  # eviction arm: re-emitted keys
+    assert sum(1 for v in mult.values() if v == 2) > 0
+
+
 def test_o15_bucket_boundary_geometry(spark):
     """perplexity_buckets on hand-built score frames: (a) nine
     distinct scores split exactly 3/3/3 at the 1/3 and 2/3 ranks; (b)
