@@ -172,6 +172,9 @@ EXTENSION = [
     # and the bounded-state dedup batch twin (iterative horizon chain)
     "o15_perplexity_buckets",
     "e14_stream_dedup_watermarked",
+    # round 13: unigram-LM tokenizer training (census EM at build,
+    # one accounting scan + broadcast probe in the timed read)
+    "t23_unigram_lm_train",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -256,6 +259,8 @@ EAGER_BUILD = {
     # e14 runs its checkpointed chain rounds at build — rebuild
     # prices the whole iteration, not just the final union read
     "e14_stream_dedup_watermarked",
+    # t23 trains the whole EM (census + both E-steps) at build
+    "t23_unigram_lm_train",
 }
 
 

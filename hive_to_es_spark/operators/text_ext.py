@@ -2248,3 +2248,405 @@ def t22_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rel > 0).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t23 — unigram-LM tokenizer TRAINING (Kudo 2018, arXiv:1804.10959,
+# the SentencePiece unigram model; r12-verdict task 5). t16 learns a
+# BPE merge table; this learns the OTHER mainstream subword model:
+# a piece inventory with log-probabilities, fit by fixed-round EM —
+# seed vocabulary from substring counts (the t18 family), E-step =
+# per-word Viterbi best segmentation under current piece costs,
+# M-step = re-estimate piece probabilities from Viterbi usage and
+# prune dead pieces (hard-EM / Viterbi-EM — the deterministic
+# variant; Kudo's soft E-step sums over all segmentations and prunes
+# by likelihood loss, which has no cross-engine-exact restatement).
+#
+# INTEGER discipline: piece costs are micro-nats,
+# CAST(round(-ln(p) * 1e6) AS BIGINT), so the whole DP is bigint
+# arithmetic — min/+ over identical integers in both engines, no
+# float path sums to drift, and the Viterbi tie-break (prefer the
+# LONGEST piece whose edge closes the optimum, k = 4..1) is a fixed
+# CASE order both sides share.
+#
+# Scale shape (the t16 economics): the corpus collapses to the word
+# census ONCE; seeding, both E-steps and the M-step run on
+# |vocab|-bounded tables; the only other corpus-sized stage is the
+# final per-doc accounting join (census-sized build side broadcasts).
+# The per-word Viterbi is ONE scan-side F.aggregate expression — the
+# dist array builds left-to-right over word positions with piece
+# costs looked up in a broadcast map column, then a second aggregate
+# walks the backpointers out of the SAME materialized dist column
+# (no CSE inside lambdas — the dist array is projected as a column
+# first, the t22/word_shingles lesson). No joins, no rounds, no UDF.
+#
+# The ORACLE replays both E-steps as UNROLLED CTE chains (dp{i} per
+# word position, bw{s} per walk step — generated to _T23_LMAX from
+# the same Python constants, the t16 discipline) over DuckDB
+# relational joins: an INDEPENDENT algorithm (position-table
+# Bellman + join-based backward walk) against Spark's in-row array
+# program, so a DP bug cannot hide in a mirrored oracle.
+# _T23_LMAX = 12 bounds the ORACLE's unrolling only (fixture max
+# word length is 8; the Spark side is generic in word length).
+# ---------------------------------------------------------------------------
+
+_T23_MAX_PIECE = 4
+_T23_LMAX = 12
+_T23_INF = 1 << 62
+_T23_MICRO = 1_000_000
+
+
+def _t23_oracle(lmax: int = _T23_LMAX, maxp: int = _T23_MAX_PIECE) -> str:
+    ctes = [
+        """wc AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)""",
+        "sub AS MATERIALIZED (\n"
+        + "\n  UNION ALL\n".join(
+            f"""  SELECT substr(word, CAST(i AS INT), {k}) AS piece, freq
+  FROM (SELECT word, freq, unnest(range(1, len(word) - {k} + 2)) AS i
+        FROM wc WHERE len(word) >= {k})"""
+            for k in range(1, maxp + 1)
+        )
+        + "\n)",
+        "seed AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM sub GROUP BY piece)",
+        f"""c0 AS MATERIALIZED (
+  SELECT piece, CAST(round(-ln(cnt / t.tot) * {_T23_MICRO}) AS BIGINT) AS c
+  FROM seed, (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM seed) t
+)""",
+    ]
+
+    def em_round(r: int, cost: str) -> list[str]:
+        out = [f"d{r}_0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS d FROM wc)"]
+        for i in range(1, lmax + 1):
+            branches = []
+            for k in range(1, min(maxp, i) + 1):
+                branches.append(
+                    f"""    SELECT p.word, p.d + c.c AS dc
+    FROM d{r}_{i - k} p JOIN {cost} c
+      ON c.piece = substr(p.word, {i - k + 1}, {k})
+    WHERE len(p.word) >= {i}"""
+                )
+            out.append(
+                f"d{r}_{i} AS MATERIALIZED (\n  SELECT word, min(dc) AS d FROM (\n"
+                + "\n    UNION ALL\n".join(branches)
+                + "\n  ) GROUP BY word\n)"
+            )
+        out.append(
+            f"dist{r} AS MATERIALIZED (\n  "
+            + "\n  UNION ALL\n".join(
+                f"SELECT word, {i} AS pos, d FROM d{r}_{i}"
+                for i in range(0, lmax + 1)
+            )
+            + "\n)"
+        )
+        out.append(
+            f"""bw{r}_0 AS MATERIALIZED (
+  SELECT word, freq, CAST(len(word) AS INT) AS pos,
+         CAST([] AS VARCHAR[]) AS ps
+  FROM wc
+)"""
+        )
+        for s in range(1, lmax + 1):
+            whens = "\n        ".join(
+                f"WHEN b.pos >= {k} AND dk{k}.d + ck{k}.c = dcur.d THEN {k}"
+                for k in range(maxp, 1, -1)
+            )
+            joins = "\n    ".join(
+                f"LEFT JOIN dist{r} dk{k} ON dk{k}.word = b.word AND dk{k}.pos = b.pos - {k}\n"
+                f"    LEFT JOIN {cost} ck{k} ON ck{k}.piece = substr(b.word, b.pos - {k} + 1, {k})"
+                for k in range(maxp, 0, -1)
+            )
+            out.append(
+                f"""bw{r}_{s} AS MATERIALIZED (
+  SELECT word, freq,
+         CASE WHEN pos <= 0 THEN pos ELSE pos - kc END AS pos,
+         CASE WHEN pos <= 0 THEN ps
+              ELSE list_append(ps, substr(word, pos - kc + 1, kc)) END AS ps
+  FROM (
+    SELECT b.word, b.freq, b.pos, b.ps,
+      CASE {whens}
+        ELSE 1
+      END AS kc
+    FROM bw{r}_{s - 1} b
+    JOIN dist{r} dcur ON dcur.word = b.word AND dcur.pos = b.pos
+    {joins}
+  )
+)"""
+            )
+        return out
+
+    ctes += em_round(1, "c0")
+    ctes += [
+        f"""u1 AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT unnest(ps) AS piece, freq FROM bw1_{lmax})
+  GROUP BY piece
+)""",
+        """kept AS MATERIALIZED (
+  SELECT k.piece, coalesce(u1.cnt, 0) AS cnt
+  FROM (SELECT piece FROM seed WHERE len(piece) = 1
+        UNION SELECT piece FROM u1) k
+  LEFT JOIN u1 ON u1.piece = k.piece
+)""",
+        f"""c1 AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(-ln((cnt + 1.0) / (t.tot + t.nk)) * {_T23_MICRO}) AS BIGINT) AS c
+  FROM kept, (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+                     CAST(count(*) AS BIGINT) AS nk FROM kept) t
+)""",
+    ]
+    ctes += em_round(2, "c1")
+    ctes += [
+        f"""w2 AS MATERIALIZED (
+  SELECT b.word, CAST(len(b.ps) AS BIGINT) AS n_pieces, d.d AS wcost
+  FROM bw2_{lmax} b JOIN dist2 d ON d.word = b.word AND d.pos = len(b.word)
+)""",
+        """dw AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+)""",
+    ]
+    return (
+        "WITH\n"
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id,
+       CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+       CAST(sum(wcost) AS BIGINT) AS total_cost_micro
+FROM (SELECT doc_id, word FROM dw WHERE word <> '') j
+JOIN w2 USING (word)
+GROUP BY doc_id
+"""
+    )
+
+
+_T23_ORACLE = _t23_oracle()
+
+
+def _t23_dist_expr(word_col: str = "word", cm_col: str = "cm"):
+    """The Viterbi forward pass as one array program: dist[i+1] =
+    min over k<=4 of dist[i-k+1] + cost(word[i-k+1 .. i]), missing
+    pieces priced at _T23_INF (never optimal — single chars are
+    always in the inventory)."""
+    w, cm = F.col(word_col), F.col(cm_col)
+    inf = F.lit(_T23_INF).cast("bigint")
+
+    def edge(acc, i, k):
+        start = (i - k + 1).cast("int")
+        return F.when(
+            i >= k,
+            F.element_at(acc, start)
+            + F.coalesce(F.element_at(cm, w.substr(start, F.lit(k))), inf),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(w)),
+        F.array(F.lit(0).cast("bigint")),
+        lambda acc, i: F.concat(
+            acc,
+            F.array(
+                F.least(
+                    *[edge(acc, i, k) for k in range(1, _T23_MAX_PIECE + 1)]
+                )
+            ),
+        ),
+    )
+
+
+def _t23_walk_expr(
+    word_col: str = "word", dist_col: str = "_d", cm_col: str = "cm"
+):
+    """The backward walk over the MATERIALIZED dist column: from
+    pos = len(word), take the longest k whose edge closes the
+    optimum (dist[pos-k] + cost == dist[pos], k = 4..1 — the fixed
+    tie-break the oracle mirrors), collect the piece, move to
+    pos - k. Accumulator = struct(pos, pieces)."""
+    w, d, cm = F.col(word_col), F.col(dist_col), F.col(cm_col)
+    inf = F.lit(_T23_INF).cast("bigint")
+
+    def step(acc):
+        expr = None
+        for k in range(_T23_MAX_PIECE, 0, -1):
+            pos = acc["pos"]
+            start = (pos - k + 1).cast("int")
+            piece = w.substr(start, F.lit(k))
+            closes = (pos >= k) & (
+                F.element_at(d, start)
+                + F.coalesce(F.element_at(cm, piece), inf)
+                == F.element_at(d, (pos + 1).cast("int"))
+            )
+            nxt = F.struct(
+                (pos - k).cast("int").alias("pos"),
+                F.concat(acc["ps"], F.array(piece)).alias("ps"),
+            )
+            expr = F.when(closes, nxt) if expr is None else expr.when(closes, nxt)
+        # unreachable by DP construction; mirrors the oracle's ELSE 1
+        pos = acc["pos"]
+        return expr.otherwise(
+            F.struct(
+                (pos - 1).cast("int").alias("pos"),
+                F.concat(acc["ps"], F.array(w.substr(pos.cast("int"), F.lit(1))))
+                .alias("ps"),
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(w)),
+        F.struct(
+            F.length(w).cast("int").alias("pos"),
+            F.array().cast("array<string>").alias("ps"),
+        ),
+        lambda acc, _i: F.when(acc["pos"] <= 0, acc).otherwise(step(acc)),
+    )
+
+
+def _t23_segment(census_with_cm: DataFrame) -> DataFrame:
+    """(word, freq, cm) -> (word, freq, ps, n_pieces, wcost): Viterbi
+    best segmentation per census word under the cost map column."""
+    return (
+        census_with_cm.withColumn("_d", _t23_dist_expr())
+        .withColumn("_w", _t23_walk_expr())
+        .select(
+            "word",
+            "freq",
+            F.col("_w.ps").alias("ps"),
+            F.size("_w.ps").cast("bigint").alias("n_pieces"),
+            F.element_at(
+                "_d", (F.length("word") + 1).cast("int")
+            ).alias("wcost"),
+        )
+    )
+
+
+def _t23_cost_map(costs: DataFrame):
+    """(piece, c) -> 1-row (cm: map<string,bigint>) frame to
+    broadcast onto the census."""
+    return costs.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "c"))
+        ).alias("cm")
+    )
+
+
+def unigram_lm_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fixed-round Viterbi-EM unigram-LM training over a documents
+    frame (doc_id, text). Returns (pieces, seg): the final piece cost
+    table (piece, cnt, c — micro-nat cost) and the final per-word
+    segmentation (word, freq, ps, n_pieces, wcost). See the block
+    comment for the plan; everything here runs on |vocab|-bounded
+    tables after the one census scan."""
+    from hive_to_es_spark.functions.lifecycle import materialize
+
+    w = F.col("word")
+    n = F.length(w)
+    census = materialize(
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(w != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    # seed: every substring occurrence of length 1..4, freq-weighted.
+    # NB the lambda comes from a closure FACTORY: `lambda i, k=k: ...`
+    # would have TWO parameters, which F.transform silently treats as
+    # the binary (element, index) form — k becomes the array index,
+    # not the closure value (measured: garbage substrings).
+    def _sub_k(k: int):
+        return lambda i: w.substr(i.cast("int"), F.lit(k))
+
+    subs = F.flatten(
+        F.array(
+            *[
+                F.when(
+                    n >= k,
+                    F.transform(F.sequence(F.lit(1), (n - k + 1)), _sub_k(k)),
+                ).otherwise(F.array().cast("array<string>"))
+                for k in range(1, _T23_MAX_PIECE + 1)
+            ]
+        )
+    )
+    seed = (
+        census.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    tot0 = seed.agg(F.sum("cnt").cast("bigint").alias("tot"))
+    c0 = seed.crossJoin(F.broadcast(tot0)).select(
+        "piece",
+        F.round(-F.log(F.col("cnt") / F.col("tot")) * _T23_MICRO)
+        .cast("bigint")
+        .alias("c"),
+    )
+    # E-step 1 under seed costs
+    seg1 = _t23_segment(census.crossJoin(F.broadcast(_t23_cost_map(c0))))
+    u1 = (
+        seg1.select(F.explode("ps").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    # prune: drop multi-char pieces with zero Viterbi usage; single
+    # chars stay for coverage (Kudo's base-character rule)
+    kept = (
+        seed.filter(F.length("piece") == 1)
+        .select("piece")
+        .unionByName(u1.select("piece"))
+        .distinct()
+        .join(u1, "piece", "left")
+        .na.fill(0, ["cnt"])
+    )
+    # M-step: add-1 re-estimate over the kept inventory
+    t1 = kept.agg(
+        F.sum("cnt").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("nk"),
+    )
+    pieces = materialize(
+        kept.crossJoin(F.broadcast(t1)).select(
+            "piece",
+            "cnt",
+            F.round(
+                -F.log(
+                    (F.col("cnt") + 1.0) / (F.col("tot") + F.col("nk"))
+                )
+                * _T23_MICRO
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    # E-step 2 under re-estimated costs = the final segmentation
+    seg2 = materialize(
+        _t23_segment(
+            census.crossJoin(
+                F.broadcast(_t23_cost_map(pieces.select("piece", "c")))
+            )
+        )
+    )
+    return pieces, seg2
+
+
+@register("t23_unigram_lm_train", _T23_ORACLE)
+def t23_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-class) tokenizer training by
+    fixed-round Viterbi-EM (see the block comment), surfaced as the
+    per-doc token accounting under the FINAL model: (doc_id,
+    n_tokens, total_cost_micro) — any drift anywhere in the seed /
+    E / M / prune / E chain changes segmentations and fails the hash.
+    The corpus is touched exactly twice (census scan + this
+    accounting join, census-sized build side broadcast)."""
+    docs = load_tables(spark, sf_dir).documents
+    _, seg2 = unigram_lm_train(docs)
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        dw.join(F.broadcast(seg2.select("word", "n_pieces", "wcost")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pieces").cast("bigint").alias("n_tokens"),
+            F.sum("wcost").cast("bigint").alias("total_cost_micro"),
+        )
+    )

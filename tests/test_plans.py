@@ -1107,6 +1107,23 @@ def test_t22_two_scans_bounded_windows_broadcast_probe(spark, sf_dir):
     assert plan.count("Window") == 2, plan
 
 
+def test_t23_one_corpus_scan_broadcast_census(spark, sf_dir):
+    """t23's final plan touches the corpus exactly once (the
+    accounting scan + word explode): exactly one parquet scan and one
+    Generate; the trained per-word segmentation arrives as a
+    BroadcastHashJoin build side read from the seg2 checkpoint
+    (ExistingRDD — all EM work happened on the |vocab| census at
+    build); the only corpus-keyed exchange is the partial-aggregated
+    groupBy(doc_id). No window, no cartesian."""
+    plan = _simple_plan(spark, sf_dir, "t23_unigram_lm_train")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Generate") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_e14_chain_rounds_read_checkpoints(spark, sf_dir):
     """e14's batch twin iterates the horizon chain by depth with
     per-round localCheckpoints: the FINAL plan is a Union of the

@@ -2895,6 +2895,149 @@ def test_t22_dsir_features_degenerate_docs(spark):
     assert got[4] == ["two", "words", "two_words"]
 
 
+def _t23_python_replay(texts):
+    """Independent pure-Python implementation of t23's Viterbi-EM
+    contract (seed from substring counts -> E1 -> prune+add-1 M-step
+    -> E2), mirroring the spec constants: max piece 4, micro-nat
+    integer costs, longest-piece-first walk tie-break. Returns
+    (pieces: {piece: (cnt, cost)}, perdoc: [(n_tokens, cost)] per
+    text in order)."""
+    import math
+    from collections import Counter
+
+    MICRO = 1_000_000
+    INF = 1 << 62
+
+    def q(x):  # round-half-up of a positive float, micro-nats
+        return int(math.floor(x * MICRO + 0.5))
+
+    words_per_doc = [[w for w in t.lower().split(" ") if w] for t in texts]
+    census = Counter(w for ws in words_per_doc for w in ws)
+    seed = Counter()
+    for w, f in census.items():
+        for k in range(1, 5):
+            for i in range(len(w) - k + 1):
+                seed[w[i : i + k]] += f
+    tot = sum(seed.values())
+    c0 = {p: q(-math.log(c / tot)) for p, c in seed.items()}
+
+    def viterbi(w, cost):
+        dist = [0] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            dist[i] = min(
+                dist[i - k] + cost.get(w[i - k : i], INF)
+                for k in range(1, min(4, i) + 1)
+            )
+        ps, pos = [], len(w)
+        while pos > 0:
+            for k in (4, 3, 2, 1):  # longest-first tie-break
+                if pos >= k and dist[pos - k] + cost.get(
+                    w[pos - k : pos], INF
+                ) == dist[pos]:
+                    ps.append(w[pos - k : pos])
+                    pos -= k
+                    break
+        return ps, dist[len(w)]
+
+    u1 = Counter()
+    for w, f in census.items():
+        ps, _ = viterbi(w, c0)
+        for p in ps:
+            u1[p] += f
+    kept = {p for p in seed if len(p) == 1} | set(u1)
+    tot1, nk = sum(u1.values()), len(kept)
+    c1 = {p: q(-math.log((u1.get(p, 0) + 1.0) / (tot1 + nk))) for p in kept}
+    seg2 = {w: viterbi(w, c1) for w in census}
+    pieces = {p: (u1.get(p, 0), c1[p]) for p in kept}
+    perdoc = [
+        (
+            sum(len(seg2[w][0]) for w in ws),
+            sum(seg2[w][1] for w in ws),
+        )
+        for ws in words_per_doc
+    ]
+    return pieces, perdoc
+
+
+def test_t23_em_vs_python_replay(spark):
+    """unigram_lm_train vs the pure-Python replay above on a
+    hand-built corpus with real subword structure (shared stems
+    'walk'/'talk' + suffixes) — the replay implements the identical
+    contract independently (x15's replay discipline), so piece
+    inventory, costs, counts AND per-doc accounting must match
+    EXACTLY (integer arithmetic, no tolerance)."""
+    from hive_to_es_spark.operators.text_ext import unigram_lm_train
+
+    texts = [
+        "walk walked walking talk",
+        "talked talking walk talk talk",
+        "ing ed walk",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pieces, seg2 = unigram_lm_train(docs)
+    exp_pieces, exp_perdoc = _t23_python_replay(texts)
+    got_pieces = {
+        r.piece: (r.cnt, r.c) for r in pieces.collect()
+    }
+    diff = {
+        p: (got_pieces.get(p), exp_pieces.get(p))
+        for p in set(got_pieces) | set(exp_pieces)
+        if got_pieces.get(p) != exp_pieces.get(p)
+    }
+    assert got_pieces == exp_pieces, diff
+    # replay the registered accounting join on the same tiny frame
+    from pyspark.sql import functions as F2
+
+    dw = docs.select(
+        "doc_id", F2.explode(F2.split(F2.lower("text"), " ")).alias("word")
+    ).filter(F2.col("word") != "")
+    got_doc = {
+        r.doc_id: (r.n_tokens, r.total_cost_micro)
+        for r in dw.join(
+            seg2.select("word", "n_pieces", "wcost"), "word"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F2.sum("n_pieces").cast("bigint").alias("n_tokens"),
+            F2.sum("wcost").cast("bigint").alias("total_cost_micro"),
+        )
+        .collect()
+    }
+    assert got_doc == {i: v for i, v in enumerate(exp_perdoc)}, got_doc
+
+
+def test_t23_fixture_nonvacuous_compression(spark, sf_dir):
+    """On the fixtures the trained model must actually compress:
+    total subword tokens strictly below total characters (multi-char
+    pieces fired) and strictly above total words (no word is one
+    piece of cost 0 — the inventory is subword-grained with max
+    piece 4 < max word length 8); and the piece table must carry
+    used multi-char pieces."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.text_ext import unigram_lm_train
+    from hive_to_es_spark.registry import queries
+
+    docs = load_tables(spark, sf_dir).documents
+    pieces, _ = unigram_lm_train(docs)
+    multi_used = pieces.filter(
+        (F.length("piece") > 1) & (F.col("cnt") > 0)
+    ).count()
+    assert multi_used > 0
+    out = queries()["t23_unigram_lm_train"](spark, sf_dir).collect()
+    n_tokens = sum(r.n_tokens for r in out)
+    stats = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).alias("n_chars"),
+    ).first()
+    assert stats.n_words < n_tokens < stats.n_chars, (
+        stats.n_words, n_tokens, stats.n_chars,
+    )
+
+
 def test_e14_horizon_chain_depth4_and_edges(spark):
     """dedup_within_horizon's general greedy recursion on a
     hand-built frame the registered input never produces: key 1 has
