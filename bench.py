@@ -277,6 +277,15 @@ EAGER_BUILD = {
 # where pickling measurably dominates.) So w1 keeps collect() timing,
 # comparable to BASELINE.md and every prior round, and tightens the
 # min estimator with more timed runs instead.
+#
+# d7/d9 drift A/B (r12 verdict item 2): the two closure ops moved up
+# two rounds running (d7 2.44 -> 2.97 s, d9 3.54 -> 4.12 s) with no
+# plan change. A/B'd round 13 on a quiet machine — r11 tree vs r13
+# tree, fresh process each, 5 timed runs after warm-up at sf0.1:
+# d7 min 3.302 s (r11) vs 3.139 s (r13), d9 4.594 s (r11) vs 3.962 s
+# (r13). The CURRENT tree is faster than the r11 tree on both ops,
+# so the recorded drift is day-band machine noise, not a code
+# regression — within band, closed.
 N_RUNS_OVERRIDE = {"w1_order_rank": 9}
 
 
