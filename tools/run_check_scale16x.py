@@ -80,7 +80,20 @@ def main() -> int:
         print("scale16x dir missing — build it first (tools/verify_d14_16x.py 16)")
         return 1
 
-    all_keys = [k for k in queries() if k != "d14_canonical_pick"]
+    # Priority order (round 13): the s-family ANN keys sweep FIRST —
+    # they are the family whose 16x re-run was owed after round 12's
+    # mid-sweep JVM death — then the multi-minute d-family heavies,
+    # then everything else alphabetically. Combined with the
+    # per-chunk incremental artifact write below, an interrupted
+    # sweep now always leaves a valid artifact whose missing keys are
+    # the CHEAP tail, not the owed families.
+    def prio(k: str) -> tuple:
+        fam = k.split("_")[0][0]
+        return (0 if fam == "s" else 1 if fam == "d" else 2, k)
+
+    all_keys = sorted(
+        (k for k in queries() if k != "d14_canonical_pick"), key=prio
+    )
     keys = [k for k in all_keys if not want or k in want]
 
     # 1) d14 via the lifted replay (fast; also builds nothing extra)
@@ -115,37 +128,53 @@ def main() -> int:
         results.update(got)
         done = sum(1 for r in results.values() if r.get("status") == "pass")
         print(f"[chunk {idx // CHUNK}] cumulative: {done} pass / {len(results)} run")
+        # incremental write: an interrupted sweep still leaves a
+        # valid, reproducible artifact (pending keys labeled)
+        _write(out, results, want, all_keys)
 
-    # subset runs label every unswept key explicitly so the artifact
-    # is reproducible from this tool alone (ADVICE r12: the r12
-    # summary's not_run count was hand-patched, with no per-key cells)
-    if want:
-        for k in ["d14_canonical_pick", *all_keys]:
-            if k not in results:
-                results[k] = {
-                    "status": "not_run_this_round",
-                    "err": "subset run: key not in the requested list; "
-                    "see the previous full-inventory artifact",
-                }
+    _write(out, results, want, all_keys, final=True)
+    n_fail = sum(1 for r in results.values() if r["status"] == "fail")
+    return 0 if n_fail == 0 else 1
+
+
+def _write(out, results, want, all_keys, final: bool = False) -> None:
+    """Write the merged artifact; every registered key not (yet)
+    swept carries an explicit not_run_this_round cell, so partial
+    and subset artifacts alike are reproducible from this tool
+    (ADVICE r12: the r12 summary's not_run count was hand-patched,
+    with no per-key cells)."""
+    cells = dict(results)
+    for k in ["d14_canonical_pick", *all_keys]:
+        if k not in cells:
+            cells[k] = {
+                "status": "not_run_this_round",
+                "err": (
+                    "subset run: key not in the requested list"
+                    if want
+                    else "sweep still in progress when this artifact "
+                    "was written"
+                ),
+            }
     art = {
-        "keys_total": len(results),
+        "keys_total": len(cells),
         "summary": {
             "scale16x": {
-                s: sum(1 for r in results.values() if r["status"] == s)
+                s: sum(1 for r in cells.values() if r["status"] == s)
                 for s in ("pass", "fail", "rows_only", "not_run_this_round")
             }
         },
-        "sweeps": {"scale16x": results},
+        "sweeps": {"scale16x": cells},
     }
     if want:
         art["note"] = (
             "subset run: only the listed keys were swept at 16x this round; "
             "unswept keys carry explicit not_run_this_round cells"
         )
+    elif not final:
+        art["note"] = "incremental snapshot: sweep still in progress"
     with open(os.path.join(REPO, out), "w") as f:
         json.dump(art, f, indent=1, sort_keys=True)
     print(f"wrote {out}: {art['summary']}")
-    return 0 if art["summary"]["scale16x"]["fail"] == 0 else 1
 
 
 if __name__ == "__main__":
