@@ -2650,3 +2650,114 @@ def t23_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wcost").cast("bigint").alias("total_cost_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t24 — character-entropy gibberish gate (round 13): the classic
+# low-entropy filter (C4/RefinedWeb-class cleaning runs it alongside
+# the repetition rules): a document whose character distribution is
+# too concentrated (key-mash, padding runs, binary-ish dumps) scores
+# low Shannon entropy and drops. H = -Σ p_c ln p_c over the doc's
+# character census; gate at _T24_MIN_ENT nats (fixture-clean docs
+# measure 2.547..2.932; the rendered low-entropy arm ~2.1).
+#
+# Fixture texts are uniform word soup (no natural gibberish), so —
+# the t10/t21 rendering precedent — doc_id%17==0 docs get a
+# same-length 'z'-run appended (mirrored token-for-token in the
+# oracle), dragging H below the gate; every other doc passes. Both
+# arms assert non-vacuous in tests.
+#
+# Plan: PURE SCAN-SIDE, zero exchanges before the (tiny) output —
+# the census is an in-row array program (array_distinct + per-char
+# size(filter(...)) over a PROJECTED chars column, O(distinct×len)
+# per row), the t21 class; the oracle restates it as the relational
+# explode + per-(doc,char) GROUP BY census — an independent
+# algorithm. Float seam: the per-doc term sum has engine-dependent
+# order (array order vs hash-agg order), absorbed by the t8-precedent
+# 4-dp round (+ 0.0 normalizes IEEE negative zero).
+# ---------------------------------------------------------------------------
+
+_T24_MIN_ENT = 2.4
+
+_T24_ORACLE = f"""
+WITH rendered AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || repeat('z', length(text))
+              ELSE text END AS rtext
+  FROM documents WHERE text IS NOT NULL
+),
+ch AS (
+  SELECT doc_id, unnest(string_split(lower(rtext), '')) AS c FROM rendered
+),
+cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+       FROM ch WHERE c <> '' GROUP BY doc_id, c),
+tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS t FROM cc GROUP BY doc_id),
+h AS (
+  SELECT cc.doc_id, t.t AS n_chars_ent,
+         -sum((n / t.t) * ln(n / t.t)) AS ent
+  FROM cc JOIN tot t USING (doc_id) GROUP BY cc.doc_id, t.t
+)
+SELECT doc_id, n_chars_ent,
+       round(ent, 4) + 0.0 AS entropy,
+       CASE WHEN ent >= {_T24_MIN_ENT} THEN 'keep' ELSE 'drop' END AS decision
+FROM h
+"""
+
+
+def char_entropy(docs: DataFrame, text_col: str = "rtext") -> DataFrame:
+    """Per-doc character Shannon entropy as one scan-side array
+    program over a (doc_id, <text_col>) frame: project the char
+    array ONCE (no CSE inside lambdas), array_distinct for the
+    alphabet, per-char count via size(filter(...)). No exchange, no
+    explode, no join."""
+    chars = F.filter(
+        F.split(F.lower(F.col(text_col)), ""), lambda c: c != ""
+    )
+    d = docs.withColumn("_ch", chars).withColumn(
+        "_dc", F.array_distinct(F.col("_ch"))
+    )
+    n = F.size("_ch")
+
+    def term(c):
+        p = F.size(F.filter(F.col("_ch"), lambda x: x == c)) / n
+        return p * F.log(p)
+
+    ent = -F.aggregate(
+        F.transform(F.col("_dc"), term), F.lit(0.0), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars_ent"),
+        ent.alias("_ent"),
+    )
+
+
+@register("t24_char_entropy", _T24_ORACLE)
+def t24_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish gate (see the block comment):
+    per-doc Shannon entropy over the rendered text's character
+    census, keep at >= 2.4 nats. Zero-exchange scan-side plan; the
+    oracle recomputes the census relationally."""
+    docs = load_tables(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull()
+    )
+    rendered = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.col("text"), F.repeat(F.lit("z"), F.length("text"))
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("rtext"),
+    )
+    h = char_entropy(rendered)
+    return h.select(
+        "doc_id",
+        "n_chars_ent",
+        (F.round("_ent", 4) + 0.0).alias("entropy"),
+        F.when(F.col("_ent") >= _T24_MIN_ENT, "keep")
+        .otherwise("drop")
+        .alias("decision"),
+    )

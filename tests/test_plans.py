@@ -1213,3 +1213,13 @@ def test_a23_one_corpus_pass_census_sized_neighborhood(spark, sf_dir):
     assert "BroadcastHashJoin" in simple, simple
     assert "CartesianProduct" not in simple, simple
     assert "Window" not in simple, simple
+
+
+def test_t24_is_pure_scan_side_projection(spark, sf_dir):
+    """t24's census is an in-row array program: no Exchange (nothing
+    aggregates before the output rows), no Generate (chars are never
+    exploded), no join — the t21 plan class."""
+    plan = _simple_plan(spark, sf_dir, "t24_char_entropy")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan

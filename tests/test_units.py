@@ -3271,3 +3271,44 @@ def test_a23_hub_cells_always_flag(spark, sf_dir):
     assert len(flagged) < len(rows) / 10  # hotspots are the exception
     for r in rows:
         assert r.hotspot == (r.n_points * r.nbhd_cells > 2 * r.nbhd_points)
+
+
+def test_t24_entropy_hand_values(spark):
+    """char_entropy on hand-built strings with closed-form entropy:
+    a single-char run has H = 0; an even two-char alternation
+    H = ln 2; a uniform 12-char alphabet H = ln 12 (= 2.4849, the
+    only one above the 2.4-nat gate). Values checked to the output's
+    4-dp rounding; decisions by the registered rule."""
+    import math
+
+    from hive_to_es_spark.operators.text_ext import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),
+            (2, "abababab"),
+            (3, "abcdefghijkl"),
+        ],
+        "doc_id long, rtext string",
+    )
+    got = {
+        r.doc_id: (r.n_chars_ent, round(r._ent, 4))
+        for r in char_entropy(df).collect()
+    }
+    assert got[1] == (4, 0.0), got[1]
+    assert got[2] == (8, round(math.log(2), 4)), got[2]
+    assert got[3] == (12, round(math.log(12), 4)), got[3]
+
+
+def test_t24_fixture_gate_nonvacuous(spark, sf_dir):
+    """The rendered %17 low-entropy arm must drop IN FULL and every
+    clean doc must keep — the gate separates the two populations
+    with real margin on the fixtures (clean min 2.547 vs rendered
+    ~2.1 vs gate 2.4)."""
+    from hive_to_es_spark.registry import queries
+
+    rows = queries()["t24_char_entropy"](spark, sf_dir).collect()
+    dec = {r.doc_id: r.decision for r in rows}
+    assert set(dec.values()) == {"keep", "drop"}
+    for doc_id, d in dec.items():
+        assert d == ("drop" if doc_id % 17 == 0 else "keep"), (doc_id, d)
