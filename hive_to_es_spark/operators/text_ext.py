@@ -2761,3 +2761,80 @@ def t24_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("drop")
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t25 — top-K-vocabulary LM scoring with an OOV floor (round 13):
+# the PRODUCTION form t8's docstring promises. t8 joins every corpus
+# word against the FULL frequency tail — at 100 TB that frequency
+# table is itself corpus-scale (every typo and hash-like token is a
+# row), so the join must shuffle the corpus. The production recipe
+# caps the model at the top-K vocabulary (deterministic: count DESC,
+# word ASC) and routes everything else through ONE unknown-word
+# bucket whose mass is the remaining count total — the vocab is then
+# K rows REGARDLESS of corpus size, rides a broadcast, and the
+# corpus never shuffles for the score join; per-doc OOV counts come
+# free. K = 20 sits below the fixtures' 31-word vocabulary so the
+# OOV arm is non-vacuous at every SF. (c_unk > 0 whenever K <
+# distinct words; a corpus fully covered by the top-K would need
+# add-one smoothing — documented, not fixture-reachable.)
+# ---------------------------------------------------------------------------
+
+_T25_K = 20
+
+_T25_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+vocab AS (SELECT w, c FROM freq ORDER BY c DESC, w ASC LIMIT {_T25_K}),
+unk AS (
+  SELECT t.t - (SELECT CAST(sum(c) AS BIGINT) FROM vocab) AS c_unk, t.t AS t
+  FROM tot t
+),
+scored AS (
+  SELECT wo.doc_id,
+         ln(coalesce(v.c, u.c_unk) / u.t) AS lp,
+         CASE WHEN v.c IS NULL THEN 1 ELSE 0 END AS oov
+  FROM words wo LEFT JOIN vocab v ON wo.w = v.w, unk u
+)
+SELECT doc_id,
+       round(avg(lp), 4) + 0.0 AS lm_topk_score,
+       CAST(sum(oov) AS BIGINT) AS n_oov
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("t25_lm_score_topk", _T25_ORACLE)
+def t25_lm_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K + OOV-floor unigram LM scoring (see the block comment).
+    Plan (pinned): the K-row vocab comes off a TakeOrderedAndProject
+    over the map-combined census and reaches the corpus as a
+    BroadcastHashJoin build side — the corpus is scanned twice
+    (census + scoring) and shuffled only map-combined; t8's
+    word-keyed corpus shuffle is gone."""
+    d = load_tables(spark, sf_dir).documents
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    tot = freq.agg(F.sum("c").cast("bigint").alias("t"))
+    vocab = freq.orderBy(F.col("c").desc(), F.col("w").asc()).limit(_T25_K)
+    unk = (
+        vocab.agg(F.sum("c").cast("bigint").alias("vsum"))
+        .crossJoin(F.broadcast(tot))
+        .select((F.col("t") - F.col("vsum")).alias("c_unk"), "t")
+    )
+    lp = F.log(F.coalesce(F.col("c"), F.col("c_unk")) / F.col("t"))
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(unk))
+        .select("doc_id", lp.alias("lp"), F.col("c").isNull().alias("oov"))
+        .groupBy("doc_id")
+        .agg(
+            (F.round(F.avg("lp"), 4) + 0.0).alias("lm_topk_score"),
+            F.count_if("oov").cast("bigint").alias("n_oov"),
+        )
+    )

@@ -1223,3 +1223,18 @@ def test_t24_is_pure_scan_side_projection(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_t25_vocab_broadcasts_topk_census(spark, sf_dir):
+    """t25's scale contract: the K-row vocab comes off a
+    TakeOrderedAndProject over the census and reaches the corpus as
+    a BroadcastHashJoin — t8's word-keyed corpus shuffle must NOT
+    appear (no SortMergeJoin/ShuffledHashJoin anywhere; the only
+    exchanges are the map-combined census and the final doc_id
+    aggregate)."""
+    plan = _simple_plan(spark, sf_dir, "t25_lm_score_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

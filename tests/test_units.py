@@ -3312,3 +3312,65 @@ def test_t24_fixture_gate_nonvacuous(spark, sf_dir):
     assert set(dec.values()) == {"keep", "drop"}
     for doc_id, d in dec.items():
         assert d == ("drop" if doc_id % 17 == 0 else "keep"), (doc_id, d)
+
+
+def test_t25_topk_oov_hand_values(spark):
+    """t25's scoring rule on a hand-built corpus with K forced tiny:
+    with vocab = top-1 ('aa' x 3 of 5 words), every other word runs
+    through the OOV bucket (c_unk = 2): doc 1 = [aa, aa, bb] scores
+    mean(ln .6, ln .6, ln .4), doc 2 = [aa, cc] mean(ln .6, ln .4) —
+    derived by hand; OOV counts exact. Exercises the registered rule
+    off-fixture via a monkeypatched K."""
+    import math
+
+    import hive_to_es_spark.operators.text_ext as tx
+
+    df = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa cc")], "doc_id long, text string"
+    )
+    import hive_to_es_spark.io as io_mod
+
+    orig_k, orig_load = tx._T25_K, io_mod.load_tables
+
+    class _T:
+        documents = df
+
+    tx._T25_K = 1
+    tx.load_tables = lambda spark, sf_dir: _T()
+    try:
+        got = {
+            r.doc_id: (r.lm_topk_score, r.n_oov)
+            for r in tx.t25_lm_score_topk(spark, "ignored").collect()
+        }
+    finally:
+        tx._T25_K = orig_k
+        tx.load_tables = orig_load
+    exp1 = round((2 * math.log(3 / 5) + math.log(2 / 5)) / 3, 4)
+    exp2 = round((math.log(3 / 5) + math.log(2 / 5)) / 2, 4)
+    assert got == {1: (exp1, 1), 2: (exp2, 1)}, got
+
+
+def test_t25_fixture_oov_nonvacuous_and_tracks_t8(spark, sf_dir):
+    """K=20 < the 31-word fixture vocabulary, so OOV must fire on
+    real docs (some n_oov > 0) AND some docs must be fully in-vocab
+    (n_oov = 0); and for a fully in-vocab doc the top-K score equals
+    t8's full-tail score exactly (same probabilities for vocab
+    words), pinning the two models' shared core."""
+    from hive_to_es_spark.registry import queries
+
+    t25 = {
+        r.doc_id: r
+        for r in queries()["t25_lm_score_topk"](spark, sf_dir).collect()
+    }
+    oov_counts = {r.n_oov for r in t25.values()}
+    assert any(v > 0 for v in oov_counts)
+    full_vocab_docs = [d for d, r in t25.items() if r.n_oov == 0]
+    assert full_vocab_docs
+    t8 = {
+        r.doc_id: r.lm_score
+        for r in queries()["t8_unigram_lm_score"](spark, sf_dir).collect()
+    }
+    for d in full_vocab_docs[:50]:
+        assert abs(t8[d] - t25[d].lm_topk_score) < 1e-9, (
+            d, t8[d], t25[d].lm_topk_score,
+        )
