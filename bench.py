@@ -173,8 +173,13 @@ EXTENSION = [
     "o15_perplexity_buckets",
     "e14_stream_dedup_watermarked",
     # round 13: unigram-LM tokenizer training (census EM at build,
-    # one accounting scan + broadcast probe in the timed read)
+    # one accounting scan + broadcast probe in the timed read) and
+    # the scan-side character-entropy gate
     "t23_unigram_lm_train",
+    "t24_char_entropy",
+    # round 13: the top-K + OOV-floor production form of t8 (census
+    # top-K broadcast, no word-keyed corpus shuffle)
+    "t25_lm_score_topk",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

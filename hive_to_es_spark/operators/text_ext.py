@@ -2650,3 +2650,191 @@ def t23_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wcost").cast("bigint").alias("total_cost_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t24 — character-entropy gibberish gate (round 13): the classic
+# low-entropy filter (C4/RefinedWeb-class cleaning runs it alongside
+# the repetition rules): a document whose character distribution is
+# too concentrated (key-mash, padding runs, binary-ish dumps) scores
+# low Shannon entropy and drops. H = -Σ p_c ln p_c over the doc's
+# character census; gate at _T24_MIN_ENT nats (fixture-clean docs
+# measure 2.547..2.932; the rendered low-entropy arm ~2.1).
+#
+# Fixture texts are uniform word soup (no natural gibberish), so —
+# the t10/t21 rendering precedent — doc_id%17==0 docs get a
+# same-length 'z'-run appended (mirrored token-for-token in the
+# oracle), dragging H below the gate; every other doc passes. Both
+# arms assert non-vacuous in tests.
+#
+# Plan: PURE SCAN-SIDE, zero exchanges before the (tiny) output —
+# the census is an in-row array program (array_distinct + per-char
+# size(filter(...)) over a PROJECTED chars column, O(distinct×len)
+# per row), the t21 class; the oracle restates it as the relational
+# explode + per-(doc,char) GROUP BY census — an independent
+# algorithm. Float seam: the per-doc term sum has engine-dependent
+# order (array order vs hash-agg order), absorbed by the t8-precedent
+# 4-dp round (+ 0.0 normalizes IEEE negative zero).
+# ---------------------------------------------------------------------------
+
+_T24_MIN_ENT = 2.4
+
+_T24_ORACLE = f"""
+WITH rendered AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || repeat('z', length(text))
+              ELSE text END AS rtext
+  FROM documents WHERE text IS NOT NULL
+),
+ch AS (
+  SELECT doc_id, unnest(string_split(lower(rtext), '')) AS c FROM rendered
+),
+cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+       FROM ch WHERE c <> '' GROUP BY doc_id, c),
+tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS t FROM cc GROUP BY doc_id),
+h AS (
+  SELECT cc.doc_id, t.t AS n_chars_ent,
+         -sum((n / t.t) * ln(n / t.t)) AS ent
+  FROM cc JOIN tot t USING (doc_id) GROUP BY cc.doc_id, t.t
+)
+SELECT doc_id, n_chars_ent,
+       round(ent, 4) + 0.0 AS entropy,
+       CASE WHEN ent >= {_T24_MIN_ENT} THEN 'keep' ELSE 'drop' END AS decision
+FROM h
+"""
+
+
+def char_entropy(docs: DataFrame, text_col: str = "rtext") -> DataFrame:
+    """Per-doc character Shannon entropy as one scan-side array
+    program over a (doc_id, <text_col>) frame: project the char
+    array ONCE (no CSE inside lambdas), array_distinct for the
+    alphabet, per-char count via size(filter(...)). No exchange, no
+    explode, no join."""
+    chars = F.filter(
+        F.split(F.lower(F.col(text_col)), ""), lambda c: c != ""
+    )
+    d = docs.withColumn("_ch", chars).withColumn(
+        "_dc", F.array_distinct(F.col("_ch"))
+    )
+    n = F.size("_ch")
+
+    def term(c):
+        p = F.size(F.filter(F.col("_ch"), lambda x: x == c)) / n
+        return p * F.log(p)
+
+    ent = -F.aggregate(
+        F.transform(F.col("_dc"), term), F.lit(0.0), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars_ent"),
+        ent.alias("_ent"),
+    )
+
+
+@register("t24_char_entropy", _T24_ORACLE)
+def t24_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish gate (see the block comment):
+    per-doc Shannon entropy over the rendered text's character
+    census, keep at >= 2.4 nats. Zero-exchange scan-side plan; the
+    oracle recomputes the census relationally."""
+    docs = load_tables(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull()
+    )
+    rendered = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.col("text"), F.repeat(F.lit("z"), F.length("text"))
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("rtext"),
+    )
+    h = char_entropy(rendered)
+    return h.select(
+        "doc_id",
+        "n_chars_ent",
+        (F.round("_ent", 4) + 0.0).alias("entropy"),
+        F.when(F.col("_ent") >= _T24_MIN_ENT, "keep")
+        .otherwise("drop")
+        .alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t25 — top-K-vocabulary LM scoring with an OOV floor (round 13):
+# the PRODUCTION form t8's docstring promises. t8 joins every corpus
+# word against the FULL frequency tail — at 100 TB that frequency
+# table is itself corpus-scale (every typo and hash-like token is a
+# row), so the join must shuffle the corpus. The production recipe
+# caps the model at the top-K vocabulary (deterministic: count DESC,
+# word ASC) and routes everything else through ONE unknown-word
+# bucket whose mass is the remaining count total — the vocab is then
+# K rows REGARDLESS of corpus size, rides a broadcast, and the
+# corpus never shuffles for the score join; per-doc OOV counts come
+# free. K = 20 sits below the fixtures' 31-word vocabulary so the
+# OOV arm is non-vacuous at every SF. (c_unk > 0 whenever K <
+# distinct words; a corpus fully covered by the top-K would need
+# add-one smoothing — documented, not fixture-reachable.)
+# ---------------------------------------------------------------------------
+
+_T25_K = 20
+
+_T25_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+vocab AS (SELECT w, c FROM freq ORDER BY c DESC, w ASC LIMIT {_T25_K}),
+unk AS (
+  SELECT t.t - (SELECT CAST(sum(c) AS BIGINT) FROM vocab) AS c_unk, t.t AS t
+  FROM tot t
+),
+scored AS (
+  SELECT wo.doc_id,
+         ln(coalesce(v.c, u.c_unk) / u.t) AS lp,
+         CASE WHEN v.c IS NULL THEN 1 ELSE 0 END AS oov
+  FROM words wo LEFT JOIN vocab v ON wo.w = v.w, unk u
+)
+SELECT doc_id,
+       round(avg(lp), 4) + 0.0 AS lm_topk_score,
+       CAST(sum(oov) AS BIGINT) AS n_oov
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("t25_lm_score_topk", _T25_ORACLE)
+def t25_lm_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K + OOV-floor unigram LM scoring (see the block comment).
+    Plan (pinned): the K-row vocab comes off a TakeOrderedAndProject
+    over the map-combined census and reaches the corpus as a
+    BroadcastHashJoin build side — the corpus is scanned twice
+    (census + scoring) and shuffled only map-combined; t8's
+    word-keyed corpus shuffle is gone."""
+    d = load_tables(spark, sf_dir).documents
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    tot = freq.agg(F.sum("c").cast("bigint").alias("t"))
+    vocab = freq.orderBy(F.col("c").desc(), F.col("w").asc()).limit(_T25_K)
+    unk = (
+        vocab.agg(F.sum("c").cast("bigint").alias("vsum"))
+        .crossJoin(F.broadcast(tot))
+        .select((F.col("t") - F.col("vsum")).alias("c_unk"), "t")
+    )
+    lp = F.log(F.coalesce(F.col("c"), F.col("c_unk")) / F.col("t"))
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(unk))
+        .select("doc_id", lp.alias("lp"), F.col("c").isNull().alias("oov"))
+        .groupBy("doc_id")
+        .agg(
+            (F.round(F.avg("lp"), 4) + 0.0).alias("lm_topk_score"),
+            F.count_if("oov").cast("bigint").alias("n_oov"),
+        )
+    )

@@ -1213,3 +1213,28 @@ def test_a23_one_corpus_pass_census_sized_neighborhood(spark, sf_dir):
     assert "BroadcastHashJoin" in simple, simple
     assert "CartesianProduct" not in simple, simple
     assert "Window" not in simple, simple
+
+
+def test_t24_is_pure_scan_side_projection(spark, sf_dir):
+    """t24's census is an in-row array program: no Exchange (nothing
+    aggregates before the output rows), no Generate (chars are never
+    exploded), no join — the t21 plan class."""
+    plan = _simple_plan(spark, sf_dir, "t24_char_entropy")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_t25_vocab_broadcasts_topk_census(spark, sf_dir):
+    """t25's scale contract: the K-row vocab comes off a
+    TakeOrderedAndProject over the census and reaches the corpus as
+    a BroadcastHashJoin — t8's word-keyed corpus shuffle must NOT
+    appear (no SortMergeJoin/ShuffledHashJoin anywhere; the only
+    exchanges are the map-combined census and the final doc_id
+    aggregate)."""
+    plan = _simple_plan(spark, sf_dir, "t25_lm_score_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -3271,3 +3271,106 @@ def test_a23_hub_cells_always_flag(spark, sf_dir):
     assert len(flagged) < len(rows) / 10  # hotspots are the exception
     for r in rows:
         assert r.hotspot == (r.n_points * r.nbhd_cells > 2 * r.nbhd_points)
+
+
+def test_t24_entropy_hand_values(spark):
+    """char_entropy on hand-built strings with closed-form entropy:
+    a single-char run has H = 0; an even two-char alternation
+    H = ln 2; a uniform 12-char alphabet H = ln 12 (= 2.4849, the
+    only one above the 2.4-nat gate). Values checked to the output's
+    4-dp rounding; decisions by the registered rule."""
+    import math
+
+    from hive_to_es_spark.operators.text_ext import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),
+            (2, "abababab"),
+            (3, "abcdefghijkl"),
+        ],
+        "doc_id long, rtext string",
+    )
+    got = {
+        r.doc_id: (r.n_chars_ent, round(r._ent, 4))
+        for r in char_entropy(df).collect()
+    }
+    assert got[1] == (4, 0.0), got[1]
+    assert got[2] == (8, round(math.log(2), 4)), got[2]
+    assert got[3] == (12, round(math.log(12), 4)), got[3]
+
+
+def test_t24_fixture_gate_nonvacuous(spark, sf_dir):
+    """The rendered %17 low-entropy arm must drop IN FULL and every
+    clean doc must keep — the gate separates the two populations
+    with real margin on the fixtures (clean min 2.547 vs rendered
+    ~2.1 vs gate 2.4)."""
+    from hive_to_es_spark.registry import queries
+
+    rows = queries()["t24_char_entropy"](spark, sf_dir).collect()
+    dec = {r.doc_id: r.decision for r in rows}
+    assert set(dec.values()) == {"keep", "drop"}
+    for doc_id, d in dec.items():
+        assert d == ("drop" if doc_id % 17 == 0 else "keep"), (doc_id, d)
+
+
+def test_t25_topk_oov_hand_values(spark):
+    """t25's scoring rule on a hand-built corpus with K forced tiny:
+    with vocab = top-1 ('aa' x 3 of 5 words), every other word runs
+    through the OOV bucket (c_unk = 2): doc 1 = [aa, aa, bb] scores
+    mean(ln .6, ln .6, ln .4), doc 2 = [aa, cc] mean(ln .6, ln .4) —
+    derived by hand; OOV counts exact. Exercises the registered rule
+    off-fixture via a monkeypatched K."""
+    import math
+
+    import hive_to_es_spark.operators.text_ext as tx
+
+    df = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa cc")], "doc_id long, text string"
+    )
+    import hive_to_es_spark.io as io_mod
+
+    orig_k, orig_load = tx._T25_K, io_mod.load_tables
+
+    class _T:
+        documents = df
+
+    tx._T25_K = 1
+    tx.load_tables = lambda spark, sf_dir: _T()
+    try:
+        got = {
+            r.doc_id: (r.lm_topk_score, r.n_oov)
+            for r in tx.t25_lm_score_topk(spark, "ignored").collect()
+        }
+    finally:
+        tx._T25_K = orig_k
+        tx.load_tables = orig_load
+    exp1 = round((2 * math.log(3 / 5) + math.log(2 / 5)) / 3, 4)
+    exp2 = round((math.log(3 / 5) + math.log(2 / 5)) / 2, 4)
+    assert got == {1: (exp1, 1), 2: (exp2, 1)}, got
+
+
+def test_t25_fixture_oov_nonvacuous_and_tracks_t8(spark, sf_dir):
+    """K=20 < the 31-word fixture vocabulary, so OOV must fire on
+    real docs (some n_oov > 0) AND some docs must be fully in-vocab
+    (n_oov = 0); and for a fully in-vocab doc the top-K score equals
+    t8's full-tail score exactly (same probabilities for vocab
+    words), pinning the two models' shared core."""
+    from hive_to_es_spark.registry import queries
+
+    t25 = {
+        r.doc_id: r
+        for r in queries()["t25_lm_score_topk"](spark, sf_dir).collect()
+    }
+    oov_counts = {r.n_oov for r in t25.values()}
+    assert any(v > 0 for v in oov_counts)
+    full_vocab_docs = [d for d, r in t25.items() if r.n_oov == 0]
+    assert full_vocab_docs
+    t8 = {
+        r.doc_id: r.lm_score
+        for r in queries()["t8_unigram_lm_score"](spark, sf_dir).collect()
+    }
+    for d in full_vocab_docs[:50]:
+        assert abs(t8[d] - t25[d].lm_topk_score) < 1e-9, (
+            d, t8[d], t25[d].lm_topk_score,
+        )

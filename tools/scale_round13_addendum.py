@@ -52,6 +52,18 @@ OPS = [
         "price two data-sized rounds + one ~1/13-sized round",
     ),
     (
+        "t24_char_entropy",
+        2.0,
+        "pure scan-side array-program census (t21 class) — no "
+        "exchange before the tiny output; linear in char mass",
+    ),
+    (
+        "t25_lm_score_topk",
+        2.0,
+        "two corpus scans (census + scoring), vocab = constant K=20 "
+        "rows broadcast; no word-keyed corpus shuffle (t8's is gone)",
+    ),
+    (
         "t23_unigram_lm_train",
         2.0,
         "word census scan + accounting scan are the only corpus-sized "
