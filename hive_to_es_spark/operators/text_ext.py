@@ -2706,24 +2706,43 @@ FROM h
 
 def char_entropy(docs: DataFrame, text_col: str = "rtext") -> DataFrame:
     """Per-doc character Shannon entropy as one scan-side array
-    program over a (doc_id, <text_col>) frame: project the char
-    array ONCE (no CSE inside lambdas), array_distinct for the
-    alphabet, per-char count via size(filter(...)). No exchange, no
-    explode, no join."""
+    program over a (doc_id, <text_col>) frame — O(len log len) per
+    row: sort the char array (JVM array_sort), find run boundaries,
+    difference adjacent boundary positions into run LENGTHS (the
+    census counts), sum p ln p over runs. (The obvious
+    array_distinct + per-char size(filter(...)) census is
+    O(alphabet x len) of interpreted HOF work per row — measured
+    6.6 s for 5000 docs at sf0.1, ~5x this plan.) Every array the
+    lambdas read is a PROJECTED column (no CSE inside lambdas); the
+    i == n guard is a lazy CASE, not OR, because ANSI element_at
+    raises out-of-bounds. No exchange, no explode, no join."""
     chars = F.filter(
         F.split(F.lower(F.col(text_col)), ""), lambda c: c != ""
     )
-    d = docs.withColumn("_ch", chars).withColumn(
-        "_dc", F.array_distinct(F.col("_ch"))
+    d = docs.withColumn("_sc", F.array_sort(chars))
+    n = F.size("_sc")
+    # run END positions, 1-based ascending: i where sc[i] != sc[i+1]
+    ends = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i == n, F.lit(True)).otherwise(
+            F.element_at(F.col("_sc"), i.cast("int"))
+            != F.element_at(F.col("_sc"), (i + 1).cast("int"))
+        ),
     )
-    n = F.size("_ch")
-
-    def term(c):
-        p = F.size(F.filter(F.col("_ch"), lambda x: x == c)) / n
-        return p * F.log(p)
-
+    d = d.withColumn("_re", ends)
+    # run lengths: ends[j] - ends[j-1] (binary transform lambda —
+    # j is the 0-based element index, so ends[j-1] is 1-based j)
+    lens = F.transform(
+        F.col("_re"),
+        lambda e, j: e
+        - F.when(j == 0, F.lit(0).cast("bigint")).otherwise(
+            F.element_at(F.col("_re"), j.cast("int"))
+        ),
+    )
     ent = -F.aggregate(
-        F.transform(F.col("_dc"), term), F.lit(0.0), lambda a, x: a + x
+        F.transform(lens, lambda c: (c / n) * F.log(c / n)),
+        F.lit(0.0),
+        lambda a, x: a + x,
     )
     return d.select(
         "doc_id",
