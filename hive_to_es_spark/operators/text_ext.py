@@ -2701,6 +2701,10 @@ SELECT doc_id, n_chars_ent,
        round(ent, 4) + 0.0 AS entropy,
        CASE WHEN ent >= {_T24_MIN_ENT} THEN 'keep' ELSE 'drop' END AS decision
 FROM h
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS n_chars_ent, 0.0 AS entropy,
+       'drop' AS decision
+FROM rendered WHERE rtext = ''
 """
 
 
@@ -2715,20 +2719,30 @@ def char_entropy(docs: DataFrame, text_col: str = "rtext") -> DataFrame:
     6.6 s for 5000 docs at sf0.1, ~5x this plan.) Every array the
     lambdas read is a PROJECTED column (no CSE inside lambdas); the
     i == n guard is a lazy CASE, not OR, because ANSI element_at
-    raises out-of-bounds. No exchange, no explode, no join."""
+    raises out-of-bounds. No exchange, no explode, no join.
+
+    Zero-char docs (text = '' -> the char filter leaves nothing) are
+    the dsir sequence(1, 0)-steps-DOWNWARD pitfall (ADVICE r13):
+    unguarded, F.sequence(1, 0) yields [1, 0] and the ends filter
+    evaluates element_at on the EMPTY array — INVALID_ARRAY_INDEX
+    under ANSI. Guarded here to an explicit row (n_chars_ent = 0,
+    entropy 0.0 -> 'drop'), mirrored by the oracle's UNION ALL arm."""
     chars = F.filter(
         F.split(F.lower(F.col(text_col)), ""), lambda c: c != ""
     )
     d = docs.withColumn("_sc", F.array_sort(chars))
     n = F.size("_sc")
     # run END positions, 1-based ascending: i where sc[i] != sc[i+1]
-    ends = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: F.when(i == n, F.lit(True)).otherwise(
-            F.element_at(F.col("_sc"), i.cast("int"))
-            != F.element_at(F.col("_sc"), (i + 1).cast("int"))
+    ends = F.when(
+        n >= 1,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(i == n, F.lit(True)).otherwise(
+                F.element_at(F.col("_sc"), i.cast("int"))
+                != F.element_at(F.col("_sc"), (i + 1).cast("int"))
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<int>"))
     d = d.withColumn("_re", ends)
     # run lengths: ends[j] - ends[j-1] (binary transform lambda —
     # j is the 0-based element index, so ends[j-1] is 1-based j)

@@ -3300,6 +3300,26 @@ def test_t24_entropy_hand_values(spark):
     assert got[3] == (12, round(math.log(12), 4)), got[3]
 
 
+def test_t24_empty_text_guarded(spark):
+    """ADVICE r13: text = '' leaves a zero-char census and the
+    unguarded ends filter crashed with INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    (sequence(1, 0) steps DOWNWARD — the dsir pitfall). The guard must
+    emit an explicit row (n = 0, entropy 0.0) instead of crashing, and
+    the all-whitespace-class doc ('   ' splits to spaces, which ARE
+    chars) must still flow through the normal arm."""
+    from hive_to_es_spark.operators.text_ext import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "ab")], "doc_id long, rtext string"
+    )
+    got = {
+        r.doc_id: (r.n_chars_ent, round(r._ent, 4))
+        for r in char_entropy(df).collect()
+    }
+    assert got[1] == (0, 0.0), got[1]
+    assert got[2][0] == 2, got[2]
+
+
 def test_t24_fixture_gate_nonvacuous(spark, sf_dir):
     """The rendered %17 low-entropy arm must drop IN FULL and every
     clean doc must keep — the gate separates the two populations
