@@ -1116,6 +1116,7 @@ def dedup_within_horizon(
     events: DataFrame,
     delay_minutes: int = _E14_DELAY_MIN,
     checkpoint_dir: str | None = None,
+    max_rounds: int = 64,
 ) -> DataFrame:
     """Batch twin: the greedy horizon chain per event_id (see block
     comment) over a (event_id, ts, ...payload) frame, iterated by
@@ -1125,7 +1126,31 @@ def dedup_within_horizon(
     semantics directly. Each round: one map-combined struct-min
     aggregate keeps the earliest remaining copy per key; one
     event_id-keyed join discards the copies inside its horizon; the
-    remainder (shrinking geometrically) feeds the next round."""
+    remainder (shrinking geometrically) feeds the next round.
+
+    PRECONDITION (ADVICE r13): (event_id, ts) pairs are unique. The
+    struct-min tie-break keeps exactly one row of a tied (key, ts)
+    pair (min over the payload struct), while the registered ORACLE's
+    ts-equality join would keep every tied copy and the stream form
+    keeps the first ARRIVAL — three different tie semantics. The
+    registered input satisfies the precondition by construction
+    (event_id unique in base; redelivery offsets 0/+10/+90 distinct),
+    so the divergence is unreachable there; callers reusing this
+    helper on inputs with tied timestamps get the deterministic
+    payload-struct-min pick.
+
+    Rounds equal the max chain depth, which is bounded by
+    span/delay for benign redelivery storms — but an ADVERSARIAL
+    replay (one key redelivered every delay+epsilon for a year) makes
+    depth ~ chain length with a full join per round (VERDICT r13).
+    `max_rounds` caps that: chains deeper than the cap raise with the
+    fallback named instead of silently looping. 64 rounds covers a
+    64 x delay event-time span per key chain (2.7 days at the
+    registered 60-min delay) — far beyond any batch-window replay the
+    twin is meant for; a corpus that legitimately exceeds it should
+    use the STREAM form (bounded state by construction) or a per-key
+    applyInPandas chain walk (accepting its ~1.5 ms/group dispatch
+    cost — measured, see block comment)."""
     from hive_to_es_spark.functions.lifecycle import (
         materialize,
         release_checkpoint,
@@ -1135,7 +1160,19 @@ def dedup_within_horizon(
     delay = F.expr(f"INTERVAL {delay_minutes} MINUTES")
     remaining = materialize(events, checkpoint_dir)
     kept_parts: list[DataFrame] = []
+    rounds = 0
     while not remaining.isEmpty():
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"dedup_within_horizon: horizon chain exceeded "
+                f"{max_rounds} rounds (adversarial redelivery chain "
+                f"deeper than max_rounds x {delay_minutes} min). Use "
+                f"the streaming form (tf_dedup_within_watermark — "
+                f"state bounded by the watermark horizon) or a "
+                f"per-key applyInPandas chain walk for inputs with "
+                f"unbounded chain depth."
+            )
+        rounds += 1
         kept = materialize(
             remaining.groupBy("event_id")
             .agg(F.min(F.struct("ts", *payload)).alias("_s"))

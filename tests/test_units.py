@@ -3075,6 +3075,32 @@ def test_e14_horizon_chain_depth4_and_edges(spark):
     ], got
 
 
+def test_e14_max_rounds_cap_boundary(spark):
+    """VERDICT r13 task 4: the horizon-chain loop must be depth-capped,
+    not input-bounded. A hand-built 5-deep chain (copies every 60 min
+    at the >= boundary, so every copy is kept and each round retires
+    exactly one) must SUCCEED at max_rounds = 5 and raise the explicit
+    capped error (naming the streaming fallback) at max_rounds = 4 —
+    both arms of the guard, at the exact boundary."""
+    import datetime as dt
+
+    import pytest
+
+    from hive_to_es_spark.streaming.ops import dedup_within_horizon
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=m)
+
+    df = spark.createDataFrame(
+        [(1, t(60 * i), 1.0) for i in range(5)],
+        "event_id long, ts timestamp, value double",
+    )
+    ok = dedup_within_horizon(df, delay_minutes=60, max_rounds=5).collect()
+    assert len(ok) == 5, ok  # every copy sits AT the horizon: all kept
+    with pytest.raises(RuntimeError, match="max_rounds|streaming form"):
+        dedup_within_horizon(df, delay_minutes=60, max_rounds=4)
+
+
 def test_e14_registered_input_has_both_arms(spark, sf_dir):
     """Non-vacuity for the registered key: the redelivered input must
     carry BOTH within-horizon duplicates (so the drop arm does real
