@@ -880,24 +880,40 @@ def o14_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extracting High Quality Monolingual Datasets from Web Crawl Data")
 # — THE most-used mixture recipe over an LM quality score: partition
 # the corpus into head / middle / tail buckets at the global 1/3 and
-# 2/3 quantile boundaries of the t8 unigram-LM score (high score =
-# low perplexity = head), then keep each bucket at a different rate
+# 2/3 quantile boundaries of a unigram-LM score (high score = low
+# perplexity = head), then keep each bucket at a different rate
 # (head 100%, middle 50%, tail 10% here) via o9's deterministic md5
 # draw. Output: one accounting row per bucket.
 #
-# Decision-grade score: t8's 4-dp-rounded mean log-prob, lifted to an
+# SCORING MODEL (recipe re-planned in round 14, VERDICT r13 task 1):
+# t25's top-K broadcast vocabulary + OOV floor (lm_topk_doc_scores),
+# NOT t8's full-tail self-frequency join. CCNet scores with a TRAINED
+# LM — a capped vocabulary with an unknown-word bucket is the
+# trained-model form (a KenLM vocab is finite), so this is MORE
+# faithful to the paper, and it deletes the one scale-killer the r13
+# verdict flagged: t8's score join keys the exploded corpus on the
+# corpus-sized word-frequency tail (a word-keyed corpus shuffle),
+# while the t25 model is K rows REGARDLESS of corpus size and rides a
+# broadcast — the corpus never shuffles to be scored. (t8 keeps the
+# exact-self-scoring contract deliberately; its docstring names t25
+# as the production path.)
+#
+# Decision-grade score: the 4-dp-rounded mean log-prob, lifted to an
 # INTEGER fixed-point (x 10^4) so every boundary compare is integer —
-# the two engines produce bit-identical 4-dp doubles (t8's hash gate
+# the two engines produce bit-identical 4-dp doubles (t25's hash gate
 # proves it at every SF), so round(score4 * 10000) is the same bigint
 # in both. NULL-text docs drop out of scoring in both engines
 # (explode/unnest of NULL emits no rows — t8's own contract).
 #
 # PLAN (the t20 census-first discipline — no corpus sort, ever):
-#   1. per-doc scores = t8's explode + word-census join, materialized
-#      ONCE via localCheckpoint (doc_id + one bigint: ~16 B/doc; a
-#      shared lazy subtree would re-instantiate the whole scoring
-#      plan for census AND decision — the lambda-CSE/shared-subtree
-#      pitfall, 4 corpus scans instead of 2).
+#   1. per-doc scores = t25's census -> TakeOrderedAndProject top-K
+#      vocab -> BroadcastHashJoin score probe, materialized ONCE via
+#      localCheckpoint (doc_id + one bigint: ~16 B/doc; a shared lazy
+#      subtree would re-instantiate the whole scoring plan for census
+#      AND decision — the lambda-CSE/shared-subtree pitfall, 4 corpus
+#      scans instead of 2). The lazy stage is exposed as o15_scores()
+#      so the plan test pins no-SortMergeJoin/no-ShuffledHashJoin on
+#      the exploded words (t25's pin).
 #   2. score census: groupBy(score_fp) — bounded by the score VALUE
 #      domain (4-dp LM scores span a few score units, ~1e5 distinct
 #      cells at any corpus size), the t20 exemption class.
@@ -918,18 +934,34 @@ def o14_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _O15_RATE_PPM = {"head": 1_000_000, "middle": 500_000, "tail": 100_000}
 
+
+def _o15_k() -> int:
+    # one K for t25 and o15 — drift would silently decouple the two
+    # scorers' contracts (local import: sort_set loads before text_ext
+    # in operators/__init__, and text_ext's own sort_set imports are
+    # function-level, so this direction is cycle-safe)
+    from hive_to_es_spark.operators.text_ext import _T25_K
+
+    return _T25_K
+
+
 _O15_ORACLE = f"""
 WITH words AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
   FROM documents
 ),
-freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
-total AS (SELECT sum(c) AS t FROM freq),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+vocab AS (SELECT w, c FROM freq ORDER BY c DESC, w ASC LIMIT {_o15_k()}),
+unk AS (
+  SELECT t.t - (SELECT CAST(sum(c) AS BIGINT) FROM vocab) AS c_unk, t.t AS t
+  FROM tot t
+),
 s AS (
   SELECT wo.doc_id,
-         CAST(round(round(avg(ln(f.c / total.t)), 4) * 10000) AS BIGINT)
-           AS score_fp
-  FROM words wo JOIN freq f ON wo.w = f.w, total
+         CAST(round(round(avg(ln(coalesce(v.c, u.c_unk) / u.t)), 4) * 10000)
+              AS BIGINT) AS score_fp
+  FROM words wo LEFT JOIN vocab v ON wo.w = v.w, unk u
   GROUP BY wo.doc_id
 ),
 r AS (
@@ -1025,29 +1057,29 @@ def perplexity_buckets(
     )
 
 
+def o15_scores(docs: DataFrame) -> DataFrame:
+    """o15's scoring stage, LAZY (exposed so the plan test can pin the
+    no-words-shuffle contract directly — the registered op
+    materializes it, hiding the scoring plan behind an ExistingRDD):
+    t25's broadcast top-K + OOV-floor mean log-prob, lifted to the
+    integer fixed-point (x 10^4) bucket-decision grade."""
+    from hive_to_es_spark.operators.text_ext import lm_topk_doc_scores
+
+    return lm_topk_doc_scores(docs).select(
+        "doc_id",
+        F.round(F.col("lm4") * 10000).cast("bigint").alias("score_fp"),
+    )
+
+
 @register("o15_perplexity_buckets", _O15_ORACLE)
 def o15_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity-bucket mixture (see the block
     comment): bucket documents at the global 1/3 and 2/3 quantile
-    boundaries of the t8 unigram-LM score via the t20 census-first
-    exact-quantile plan (no corpus sort), keep per-bucket at
-    100%/50%/10% via o9's deterministic md5 draw, and emit per-bucket
-    accounting (n_docs, n_kept, score range)."""
+    boundaries of the t25 top-K + OOV-floor unigram-LM score (the
+    trained-model form — round-14 recipe re-plan off t8's word-keyed
+    corpus shuffle) via the t20 census-first exact-quantile plan (no
+    corpus sort), keep per-bucket at 100%/50%/10% via o9's
+    deterministic md5 draw, and emit per-bucket accounting (n_docs,
+    n_kept, score range)."""
     d = load_tables(spark, sf_dir).documents
-    words = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
-    )
-    freq = words.groupBy("w").agg(F.count("*").alias("c"))
-    total = freq.agg(F.sum("c").alias("t"))
-    scores = materialize(
-        words.join(freq, "w")
-        .crossJoin(F.broadcast(total))
-        .select("doc_id", F.log(F.col("c") / F.col("t")).alias("lp"))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.round(F.avg("lp"), 4) * 10000)
-            .cast("bigint")
-            .alias("score_fp")
-        )
-    )
-    return perplexity_buckets(scores)
+    return perplexity_buckets(materialize(o15_scores(d)))

@@ -2840,21 +2840,26 @@ FROM scored GROUP BY doc_id
 """
 
 
-@register("t25_lm_score_topk", _T25_ORACLE)
-def t25_lm_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K + OOV-floor unigram LM scoring (see the block comment).
-    Plan (pinned): the K-row vocab comes off a TakeOrderedAndProject
-    over the map-combined census and reaches the corpus as a
-    BroadcastHashJoin build side — the corpus is scanned twice
-    (census + scoring) and shuffled only map-combined; t8's
-    word-keyed corpus shuffle is gone."""
-    d = load_tables(spark, sf_dir).documents
-    words = d.select(
+def lm_topk_doc_scores(docs: DataFrame, k: int | None = None) -> DataFrame:
+    """The t25 scorer as a shared helper: per-doc top-K + OOV-floor
+    unigram-LM scores (doc_id, lm4 = 4-dp-rounded mean log-prob,
+    n_oov) over a (doc_id, text) frame. The K-row vocab comes off a
+    TakeOrderedAndProject over the map-combined census and reaches
+    the corpus as a BroadcastHashJoin build side — the corpus is
+    scanned twice (census + scoring) and shuffled only map-combined;
+    the word-keyed corpus shuffle of a full-tail join (t8's) never
+    appears. Consumers: t25 (the registered scorer) and o15 (the
+    CCNet bucket mixture — VERDICT r13 task 1 moved its scoring
+    stage here off t8's shuffle). k = None resolves _T25_K at CALL
+    time (tests monkeypatch the module constant)."""
+    if k is None:
+        k = _T25_K
+    words = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
     freq = words.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
     tot = freq.agg(F.sum("c").cast("bigint").alias("t"))
-    vocab = freq.orderBy(F.col("c").desc(), F.col("w").asc()).limit(_T25_K)
+    vocab = freq.orderBy(F.col("c").desc(), F.col("w").asc()).limit(k)
     unk = (
         vocab.agg(F.sum("c").cast("bigint").alias("vsum"))
         .crossJoin(F.broadcast(tot))
@@ -2867,7 +2872,24 @@ def t25_lm_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", lp.alias("lp"), F.col("c").isNull().alias("oov"))
         .groupBy("doc_id")
         .agg(
-            (F.round(F.avg("lp"), 4) + 0.0).alias("lm_topk_score"),
+            F.round(F.avg("lp"), 4).alias("lm4"),
             F.count_if("oov").cast("bigint").alias("n_oov"),
         )
+    )
+
+
+@register("t25_lm_score_topk", _T25_ORACLE)
+def t25_lm_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K + OOV-floor unigram LM scoring (see the block comment).
+    Plan (pinned): the K-row vocab comes off a TakeOrderedAndProject
+    over the map-combined census and reaches the corpus as a
+    BroadcastHashJoin build side — the corpus is scanned twice
+    (census + scoring) and shuffled only map-combined; t8's
+    word-keyed corpus shuffle is gone. Core in lm_topk_doc_scores
+    (shared with o15's bucket mixture)."""
+    d = load_tables(spark, sf_dir).documents
+    return lm_topk_doc_scores(d).select(
+        "doc_id",
+        (F.col("lm4") + 0.0).alias("lm_topk_score"),
+        "n_oov",
     )

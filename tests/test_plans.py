@@ -1157,6 +1157,27 @@ def test_o15_census_window_over_checkpointed_scores(spark, sf_dir):
     assert plan.count("HashAggregate(keys=[score_fp") >= 2, plan
 
 
+def test_o15_scoring_stage_no_words_shuffle(spark, sf_dir):
+    """VERDICT r13 task 1: o15's scoring stage (lazy form — the
+    registered op hides it behind the checkpoint) must be t25's
+    broadcast top-K plan, NOT t8's word-keyed corpus shuffle: the
+    K-row vocab comes off a TakeOrderedAndProject and probes the
+    exploded words as a BroadcastHashJoin — no SortMergeJoin /
+    ShuffledHashJoin anywhere in the scoring plan."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.sort_set import o15_scores
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        o15_scores(load_tables(spark, sf_dir).documents).explain()
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_x15_iterations_read_checkpoints_not_corpus(spark, sf_dir):
     """x15's five PageRank rounds must run on the materialized
     |domains|-bounded tables: the FINAL plan reads only checkpoint
