@@ -180,6 +180,9 @@ EXTENSION = [
     # round 13: the top-K + OOV-floor production form of t8 (census
     # top-K broadcast, no word-keyed corpus shuffle)
     "t25_lm_score_topk",
+    # round 14: unigram-LM encode (t23 train at build + one corpus
+    # posexplode scan with broadcast id/cost probes in the timed read)
+    "t26_unigram_lm_encode",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -266,6 +269,9 @@ EAGER_BUILD = {
     "e14_stream_dedup_watermarked",
     # t23 trains the whole EM (census + both E-steps) at build
     "t23_unigram_lm_train",
+    # t26 trains t23's EM at build too (seg2/pieces checkpoints) —
+    # rebuild prices train + encode, not just the reassembly read
+    "t26_unigram_lm_encode",
 }
 
 

@@ -55,6 +55,11 @@ UNPARTITIONED_WINDOW_OK = {
     # own plan test pins the census aggregate underneath it and that
     # the final plan reads only the checkpointed score frame.
     "o15_perplexity_buckets",
+    # t26's piece-id rank runs over the trained piece INVENTORY
+    # (bounded by construction: Viterbi-used pieces + single chars
+    # after t23's prune — never the corpus); the corpus-side work is
+    # the posexplode scan + broadcast probes, pinned in its own test.
+    "t26_unigram_lm_encode",
 }
 
 
@@ -1244,6 +1249,24 @@ def test_t24_is_pure_scan_side_projection(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_t26_encode_single_corpus_scan_broadcast_probe(spark, sf_dir):
+    """t26's encode path touches the corpus ONCE (training's census
+    scan lives behind the seg2 checkpoint): exactly one parquet scan
+    (the posexplode of doc words), probed by the census-sized
+    (word -> ids/cost) table as a BroadcastHashJoin — no word-keyed
+    corpus shuffle join anywhere; the only corpus exchange is the
+    final doc_id reassembly aggregate. One Generate (the posexplode);
+    the pid rank's SinglePartition sort runs over the bounded piece
+    inventory (ExistingRDD), never the corpus."""
+    plan = _simple_plan(spark, sf_dir, "t26_unigram_lm_encode")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Generate") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "ExistingRDD" in plan, plan
 
 
 def test_t25_vocab_broadcasts_topk_census(spark, sf_dir):

@@ -3038,6 +3038,33 @@ def test_t23_fixture_nonvacuous_compression(spark, sf_dir):
     )
 
 
+def test_t26_encode_matches_t23_accounting(spark, sf_dir):
+    """Encode-with-final-model ≡ the final E-step: t26's per-doc
+    (n_tokens, total_cost_micro) must equal t23's output row-for-row
+    (same model, same DP, same tie-break — any drift in the id
+    assignment or reassembly that touched segmentation would show
+    here), the token-id stream must carry exactly n_tokens ids, and
+    every id must be a valid 1..|inventory| rank."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.text_ext import unigram_lm_train
+    from hive_to_es_spark.registry import queries
+
+    t23 = {
+        r.doc_id: (r.n_tokens, r.total_cost_micro)
+        for r in queries()["t23_unigram_lm_train"](spark, sf_dir).collect()
+    }
+    t26 = queries()["t26_unigram_lm_encode"](spark, sf_dir).collect()
+    assert len(t26) == len(t23)
+    n_pieces = unigram_lm_train(
+        load_tables(spark, sf_dir).documents
+    )[0].count()
+    for r in t26:
+        assert (r.n_tokens, r.total_cost_micro) == t23[r.doc_id], r.doc_id
+        ids = [int(x) for x in r.token_ids.split(",")]
+        assert len(ids) == r.n_tokens, r.doc_id
+        assert all(1 <= i <= n_pieces for i in ids), r.doc_id
+
+
 def test_e14_horizon_chain_depth4_and_edges(spark):
     """dedup_within_horizon's general greedy recursion on a
     hand-built frame the registered input never produces: key 1 has
