@@ -183,6 +183,9 @@ EXTENSION = [
     # round 14: unigram-LM encode (t23 train at build + one corpus
     # posexplode scan with broadcast id/cost probes in the timed read)
     "t26_unigram_lm_encode",
+    # round 14: the composed 8-stage LLM corpus pipeline (gate frame
+    # checkpoint at build + near-dup mining + level census in the read)
+    "p26_llm_corpus_pipeline",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -272,6 +275,9 @@ EAGER_BUILD = {
     # t26 trains t23's EM at build too (seg2/pieces checkpoints) —
     # rebuild prices train + encode, not just the reassembly read
     "t26_unigram_lm_encode",
+    # p26 materializes the per-doc gate frame at build — rebuild
+    # prices the gate scans + langid + decon, not just the census
+    "p26_llm_corpus_pipeline",
 }
 
 

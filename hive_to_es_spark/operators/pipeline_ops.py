@@ -2573,3 +2573,447 @@ def p25_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars * 1000000 DIV tc AS chars_ppm",
         "weight_rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# p26 — the composed modern LLM corpus pipeline in ONE key (round 14,
+# VERDICT r13 task 3): the FineWeb/RefinedWeb recipe whose stages the
+# inventory already ships separately, chained with per-stage removal
+# accounting (the ablation-table shape those papers publish):
+#
+#   1 url_canon      x14's canonicalization, keep-min per canonical
+#                    URL (4 rendered surface forms per page:
+#                    variant = doc_id % 4, page = doc_id DIV 4 — the
+#                    x14 rendering re-parameterized so the group size
+#                    scales WITH the corpus instead of being fixed)
+#   2 langid         t7's n-gram detector (trained on the full raw
+#                    corpus — the pretrained-detector stance), keep
+#                    predictions in (en, de, fr) — t3's gate
+#   3 quality        t4's quality score >= 0.5 (drop the 'low' tier)
+#   4 repetition     t11's top-unigram fraction <= 0.11 AND t21's
+#                    duplicate-line rule (<= 300000 ppm over t13's
+#                    3-token chunks of the RAW text — no decoration)
+#   5 entropy        t24's character entropy at a stricter 2.7-nat
+#                    gate (clean fixture docs span 2.547..2.932 and
+#                    the ~2% low tail of gate-1..4 survivors sits
+#                    below 2.7 — measured at sf0.1 — so the arm is
+#                    non-vacuous without rendering)
+#   6 near_dedup     d11's banded-MinHash + exact-verify pairs at
+#                    J >= 0.2 AMONG STAGE-5 SURVIVORS, keep-min
+#                    (drop every doc_b of a pair — a doc with any
+#                    smaller-id near-duplicate surviving the gates)
+#   7 decontaminate  t14's GRADED policy (eval = raw docs with
+#                    doc_id % 29 = 0): drop only when >= 50% of a
+#                    doc's distinct shingles hit the eval set —
+#                    t9's any-hit rule removes the ENTIRE fixture
+#                    corpus (shared 31-word vocabulary; measured
+#                    833/833 at sf0.1), while the graded drop takes
+#                    ~6% plus every eval member (100% self-overlap)
+#   8 mixture        o10's temperature resampling (alpha = 0.5,
+#                    100-doc budget) over the stage-7 survivor
+#                    language census
+#
+# Output: one accounting row per stage (stage_no, stage, n_in,
+# n_removed, n_out) — 8 rows at any corpus size.
+#
+# PLAN: every per-doc gate (url canon + quality + repetition +
+# entropy) is computed in ONE fused corpus scan projection (p10's
+# one-Catalyst-plan discipline — the canon keep-min window is the
+# first exchange); the langid prediction and the decontamination flag
+# join back doc_id-keyed (t3/t9 precedent — co-partitioned corpus
+# joins, the standard shape; the eval shingle set itself is a
+# broadcast). The finished gate frame is materialized ONCE (the o15
+# checkpoint discipline — it feeds the near-dup miner, the survivor
+# census AND the level census; lazy, the corpus gate scans would
+# re-instantiate 3x). Near-dup runs d11's machinery unchanged (banded
+# candidates + exact verify, no all-pairs anywhere); the mixture
+# census/quota is a broadcast back. The final accounting join is an
+# 8 x <=9 bounded broadcast theta join.
+#
+# Per-doc level = FIRST FAILING STAGE (9 = survived all): the stage
+# table derives n_in/n_removed/n_out for every stage from one bounded
+# level census — no per-stage recount of the corpus.
+#
+# The ORACLE restates every stage predicate relationally over the
+# same shared SQL (url render/canon helpers, LANGID_CTES,
+# QUALITY_CTE_SQL, the exact-Jaccard pair SQL of d10/d11, o10's
+# integer quota math) and derives the same level census — engine
+# drift in ANY stage shifts at least one accounting cell.
+# ---------------------------------------------------------------------------
+
+_P26_LANGS = ("en", "de", "fr")
+_P26_QUALITY_MIN = 0.5
+_P26_MIN_ENT = 2.7
+_P26_ND_THRESHOLD = 0.2
+_P26_EVAL_MOD = 29
+_P26_DECON_PPM = 500_000  # t14's 'drop' threshold
+_P26_MIX_BUDGET = 100
+_P26_STAGES = (
+    "url_canon",
+    "langid",
+    "quality",
+    "repetition",
+    "entropy",
+    "near_dedup",
+    "decontaminate",
+    "mixture",
+)
+
+
+def _p26_oracle() -> str:
+    from hive_to_es_spark.operators.scalars import (
+        surface_url_sql,
+        url_canon_sql,
+    )
+    from hive_to_es_spark.operators.text_ext import (
+        _T11_TOP_FRAC,
+        _T21_DUP_PPM,
+        _T21_LINE_TOKS,
+        LANGID_CTES,
+        QUALITY_CTE_SQL,
+    )
+
+    langid_frag = LANGID_CTES.strip()[len("WITH ") :]
+    url = surface_url_sql(
+        "doc_id % 4", "doc_id // 4", "(doc_id // 4) % 7"
+    )
+    lt = _T21_LINE_TOKS
+    stage_values = ", ".join(
+        f"({i + 1}, '{s}')" for i, s in enumerate(_P26_STAGES)
+    )
+    return f"""
+WITH {langid_frag},
+{QUALITY_CTE_SQL},
+base AS (SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL),
+canon AS (
+  SELECT doc_id, {url_canon_sql(f'({url})')} AS curl
+  FROM base
+),
+g1 AS (
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY curl) AS canon_keep
+  FROM canon
+),
+g2 AS (
+  SELECT b.doc_id,
+         coalesce(p.predicted IN {str(tuple(_P26_LANGS))}, FALSE) AS lang_ok
+  FROM base b
+  LEFT JOIN (SELECT doc_id, predicted FROM best WHERE rn = 1) p USING (doc_id)
+),
+g3 AS (SELECT doc_id, quality >= {_P26_QUALITY_MIN} AS q_ok FROM scored),
+repl AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, (len(toks) + {lt - 1}) // {lt} + 1),
+           i -> array_to_string(toks[(i - 1) * {lt} + 1 : i * {lt}], ' '))
+           AS ls
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM base)
+),
+g4 AS (
+  SELECT doc_id,
+         round(CAST(list_max(list_transform(list_distinct(toks),
+                     w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+               / len(toks), 6) <= {_T11_TOP_FRAC}
+         AND (len(ls) - len(list_distinct(ls))) * 1000000 // len(ls)
+             <= {_T21_DUP_PPM} AS rep_ok
+  FROM repl
+),
+ch AS (SELECT doc_id, unnest(string_split(lower(text), '')) AS c FROM base),
+cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+       FROM ch WHERE c <> '' GROUP BY doc_id, c),
+ctot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS t FROM cc GROUP BY doc_id),
+entr AS (
+  SELECT cc.doc_id, -sum((n / t.t) * ln(n / t.t)) AS ent
+  FROM cc JOIN ctot t USING (doc_id) GROUP BY cc.doc_id
+),
+g5 AS (
+  SELECT b.doc_id, coalesce(round(e.ent, 4) >= {_P26_MIN_ENT}, FALSE) AS ent_ok
+  FROM base b LEFT JOIN entr e USING (doc_id)
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+      i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                          string_split(lower(text), ' ')[i+1],
+                          string_split(lower(text), ' ')[i+2])
+    ))) AS shingle
+  FROM base
+),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_P26_EVAL_MOD} = 0),
+decs AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(count(e.shingle) AS BIGINT) AS n_hit
+  FROM sh s LEFT JOIN eval_sh e USING (shingle) GROUP BY s.doc_id
+),
+dec AS (
+  SELECT doc_id FROM decs WHERE n_hit * 1000000 // n_sh >= {_P26_DECON_PPM}
+),
+s5 AS (
+  SELECT b.doc_id, b.text, b.lang
+  FROM base b JOIN g1 USING (doc_id) JOIN g2 USING (doc_id)
+       JOIN g3 USING (doc_id) JOIN g4 USING (doc_id) JOIN g5 USING (doc_id)
+  WHERE canon_keep AND lang_ok AND q_ok AND rep_ok AND ent_ok
+),
+sh5 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN s5 USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh5 a JOIN sh5 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+nd_drop AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+        >= {_P26_ND_THRESHOLD}
+),
+s7 AS (
+  SELECT * FROM s5
+  WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)
+    AND doc_id NOT IN (SELECT doc_id FROM dec)
+),
+mcounts AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM s7 GROUP BY lang),
+mweights AS (
+  SELECT lang, c, CAST(floor(sqrt(c) * 1000000) AS BIGINT) AS w FROM mcounts
+),
+mquota AS (
+  SELECT lang,
+         CAST(({_P26_MIX_BUDGET} * w * 1000000)
+              // ((SELECT sum(w) FROM mweights) * c) AS BIGINT) AS thresh_ppm
+  FROM mweights
+),
+mix AS (
+  SELECT s.doc_id
+  FROM s7 s JOIN mquota q USING (lang)
+  WHERE CAST(concat('0x', substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 1000000 < q.thresh_ppm
+),
+lvt AS (
+  SELECT b.doc_id,
+    CASE WHEN NOT g1.canon_keep THEN 1
+         WHEN NOT g2.lang_ok THEN 2
+         WHEN NOT g3.q_ok THEN 3
+         WHEN NOT g4.rep_ok THEN 4
+         WHEN NOT g5.ent_ok THEN 5
+         WHEN b.doc_id IN (SELECT doc_id FROM nd_drop) THEN 6
+         WHEN b.doc_id IN (SELECT doc_id FROM dec) THEN 7
+         WHEN b.doc_id NOT IN (SELECT doc_id FROM mix) THEN 8
+         ELSE 9 END AS lv
+  FROM base b JOIN g1 USING (doc_id) JOIN g2 USING (doc_id)
+       JOIN g3 USING (doc_id) JOIN g4 USING (doc_id) JOIN g5 USING (doc_id)
+),
+census AS (SELECT lv, CAST(count(*) AS BIGINT) AS cnt FROM lvt GROUP BY lv),
+stages AS (SELECT * FROM (VALUES {stage_values}) AS t(stage_no, stage))
+SELECT CAST(s.stage_no AS BIGINT) AS stage_no, s.stage,
+       CAST(coalesce(sum(c.cnt), 0) AS BIGINT) AS n_in,
+       CAST(coalesce(sum(CASE WHEN c.lv = s.stage_no THEN c.cnt END), 0)
+            AS BIGINT) AS n_removed,
+       CAST(coalesce(sum(CASE WHEN c.lv > s.stage_no THEN c.cnt END), 0)
+            AS BIGINT) AS n_out
+FROM stages s LEFT JOIN census c ON c.lv >= s.stage_no
+GROUP BY s.stage_no, s.stage
+"""
+
+
+def p26_gate_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """p26's per-doc gate frame, LAZY (exposed for the plan pin):
+    (doc_id, text, lang, g_canon, g_lang, g_quality, g_rep, g_ent,
+    dec_hit). All scalar gates ride one fused scan projection; the
+    canon keep-min is a hash-partitioned window on the canonical URL;
+    langid predictions and the decontamination flag join back
+    doc_id-keyed."""
+    from hive_to_es_spark.operators.dedup import word_shingles
+    from hive_to_es_spark.operators.scalars import (
+        render_surface_url,
+        url_canonicalize,
+    )
+    from hive_to_es_spark.operators.text_ext import (
+        _T11_TOP_FRAC,
+        _T21_DUP_PPM,
+        _T21_LINE_TOKS,
+        char_entropy,
+        langid_predictions,
+        quality_expr,
+    )
+
+    variant = F.col("doc_id") % 4
+    page = F.expr("doc_id DIV 4")
+    curl = url_canonicalize(render_surface_url(variant, page, page % 7))
+    quality, _ = quality_expr()
+    toks = F.col("_toks")
+    lt = _T21_LINE_TOKS
+    n_lines = F.expr(f"(size(_toks) + {lt - 1}) DIV {lt}")
+    ls = F.transform(
+        F.sequence(F.lit(1), n_lines.cast("int")),
+        lambda i: F.array_join(F.slice(toks, (i - 1) * lt + 1, lt), " "),
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+    )
+    f0 = (
+        docs.withColumn("_curl", curl)
+        .withColumn("_toks", F.split("text", " "))
+        .withColumn("_ls", ls)
+        .withColumn("_q", quality)
+        .withColumn(
+            "_tf", F.round(top_cnt.cast("double") / F.size(toks), 6)
+        )
+        .withColumn(
+            "_dup_ppm",
+            F.expr(
+                "(size(_ls) - size(array_distinct(_ls)))"
+                " * 1000000 DIV size(_ls)"
+            ),
+        )
+        .withColumn(
+            "_canon_keep",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("_curl")),
+        )
+    )
+    f0 = char_entropy(f0, "text")
+    pred = langid_predictions(docs).select("doc_id", "predicted")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") % _P26_EVAL_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    decs = (
+        sh.join(
+            F.broadcast(eval_sh.withColumn("_hit", F.lit(1))),
+            "shingle",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"), F.count("_hit").alias("n_hit"))
+    )
+    dec = (
+        decs.filter(
+            F.expr(f"n_hit * 1000000 DIV n_sh >= {_P26_DECON_PPM}")
+        )
+        .select("doc_id")
+        .withColumn("_dec_hit", F.lit(True))
+    )
+    return (
+        f0.join(pred, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.col("_canon_keep").alias("g_canon"),
+            F.coalesce(
+                F.col("predicted").isin(*_P26_LANGS), F.lit(False)
+            ).alias("g_lang"),
+            (F.col("_q") >= _P26_QUALITY_MIN).alias("g_quality"),
+            (
+                (F.col("_tf") <= _T11_TOP_FRAC)
+                & (F.col("_dup_ppm") <= _T21_DUP_PPM)
+            ).alias("g_rep"),
+            F.coalesce(
+                F.round(F.col("_ent"), 4) >= _P26_MIN_ENT, F.lit(False)
+            ).alias("g_ent"),
+            F.coalesce(F.col("_dec_hit"), F.lit(False)).alias("dec_hit"),
+        )
+    )
+
+
+@register("p26_llm_corpus_pipeline", _p26_oracle())
+def p26_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed modern LLM corpus pipeline with per-stage removal
+    accounting (see the block comment): URL canon -> langid ->
+    quality -> repetition -> entropy -> near-dedup -> decontaminate ->
+    temperature mixture, emitting (stage_no, stage, n_in, n_removed,
+    n_out) per stage from one bounded level census."""
+    from hive_to_es_spark.functions.lifecycle import materialize
+    from hive_to_es_spark.operators.dedup_ext import (
+        minhash_verified_jaccard_pairs,
+    )
+    from hive_to_es_spark.operators.sort_set import hash_bucket
+
+    d = load_tables(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull()
+    )
+    gates = materialize(p26_gate_frame(spark, d))
+    s5 = gates.filter(
+        "g_canon AND g_lang AND g_quality AND g_rep AND g_ent"
+    )
+    nd = (
+        minhash_verified_jaccard_pairs(
+            s5.select("doc_id", "text"), threshold=_P26_ND_THRESHOLD
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(True))
+    )
+    g = gates.join(nd, "doc_id", "left")
+    s7 = g.filter(
+        "g_canon AND g_lang AND g_quality AND g_rep AND g_ent"
+        " AND _nd IS NULL AND NOT dec_hit"
+    )
+    counts = s7.groupBy("lang").agg(F.count("*").cast("bigint").alias("c"))
+    weights = counts.withColumn(
+        "w", F.floor(F.sqrt("c") * F.lit(1_000_000.0)).cast("bigint")
+    )
+    sumw = weights.agg(F.sum("w").cast("bigint").alias("sw"))
+    quota = weights.crossJoin(F.broadcast(sumw)).selectExpr(
+        "lang",
+        f"CAST(CAST({_P26_MIX_BUDGET} AS DECIMAL(38,0)) * w * 1000000"
+        " DIV (CAST(sw AS DECIMAL(38,0)) * c) AS BIGINT) AS thresh_ppm",
+    )
+    g = g.join(F.broadcast(quota), "lang", "left")
+    mix_keep = hash_bucket("doc_id", 1_000_000) < F.col("thresh_ppm")
+    lv = (
+        F.when(~F.col("g_canon"), 1)
+        .when(~F.col("g_lang"), 2)
+        .when(~F.col("g_quality"), 3)
+        .when(~F.col("g_rep"), 4)
+        .when(~F.col("g_ent"), 5)
+        .when(F.col("_nd").isNotNull(), 6)
+        .when(F.col("dec_hit"), 7)
+        .when(~mix_keep, 8)
+        .otherwise(9)
+    )
+    census = (
+        g.select(lv.alias("lv"))
+        .groupBy("lv")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    stages = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(_P26_STAGES)],
+        "stage_no long, stage string",
+    )
+    return (
+        stages.join(
+            F.broadcast(census), F.col("lv") >= F.col("stage_no"), "left"
+        )
+        .groupBy("stage_no", "stage")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0))
+            .cast("bigint")
+            .alias("n_in"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("lv") == F.col("stage_no"), F.col("cnt"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("lv") > F.col("stage_no"), F.col("cnt"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_out"),
+        )
+    )

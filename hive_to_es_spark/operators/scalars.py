@@ -705,32 +705,50 @@ def x13_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines (patterns held to the Java∩RE2 subset, t10's rule; group
 # refs differ — $1 Java, \1 RE2 — so the two SQL dialects are written
 # independently and the hash gate proves they agree byte-for-byte).
-_X14_ORACLE = r"""
+def surface_url_sql(variant: str, path: str, qid: str) -> str:
+    """DuckDB SQL for the 4-variant surface-URL rendering (the x14
+    family: clean / uppercase+port / utm-tracking / trailing-slash+
+    fragment), parameterized over the variant/path/query-id
+    expressions so x14 and p26 render with ONE definition."""
+    return f"""CASE {variant}
+           WHEN 0 THEN 'https://cdn.example.com/Data/' || ({path})
+                       || '?id=' || ({qid})
+           WHEN 1 THEN 'HTTPS://CDN.EXAMPLE.COM:443/Data/' || ({path})
+                       || '?id=' || ({qid})
+           WHEN 2 THEN 'https://cdn.example.com/Data/' || ({path})
+                       || '?utm_source=feed&utm_campaign=sync&id=' || ({qid})
+           ELSE 'https://cdn.example.com/Data/' || ({path})
+                       || '/?id=' || ({qid}) || '#section-2'
+         END"""
+
+
+def url_canon_sql(url: str) -> str:
+    """DuckDB SQL for the canonicalization chain (defrag -> lowercase
+    scheme+host -> strip :443 -> strip utm params -> collapse '/?') —
+    the exact mirror of url_canonicalize below, shared by the x14 and
+    p26 oracles."""
+    defrag = f"regexp_replace({url}, '#.*$', '')"
+    prefix = f"regexp_extract({defrag}, '^[A-Za-z]+://[^/]+')"
+    return (
+        "regexp_replace(\n           regexp_replace(\n             "
+        f"regexp_replace(\n               lower({prefix})\n"
+        f"                 || substr({defrag},\n"
+        f"                           length({prefix}) + 1),\n"
+        "               '^(https://[^/:]+):443/', '\\1/'),\n"
+        "             'utm_[a-z]+=[^&#]*&', '', 'g'),\n"
+        "           '/\\?', '?')"
+    )
+
+
+_X14_ORACLE = f"""
 WITH synth AS (
   SELECT doc_id,
-         CASE (doc_id // 200) % 4
-           WHEN 0 THEN 'https://cdn.example.com/Data/' || (doc_id % 200)
-                       || '?id=' || (doc_id % 200 % 7)
-           WHEN 1 THEN 'HTTPS://CDN.EXAMPLE.COM:443/Data/' || (doc_id % 200)
-                       || '?id=' || (doc_id % 200 % 7)
-           WHEN 2 THEN 'https://cdn.example.com/Data/' || (doc_id % 200)
-                       || '?utm_source=feed&utm_campaign=sync&id=' || (doc_id % 200 % 7)
-           ELSE 'https://cdn.example.com/Data/' || (doc_id % 200)
-                       || '/?id=' || (doc_id % 200 % 7) || '#section-2'
-         END AS url
+         {surface_url_sql('(doc_id // 200) % 4', 'doc_id % 200', 'doc_id % 200 % 7')} AS url
   FROM documents
 ),
 canon AS (
   SELECT doc_id, url,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(
-               lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/]+'))
-                 || substr(regexp_replace(url, '#.*$', ''),
-                           length(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/]+')) + 1),
-               '^(https://[^/:]+):443/', '\1/'),
-             'utm_[a-z]+=[^&#]*&', '', 'g'),
-           '/\?', '?') AS canonical_url
+         {url_canon_sql('url')} AS canonical_url
   FROM synth
 )
 SELECT canonical_url,
@@ -740,6 +758,54 @@ SELECT canonical_url,
 FROM canon
 GROUP BY canonical_url
 """
+
+
+def render_surface_url(variant, path_id, query_id):
+    """Spark mirror of surface_url_sql: the 4-variant surface-URL
+    rendering column."""
+    return (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("https://cdn.example.com/Data/"), path_id,
+                F.lit("?id="), query_id,
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://CDN.EXAMPLE.COM:443/Data/"), path_id,
+                F.lit("?id="), query_id,
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://cdn.example.com/Data/"), path_id,
+                F.lit("?utm_source=feed&utm_campaign=sync&id="), query_id,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn.example.com/Data/"), path_id,
+                F.lit("/?id="), query_id, F.lit("#section-2"),
+            )
+        )
+    )
+
+
+def url_canonicalize(url):
+    """Spark mirror of url_canon_sql: the scan-side canonicalization
+    regexp chain (codegen'd, no Python)."""
+    defrag = F.regexp_replace(url, "#.*$", "")
+    prefix = F.regexp_extract(defrag, "^[A-Za-z]+://[^/]+", 0)
+    lowered = F.concat(
+        F.lower(prefix),
+        F.substring(defrag, F.length(prefix) + 1, F.lit(1_000_000)),
+    )
+    no_port = F.regexp_replace(lowered, "^(https://[^/:]+):443/", "$1/")
+    no_utm = F.regexp_replace(no_port, "utm_[a-z]+=[^&#]*&", "")
+    return F.regexp_replace(no_utm, "/\\?", "?")
 
 
 @register("x14_url_normalize", _X14_ORACLE)
@@ -764,44 +830,8 @@ def x14_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole normalization vacuous — (doc_id DIV 200) % 4 walks
     # the variants as doc_id steps through the same class
     variant = F.expr("(doc_id DIV 200) % 4")
-    url = (
-        F.when(
-            variant == 0,
-            F.concat(F.lit("https://cdn.example.com/Data/"), pid, F.lit("?id="), qid),
-        )
-        .when(
-            variant == 1,
-            F.concat(
-                F.lit("HTTPS://CDN.EXAMPLE.COM:443/Data/"), pid, F.lit("?id="), qid
-            ),
-        )
-        .when(
-            variant == 2,
-            F.concat(
-                F.lit("https://cdn.example.com/Data/"),
-                pid,
-                F.lit("?utm_source=feed&utm_campaign=sync&id="),
-                qid,
-            ),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("https://cdn.example.com/Data/"),
-                pid,
-                F.lit("/?id="),
-                qid,
-                F.lit("#section-2"),
-            )
-        )
-    )
-    defrag = F.regexp_replace(url, "#.*$", "")
-    prefix = F.regexp_extract(defrag, "^[A-Za-z]+://[^/]+", 0)
-    lowered = F.concat(
-        F.lower(prefix), F.substring(defrag, F.length(prefix) + 1, F.lit(1_000_000))
-    )
-    no_port = F.regexp_replace(lowered, "^(https://[^/:]+):443/", "$1/")
-    no_utm = F.regexp_replace(no_port, "utm_[a-z]+=[^&#]*&", "")
-    canonical = F.regexp_replace(no_utm, "/\\?", "?")
+    url = render_surface_url(variant, pid, qid)
+    canonical = url_canonicalize(url)
     return (
         d.select(F.col("doc_id"), url.alias("url"), canonical.alias("canonical_url"))
         .groupBy("canonical_url")

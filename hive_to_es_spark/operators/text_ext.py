@@ -2766,11 +2766,13 @@ def char_entropy(docs: DataFrame, text_col: str = "rtext") -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x,
     )
+    # pass input columns through (p26 composes this gate into a wider
+    # per-doc gate frame); internal census arrays dropped
     return d.select(
-        "doc_id",
+        "*",
         n.cast("bigint").alias("n_chars_ent"),
         ent.alias("_ent"),
-    )
+    ).drop("_sc", "_re")
 
 
 @register("t24_char_entropy", _T24_ORACLE)

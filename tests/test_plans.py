@@ -1251,6 +1251,40 @@ def test_t24_is_pure_scan_side_projection(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
+def test_p26_gates_fused_and_final_reads_checkpoint(spark, sf_dir):
+    """p26's scale contract, both halves. Gate frame (lazy): all four
+    scalar gates (url canon + quality + repetition + entropy) ride
+    ONE corpus scan — the plan's 5 scans are exactly {gates, langid
+    census, langid doc-side, shingle stream, eval shingles}, the
+    canon keep-min window is PARTITIONED by the canonical URL (never
+    unpartitioned), and nothing plans a cartesian. Registered op: the
+    final plan reads only the materialized gate frame (zero parquet
+    scans — the near-dup miner, survivor census and level census all
+    reuse the checkpoint), no cartesian anywhere."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.pipeline_ops import p26_gate_frame
+
+    d = load_tables(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull()
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        p26_gate_frame(spark, d).explain()
+    gates = buf.getvalue()
+    assert gates.count("Scan parquet") == 5, gates
+    assert re.search(r"windowspecdefinition\(_curl#\d+", gates), gates
+    assert "CartesianProduct" not in gates, gates
+
+    final = _simple_plan(spark, sf_dir, "p26_llm_corpus_pipeline")
+    assert "Scan parquet" not in final, final
+    assert "ExistingRDD" in final, final
+    assert "CartesianProduct" not in final, final
+
+
 def test_t26_encode_single_corpus_scan_broadcast_probe(spark, sf_dir):
     """t26's encode path touches the corpus ONCE (training's census
     scan lives behind the seg2 checkpoint): exactly one parquet scan

@@ -3447,3 +3447,41 @@ def test_t25_fixture_oov_nonvacuous_and_tracks_t8(spark, sf_dir):
         assert abs(t8[d] - t25[d].lm_topk_score) < 1e-9, (
             d, t8[d], t25[d].lm_topk_score,
         )
+
+
+def test_p26_accounting_telescopes_and_stages_fire(spark, sf_dir):
+    """p26's accounting must be internally consistent (n_in -
+    n_removed == n_out per stage; n_out telescopes into the next
+    stage's n_in; stage 1 sees the whole non-null corpus) and the
+    pipeline must do real work: the URL canon, langid, quality,
+    repetition and decontamination stages each remove documents at
+    every SF (entropy / near-dedup / mixture arms are additionally
+    non-vacuous at sf0.1 — binomial/threshold stages legitimately
+    fire at zero on a 79-survivor sf0.01 tail), and a non-empty
+    mixture survives the full chain."""
+    from pyspark.sql import functions as F
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.registry import queries
+
+    rows = sorted(
+        queries()["p26_llm_corpus_pipeline"](spark, sf_dir).collect(),
+        key=lambda r: r.stage_no,
+    )
+    assert [r.stage for r in rows] == [
+        "url_canon", "langid", "quality", "repetition",
+        "entropy", "near_dedup", "decontaminate", "mixture",
+    ]
+    n_base = (
+        load_tables(spark, sf_dir)
+        .documents.filter(F.col("text").isNotNull())
+        .count()
+    )
+    assert rows[0].n_in == n_base
+    for i, r in enumerate(rows):
+        assert r.n_in - r.n_removed == r.n_out, r
+        if i + 1 < len(rows):
+            assert r.n_out == rows[i + 1].n_in, (r, rows[i + 1])
+    for idx in (0, 1, 2, 3, 6):  # url, langid, quality, rep, decon
+        assert rows[idx].n_removed > 0, rows[idx]
+    assert rows[-1].n_out > 0, rows[-1]
