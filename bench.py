@@ -186,6 +186,9 @@ EXTENSION = [
     # round 14: the composed 8-stage LLM corpus pipeline (gate frame
     # checkpoint at build + near-dup mining + level census in the read)
     "p26_llm_corpus_pipeline",
+    # round 14: shard export through the pyatomic two-phase-commit
+    # sink (write at build, manifest aggregate in the read)
+    "p27_shard_export",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -278,6 +281,9 @@ EAGER_BUILD = {
     # p26 materializes the per-doc gate frame at build — rebuild
     # prices the gate scans + langid + decon, not just the census
     "p26_llm_corpus_pipeline",
+    # p27 runs the full sink write at build — rebuild prices the
+    # assign + stage + commit, not just the read-back aggregate
+    "p27_shard_export",
 }
 
 

@@ -244,7 +244,7 @@ def shard_assign(
     Returns (shard_id, n_docs, total_weight, min_key, max_key).
     """
     base = df.select(key_col, F.col(weight_col).cast("long").alias("_w"))
-    lo, hi = base.agg(F.min(key_col), F.max(key_col)).first()
+    lo, _ = base.agg(F.min(key_col), F.max(key_col)).first()
     if lo is None:
         return base.select(
             F.col(key_col).alias("shard_id"),
@@ -253,13 +253,38 @@ def shard_assign(
             F.col(key_col).alias("min_key"),
             F.col(key_col).alias("max_key"),
         ).limit(0)
+    return (
+        shard_assign_rows(df, key_col, weight_col, budget, n_parts)
+        .select(key_col, F.col(weight_col).cast("long").alias("_w"), "shard_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_w").cast("bigint").alias("total_weight"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+        )
+    )
+
+
+def shard_assign_rows(
+    df: DataFrame, key_col: str, weight_col: str, budget: int, n_parts: int
+) -> DataFrame:
+    """The PER-ROW form of shard_assign (factored out in round 14 so
+    p27 can export the actual shard contents): every input row plus
+    its `shard_id` under the same greedy start-offset packing and the
+    same two-pass no-global-window plan. Input must be non-empty
+    (shard_assign guards the empty case; an exporter with zero rows
+    has nothing to write)."""
+    lo, hi = df.agg(F.min(key_col), F.max(key_col)).first()
     width = max(1, -(-(hi - lo + 1) // n_parts))  # ceil-div
-    ranged = base.withColumn(
+    ranged = df.withColumn(
+        "_srw", F.col(weight_col).cast("long")
+    ).withColumn(
         "_pid", F.floor((F.col(key_col) - F.lit(lo)) / F.lit(width)).cast("int")
     )
     totals = sorted(
         (r["_pid"], r["_t"])
-        for r in ranged.groupBy("_pid").agg(F.sum("_w").alias("_t")).collect()
+        for r in ranged.groupBy("_pid").agg(F.sum("_srw").alias("_t")).collect()
     )
     offset_entries: list = []
     acc = 0
@@ -270,18 +295,12 @@ def shard_assign(
     w = Window.partitionBy("_pid").orderBy(key_col)
     # global cumulative weight INCLUSIVE of this row; start offset =
     # cum - w. Integer div keeps both engines exact (no FP floor).
-    cum = F.sum("_w").over(w) + offset
-    shard = F.expr(f"(_cum - _w) div {budget}").cast("bigint")
+    cum = F.sum("_srw").over(w) + offset
+    shard = F.expr(f"(_cum - _srw) div {budget}").cast("bigint")
     return (
         ranged.withColumn("_cum", cum)
-        .select(key_col, "_w", shard.alias("shard_id"))
-        .groupBy("shard_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("_w").cast("bigint").alias("total_weight"),
-            F.min(key_col).alias("min_key"),
-            F.max(key_col).alias("max_key"),
-        )
+        .withColumn("shard_id", shard)
+        .drop("_srw", "_pid", "_cum")
     )
 
 
@@ -3016,4 +3035,127 @@ def p26_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_out"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# p27 — shard EXPORT through the two-phase-commit writer (round 14,
+# VERDICT r13 task 5): p12 ASSIGNS docs to token-budgeted shards and
+# b11 ships an atomic custom sink, but nothing wrote actual training
+# shards through it. p27 closes the loop — the WebDataset-style
+# export step of a training-data pipeline: assign every document its
+# shard (shard_assign_rows: p12's greedy start-offset packing,
+# per-row), repartition BY shard_id so shard contents land contiguous
+# in the staged files, stream the corpus out through the 'pyatomic'
+# Arrow writer (tasks stage, driver commit renames — b11's machinery
+# unchanged), read the COMMITTED files back, and emit the shard
+# MANIFEST: per shard (n_docs, total_weight, min/max key) plus a
+# content signature (sum of per-doc 60-bit md5(text) residues) that
+# would catch any lost, duplicated or mangled row — the roundtrip
+# through the sink is what the hash gate proves.
+#
+# The ORACLE never touches the filesystem: it restates the manifest
+# straight from `documents` via p12's naive global running-sum window
+# — so Spark's two-pass shard math AND the sink's atomicity are both
+# under the same hash. The abort path (poison row -> zero committed
+# files, no manifest) is re-proven for THIS export in
+# tests/test_pipeline.py using b11's poison hook.
+#
+# Scale notes: one repartition(shard_id) exchange routes each shard's
+# docs to one task (shards are budget-bounded, so a task holds
+# ~budget bytes; the writer streams Arrow batches — per-task memory
+# stays O(batch)); commit is |tasks| metadata renames. File layout is
+# tasks-not-shards (a task may carry several whole shards — hash
+# routing); the manifest, not the file boundary, is the shard
+# contract, exactly like a WebDataset index file.
+# ---------------------------------------------------------------------------
+
+_P27_BUDGET = 50_000  # chars per shard — p12's contract
+
+_P27_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars, text,
+         CAST((sum(n_chars) OVER (ORDER BY doc_id) - n_chars)
+              // {_P27_BUDGET} AS BIGINT) AS shard_id
+  FROM documents
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_weight,
+       min(doc_id) AS min_key,
+       max(doc_id) AS max_key,
+       CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                % 1000000000) AS BIGINT) AS content_sig
+FROM assigned GROUP BY shard_id
+"""
+
+
+def export_shards(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    budget: int = _P27_BUDGET,
+    poison: int | None = None,
+) -> None:
+    """Assign (doc_id, n_chars, text) rows to weight-budgeted shards
+    and write them through the pyatomic two-phase-commit sink —
+    shard-contiguous within staged files. `poison` forwards b11's
+    test hook (a doc_id the sink refuses mid-job, proving the abort
+    path leaves zero committed files for THIS export too)."""
+    import os
+
+    from hive_to_es_spark.functions.merge import fs_delete
+
+    _b11_register_sink(spark)
+    fs_delete(spark, path)
+    os.makedirs(path, exist_ok=True)
+    assigned = shard_assign_rows(
+        docs, "doc_id", "n_chars", budget,
+        spark.sparkContext.defaultParallelism,
+    ).select("shard_id", "doc_id", "n_chars", "text")
+    writer = (
+        assigned.repartition(F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "doc_id")
+        .write.format("pyatomic")
+        .option("path", path)
+    )
+    if poison is not None:
+        # poison matches against the FIRST column: shard_id here, so
+        # route the hook through doc_id ordering by reordering cols
+        writer = (
+            assigned.select("doc_id", "shard_id", "n_chars", "text")
+            .repartition(F.col("shard_id"))
+            .sortWithinPartitions("shard_id", "doc_id")
+            .write.format("pyatomic")
+            .option("path", path)
+            .option("poison", str(poison))
+        )
+    writer.mode("append").save()
+
+
+@register("p27_shard_export", _P27_ORACLE)
+def p27_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted training-shard export + manifest (see the block
+    comment): p12's shard assignment written through b11's atomic
+    Python DataSource sink, read back from the COMMITTED files, and
+    summarized per shard with a content signature — the hash gate
+    proves the full assign -> stage -> commit -> read-back loop
+    lossless against a filesystem-free oracle."""
+    from hive_to_es_spark.operators.sort_set import hash_bucket
+    from hive_to_es_spark.pipeline import dataset_tmp_path
+
+    d = load_tables(spark, sf_dir).documents.select(
+        "doc_id", "n_chars", "text"
+    )
+    out = dataset_tmp_path("p27_shards", sf_dir)
+    export_shards(spark, d, out)
+    back = spark.read.parquet(out)
+    return back.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_weight"),
+        F.min("doc_id").alias("min_key"),
+        F.max("doc_id").alias("max_key"),
+        F.sum(hash_bucket(F.col("text"), 1_000_000_000))
+        .cast("bigint")
+        .alias("content_sig"),
     )

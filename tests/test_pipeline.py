@@ -560,3 +560,44 @@ def test_b11_sink_abort_commits_nothing(spark, tmp_path):
 
     assert b11_committed_rows(out) == 2000
     assert open(os.path.join(out, "_SUCCESS")).read() == "2000"
+
+
+def test_p27_export_abort_then_retry(spark, sf_dir, tmp_path):
+    """p27's abort path (b11's poison hook routed through the shard
+    exporter): a poisoned export must leave ZERO committed output —
+    no part files, no _SUCCESS — and a clean retry into the same
+    target must commit the full corpus exactly once, with the
+    manifest aggregate matching the source."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.pipeline_ops import export_shards
+
+    d = load_tables(spark, sf_dir).documents.select(
+        "doc_id", "n_chars", "text"
+    )
+    out = str(tmp_path / "shards")
+    with pytest.raises(Exception):
+        export_shards(spark, d, out, poison=250)
+    leftovers = os.listdir(out)
+    assert not any(
+        n.endswith(".parquet") or n == "_SUCCESS" for n in leftovers
+    ), leftovers
+    export_shards(spark, d, out)
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    assert (
+        back.agg(F.sum("n_chars")).first()[0]
+        == d.agg(F.sum("n_chars")).first()[0]
+    )
+    # shard contract: no shard exceeds budget by more than one doc
+    over = (
+        back.groupBy("shard_id")
+        .agg(F.sum("n_chars").alias("w"), F.max("n_chars").alias("mx"))
+        .filter(F.col("w") - F.col("mx") >= 50_000)
+        .count()
+    )
+    assert over == 0
