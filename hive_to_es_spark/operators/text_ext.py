@@ -210,28 +210,58 @@ GROUP BY lang, predicted
 """
 
 
+def _bigrams_from_chars(ch_col: str = "_ch"):
+    """In-row character-bigram array from a PRE-PROJECTED char-array
+    column (F.split(text, '') materialized first). Two load-bearing
+    details (round 14, measured):
+
+    - bigram i must NOT be text.substr(i, 2): substring by codepoint
+      index re-scans the string from the start on every call, so the
+      transform is O(len²) per document (measured 1.7 s for the bare
+      bigram explode at sf0.1 — ~437M char scans); element_at on the
+      char array is O(1), making the row O(len).
+    - the char split must be a COLUMN, not an inline expression:
+      Spark does not common-subexpression-eliminate inside lambda
+      bodies (the dsir_features lesson), so an inline split would
+      re-split the text once per element — O(len²) again. A bare
+      column reference inside the lambda is free.
+
+    Guard: sequence(1, 0) DESCENDS ([1, 0]) and would emit spurious
+    bigrams for texts of length <= 1 (the DuckDB oracle's
+    range(1, length) yields none there); NULL text splits to NULL and
+    takes the same empty-array arm."""
+    ch = F.col(ch_col)
+    return F.transform(
+        F.when(
+            F.size(ch) >= 2, F.sequence(F.lit(1), F.size(ch) - 1)
+        ).otherwise(F.array()),
+        lambda i: F.concat(F.element_at(ch, i), F.element_at(ch, i + 1)),
+    )
+
+
 def langid_predictions(d: DataFrame) -> DataFrame:
     """Per-document n-gram language-ID predictions (doc_id, lang,
     predicted): per-language character-bigram profiles, docs scored by
     top-20-profile overlap, deterministic argmax. Shared by t7
-    (confusion counts) and t3 (routing on the PREDICTION — the honest
-    langid-filter shape: production never has the true label)."""
+    (confusion counts), t3 (routing on the PREDICTION — the honest
+    langid-filter shape: production never has the true label) and
+    p26's lang gate.
+
+    Round 14 kept the r13 topology (profile census + distinct doc
+    bigrams + broadcast score join + per-doc rank window — every
+    heavy stage post-exchange and parallel) but made bigram
+    GENERATION O(len) per document via the pre-split char array
+    (_bigrams_from_chars — substr-by-index was O(len²), ~55% of the
+    whole operator's time; measured 3.08 s -> 1.60 s at sf0.1). A
+    zero-corpus-exchange scan-side alternative (collect the bounded
+    profile, compile a literal contains()-argmax column) was measured
+    end-to-end SLOWER locally (p26 6.6 -> 9.0 s) because the eager
+    census collect serializes against the single-task fixture scans
+    that otherwise overlap inside one job — see OPTIMIZATION_r14.md;
+    revisit only with multi-split inputs."""
     bigrams = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                # guard: sequence(1, 0) DESCENDS ([1, 0]) and would emit
-                # spurious bigrams for texts of length <= 1 (the DuckDB
-                # oracle's range(1, length) yields none there)
-                F.when(
-                    F.length("text") >= 2,
-                    F.sequence(F.lit(1), F.length("text") - 1),
-                ).otherwise(F.array()),
-                lambda i: F.col("text").substr(i, F.lit(2)),
-            )
-        ).alias("bg"),
-    )
+        "doc_id", "lang", F.split("text", "").alias("_ch")
+    ).select("doc_id", "lang", F.explode(_bigrams_from_chars()).alias("bg"))
     w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bg").asc())
     profile = (
         bigrams.groupBy("lang", "bg")

@@ -1042,21 +1042,28 @@ def e13_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # files where it has, and asserts stream == batch-twin there, plus
 # the drop AND the eviction arms individually.)
 #
-# The chain is data-dependent recursion (no fixed-depth relational
-# form). A per-key applyInPandas would be the obvious spelling, but
-# it is pathological at this key shape — ~1 row per group, so pandas
-# group dispatch costs ~1.5 ms/group (measured: 150 s at sf0.1 for
-# 100k keys). The batch twin instead iterates the chain BY DEPTH,
-# all JVM-side (the t16/x9 fixed-round discipline): each round keeps,
-# per key, the earliest remaining copy via ONE struct-min aggregate
-# (no sort, no Python), then discards copies inside that copy's
-# horizon; rounds run until no copies remain. Rounds = max chain
-# depth (2 on the registered input; redelivery storms stay shallow
-# because depth is span/delay, not copy count), each round touches
-# only the shrinking remainder (round 2 sees ~1/13 of keys), and
-# per-round localCheckpoint + release keeps lineage flat. The ORACLE
-# restates the chain NON-recursively for the registered input (depth
-# <= 2 by construction: copies at +0, +10min, +90min against a
+# The chain is data-dependent recursion per key. A per-key
+# applyInPandas would be the obvious spelling, but it is pathological
+# at this key shape — ~1 row per group, so pandas group dispatch
+# costs ~1.5 ms/group (measured: 150 s at sf0.1 for 100k keys).
+# Rounds 13 and earlier iterated the chain BY DEPTH (per round: one
+# struct-min aggregate + one event_id join + localCheckpoint —
+# 2 shuffles and 3 actions per chain level). Round 14 collapses the
+# whole recursion into ONE corpus shuffle (guide §2.4/§1.2 — the
+# recursion is per-key and each key's copy set is redelivery-bounded,
+# so it belongs INSIDE a row, not across jobs): collect_list the
+# copies per key, sort_array them (ts, then payload — exactly the
+# struct-min tie order of the per-round aggregate), run the greedy
+# chain as an in-row F.aggregate over the sorted array, explode the
+# kept copies. Per-key state is the key's copy list — bounded by the
+# redelivery rate per horizon for benign storms, and even an
+# adversarial year-long replay of one key is ~1e5 array elements in
+# one task (the OLD form paid ~5 cluster jobs per chain LEVEL on such
+# input; the fold pays zero). Measured at sf0.1: 1.85 s -> see
+# OPTIMIZATION_r14.md (plan: depth x (HashAggregate + SortMergeJoin +
+# checkpoint) -> ONE HashAggregate(collect_list) + Generate). The
+# ORACLE restates the chain NON-recursively for the registered input
+# (depth <= 2 by construction: copies at +0, +10min, +90min against a
 # 60-min horizon) — a different algorithm, d19's independent-
 # derivation discipline; the general recursion is pinned on a
 # hand-built depth-4 chain in tests/test_units.py.
@@ -1119,17 +1126,22 @@ def dedup_within_horizon(
     max_rounds: int = 64,
 ) -> DataFrame:
     """Batch twin: the greedy horizon chain per event_id (see block
-    comment) over a (event_id, ts, ...payload) frame, iterated by
-    chain DEPTH entirely JVM-side. Spark cannot run
-    dropDuplicatesWithinWatermark on a batch frame (probed:
-    UNSUPPORTED_OPERATION), so the twin states the ideal-watermark
-    semantics directly. Each round: one map-combined struct-min
-    aggregate keeps the earliest remaining copy per key; one
-    event_id-keyed join discards the copies inside its horizon; the
-    remainder (shrinking geometrically) feeds the next round.
+    comment) over a (event_id, ts, ...payload) frame, computed in ONE
+    corpus shuffle. Spark cannot run dropDuplicatesWithinWatermark on
+    a batch frame (probed: UNSUPPORTED_OPERATION), so the twin states
+    the ideal-watermark semantics directly: collect each key's copies,
+    sort them by struct(ts, *payload) — the same comparator the old
+    per-round struct-min used, so the tie-break is unchanged — and
+    fold the greedy chain over the sorted array in-row (keep the
+    first copy; keep each later copy iff its ts >= last kept ts +
+    delay), then explode the kept copies back to rows. Round-14
+    rewrite of the r13 depth-iterated loop (2 shuffles + 3 actions
+    PER chain level -> 1 shuffle + 1 bounded action total); output
+    is row-identical, pinned by the depth-4 hand-built test, the
+    max_rounds boundary test and the stream==batch replay test.
 
     PRECONDITION (ADVICE r13): (event_id, ts) pairs are unique. The
-    struct-min tie-break keeps exactly one row of a tied (key, ts)
+    struct-sort tie-break keeps exactly one row of a tied (key, ts)
     pair (min over the payload struct), while the registered ORACLE's
     ts-equality join would keep every tied copy and the stream form
     keeps the first ARRIVAL — three different tie semantics. The
@@ -1139,69 +1151,65 @@ def dedup_within_horizon(
     helper on inputs with tied timestamps get the deterministic
     payload-struct-min pick.
 
-    Rounds equal the max chain depth, which is bounded by
-    span/delay for benign redelivery storms — but an ADVERSARIAL
-    replay (one key redelivered every delay+epsilon for a year) makes
-    depth ~ chain length with a full join per round (VERDICT r13).
-    `max_rounds` caps that: chains deeper than the cap raise with the
-    fallback named instead of silently looping. 64 rounds covers a
+    `max_rounds` keeps its r13 contract as a chain-DEPTH cap: a key
+    whose kept chain is deeper than max_rounds (the r13 loop would
+    have run that many rounds) raises with the fallback named, from
+    one bounded max(size(kept)) aggregate over the per-key result —
+    no longer a runaway-loop guard (the fold cannot loop), but the
+    same explicit refusal to silently emit an adversarial replay
+    chain (one key redelivered every delay+epsilon for a year) whose
+    depth the stream form is the right tool for. 64 covers a
     64 x delay event-time span per key chain (2.7 days at the
-    registered 60-min delay) — far beyond any batch-window replay the
-    twin is meant for; a corpus that legitimately exceeds it should
-    use the STREAM form (bounded state by construction) or a per-key
-    applyInPandas chain walk (accepting its ~1.5 ms/group dispatch
-    cost — measured, see block comment)."""
-    from hive_to_es_spark.functions.lifecycle import (
-        materialize,
-        release_checkpoint,
-    )
+    registered 60-min delay)."""
+    from hive_to_es_spark.functions.lifecycle import materialize
 
     payload = [c for c in events.columns if c not in ("event_id", "ts")]
     delay = F.expr(f"INTERVAL {delay_minutes} MINUTES")
-    remaining = materialize(events, checkpoint_dir)
-    kept_parts: list[DataFrame] = []
-    rounds = 0
-    while not remaining.isEmpty():
-        if rounds >= max_rounds:
-            raise RuntimeError(
-                f"dedup_within_horizon: horizon chain exceeded "
-                f"{max_rounds} rounds (adversarial redelivery chain "
-                f"deeper than max_rounds x {delay_minutes} min). Use "
-                f"the streaming form (tf_dedup_within_watermark — "
-                f"state bounded by the watermark horizon) or a "
-                f"per-key applyInPandas chain walk for inputs with "
-                f"unbounded chain depth."
-            )
-        rounds += 1
-        kept = materialize(
-            remaining.groupBy("event_id")
-            .agg(F.min(F.struct("ts", *payload)).alias("_s"))
-            .select(
-                "event_id",
-                F.col("_s.ts").alias("ts"),
-                *[F.col(f"_s.{c}").alias(c) for c in payload],
+    rows = F.sort_array(F.collect_list(F.struct("ts", *payload)))
+
+    def chain(acc, r):
+        return F.when(
+            r["ts"] >= acc["lk"] + delay,
+            F.struct(
+                r["ts"].alias("lk"),
+                F.concat(acc["ks"], F.array(r)).alias("ks"),
             ),
-            checkpoint_dir,
+        ).otherwise(acc)
+
+    # groups are non-empty by construction (collect_list over >= 1
+    # row), so the fold seeds with the first (minimal) copy kept and
+    # scans the rest — no nullable-timestamp accumulator needed
+    first = F.element_at(F.col("_rows"), 1)
+    kept = F.aggregate(
+        F.slice(F.col("_rows"), 2, F.size(F.col("_rows")) - 1),
+        F.struct(
+            first.getField("ts").alias("lk"),
+            F.slice(F.col("_rows"), 1, 1).alias("ks"),
+        ),
+        chain,
+    )["ks"]
+    g = materialize(
+        events.groupBy("event_id")
+        .agg(rows.alias("_rows"))
+        .select("event_id", kept.alias("_ks")),
+        checkpoint_dir,
+    )
+    deepest = g.agg(F.max(F.size("_ks"))).first()[0]
+    if deepest is not None and deepest > max_rounds:
+        raise RuntimeError(
+            f"dedup_within_horizon: horizon chain depth {deepest} "
+            f"exceeds max_rounds={max_rounds} (adversarial redelivery "
+            f"chain deeper than max_rounds x {delay_minutes} min). Use "
+            f"the streaming form (tf_dedup_within_watermark — state "
+            f"bounded by the watermark horizon) for inputs with "
+            f"unbounded chain depth."
         )
-        kept_parts.append(kept)
-        nxt = materialize(
-            remaining.join(
-                kept.select("event_id", F.col("ts").alias("_kts")),
-                "event_id",
-            )
-            .filter(F.col("ts") >= F.col("_kts") + delay)
-            .drop("_kts"),
-            checkpoint_dir,
-        )
-        release_checkpoint(remaining)
-        remaining = nxt
-    release_checkpoint(remaining)
-    if not kept_parts:  # empty input: nothing to chain
-        return events
-    out = kept_parts[0]
-    for k in kept_parts[1:]:
-        out = out.unionByName(k)
-    return out
+    out_cols = [
+        F.col("_r.ts").alias("ts") if c == "ts"
+        else (F.col("event_id") if c == "event_id" else F.col(f"_r.{c}").alias(c))
+        for c in events.columns
+    ]
+    return g.select("event_id", F.explode("_ks").alias("_r")).select(*out_cols)
 
 
 def e14_redelivered_input(ev: DataFrame) -> DataFrame:

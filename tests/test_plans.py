@@ -1129,18 +1129,23 @@ def test_t23_one_corpus_scan_broadcast_census(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_e14_chain_rounds_read_checkpoints(spark, sf_dir):
-    """e14's batch twin iterates the horizon chain by depth with
-    per-round localCheckpoints: the FINAL plan is a Union of the
-    kept-round checkpoint reads only (no parquet scan — the corpus
-    was read exactly once, into round 1's materialization), with no
-    window, no sort, and no cartesian anywhere; the registered
-    input's chain depth is 2, so exactly two kept frames union."""
+def test_e14_single_pass_chain_fold(spark, sf_dir):
+    """e14's batch twin (round-14 rewrite) computes the whole greedy
+    horizon chain in ONE corpus shuffle: per-key copies collected and
+    folded in-row, kept copies exploded back out. The FINAL plan reads
+    only the checkpointed per-key fold result (no parquet scan — the
+    corpus was read exactly once, into the fold's materialization)
+    and is a single Generate (the kept-copy explode) over it — no
+    per-depth Union of round checkpoints (the r13 shape), no join, no
+    window, no sort, no cartesian anywhere."""
     plan = _simple_plan(spark, sf_dir, "e14_stream_dedup_watermarked")
     assert "Scan parquet" not in plan, plan
     assert "ExistingRDD" in plan, plan
-    assert "Union" in plan, plan
+    assert plan.count("Generate") == 1, plan
+    assert "Union" not in plan, plan
+    assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+    assert "Sort" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
