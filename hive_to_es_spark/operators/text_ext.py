@@ -249,19 +249,29 @@ def langid_predictions(d: DataFrame) -> DataFrame:
 
     Round 14 kept the r13 topology (profile census + distinct doc
     bigrams + broadcast score join + per-doc rank window — every
-    heavy stage post-exchange and parallel) but made bigram
-    GENERATION O(len) per document via the pre-split char array
-    (_bigrams_from_chars — substr-by-index was O(len²), ~55% of the
-    whole operator's time; measured 3.08 s -> 1.60 s at sf0.1). A
-    zero-corpus-exchange scan-side alternative (collect the bounded
-    profile, compile a literal contains()-argmax column) was measured
-    end-to-end SLOWER locally (p26 6.6 -> 9.0 s) because the eager
-    census collect serializes against the single-task fixture scans
-    that otherwise overlap inside one job — see OPTIMIZATION_r14.md;
-    revisit only with multi-split inputs."""
-    bigrams = d.select(
-        "doc_id", "lang", F.split("text", "").alias("_ch")
-    ).select("doc_id", "lang", F.explode(_bigrams_from_chars()).alias("bg"))
+    heavy stage post-exchange and parallel) but made two changes:
+    (a) bigram GENERATION is O(len) per document via the pre-split
+    char array (_bigrams_from_chars — substr-by-index was O(len²),
+    ~55% of the whole operator's time; measured 3.08 s -> 1.60 s at
+    sf0.1); (b) the exploded bigram stream is shared between its two
+    consumers through a LAZY localCheckpoint (eager=False — no job at
+    build, materialized under the first job that touches it), so the
+    corpus explode runs ONCE instead of once per consumer — one full
+    corpus pass deleted at any scale, wall-neutral locally where the
+    two 1-task explodes overlapped anyway. A zero-corpus-exchange
+    scan-side alternative (collect the bounded profile, compile a
+    literal contains()-argmax column) was measured end-to-end SLOWER
+    locally (p26 6.6 -> 9.0 s) because the eager census collect
+    serializes against the single-task fixture scans that otherwise
+    overlap inside one job — see OPTIMIZATION_r14.md; revisit only
+    with multi-split inputs."""
+    from hive_to_es_spark.functions.lifecycle import materialize
+
+    bigrams = materialize(
+        d.select("doc_id", "lang", F.split("text", "").alias("_ch"))
+        .select("doc_id", "lang", F.explode(_bigrams_from_chars()).alias("bg")),
+        eager=False,
+    )
     w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bg").asc())
     profile = (
         bigrams.groupBy("lang", "bg")

@@ -1259,13 +1259,16 @@ def test_t24_is_pure_scan_side_projection(spark, sf_dir):
 def test_p26_gates_fused_and_final_reads_checkpoint(spark, sf_dir):
     """p26's scale contract, both halves. Gate frame (lazy): all four
     scalar gates (url canon + quality + repetition + entropy) ride
-    ONE corpus scan — the plan's 5 scans are exactly {gates, langid
-    census, langid doc-side, shingle stream, eval shingles}, the
-    canon keep-min window is PARTITIONED by the canonical URL (never
-    unpartitioned), and nothing plans a cartesian. Registered op: the
-    final plan reads only the materialized gate frame (zero parquet
-    scans — the near-dup miner, survivor census and level census all
-    reuse the checkpoint), no cartesian anywhere."""
+    ONE corpus scan — the plan's 3 parquet scans are exactly {gates,
+    shingle stream, eval shingles} (r13 had 5: langid's census and
+    doc-side scans now both read the operator's shared lazy bigram
+    checkpoint — the ExistingRDD — instead of re-scanning the corpus,
+    round 14), the canon keep-min window is PARTITIONED by the
+    canonical URL (never unpartitioned), and nothing plans a
+    cartesian. Registered op: the final plan reads only the
+    materialized gate frame (zero parquet scans — the near-dup miner,
+    survivor census and level census all reuse the checkpoint), no
+    cartesian anywhere."""
     import re
 
     from pyspark.sql import functions as F
@@ -1280,7 +1283,8 @@ def test_p26_gates_fused_and_final_reads_checkpoint(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         p26_gate_frame(spark, d).explain()
     gates = buf.getvalue()
-    assert gates.count("Scan parquet") == 5, gates
+    assert gates.count("Scan parquet") == 3, gates
+    assert "ExistingRDD" in gates, gates
     assert re.search(r"windowspecdefinition\(_curl#\d+", gates), gates
     assert "CartesianProduct" not in gates, gates
 
