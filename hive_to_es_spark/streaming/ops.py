@@ -1141,15 +1141,15 @@ def dedup_within_horizon(
     max_rounds boundary test and the stream==batch replay test.
 
     PRECONDITION (ADVICE r13): (event_id, ts) pairs are unique. The
-    struct-sort tie-break keeps exactly one row of a tied (key, ts)
-    pair (min over the payload struct), while the registered ORACLE's
-    ts-equality join would keep every tied copy and the stream form
-    keeps the first ARRIVAL — three different tie semantics. The
-    registered input satisfies the precondition by construction
-    (event_id unique in base; redelivery offsets 0/+10/+90 distinct),
-    so the divergence is unreachable there; callers reusing this
-    helper on inputs with tied timestamps get the deterministic
-    payload-struct-min pick.
+    kept set is selected by TIMESTAMP membership (fold to kept ts,
+    then filter the sorted copy array — see below), so a tied
+    (key, ts) pair would emit every tied copy, while the r13
+    struct-min form kept one and the stream form keeps the first
+    ARRIVAL — three different tie semantics. The registered input
+    satisfies the precondition by construction (event_id unique in
+    base; redelivery offsets 0/+10/+90 distinct), so the divergence
+    is unreachable there; callers with tied timestamps must dedup
+    (event_id, ts) first.
 
     `max_rounds` keeps its r13 contract as a chain-DEPTH cap: a key
     whose kept chain is deeper than max_rounds (the r13 loop would
@@ -1160,7 +1160,22 @@ def dedup_within_horizon(
     chain (one key redelivered every delay+epsilon for a year) whose
     depth the stream form is the right tool for. 64 covers a
     64 x delay event-time span per key chain (2.7 days at the
-    registered 60-min delay)."""
+    registered 60-min delay).
+
+    Round 15 (VERDICT r14 task 4 + ADVICE): the fold accumulates kept
+    TIMESTAMPS only (8-byte longs), not kept payload structs — the
+    r14 accumulator concat copied the full struct array per kept
+    element (O(k²) payload bytes per key) — and the append SATURATES
+    at max_rounds + 1 elements, so the adversarial deep-chain input
+    the cap exists to refuse now costs O(n · min(k, cap)) timestamp
+    copies instead of completing the full O(n · k) fold before the
+    guard raises (saturation keeps updating the last-kept timestamp,
+    so reaching size max_rounds + 1 still exactly witnesses depth >
+    max_rounds and the boundary semantics are unchanged). The kept
+    copies are then selected by ts membership with array_contains
+    AFTER the checkpoint barrier (a lambda referencing the fold
+    expression directly would re-run the fold per element — Spark
+    does not CSE inside lambda bodies)."""
     from hive_to_es_spark.functions.lifecycle import materialize
 
     payload = [c for c in events.columns if c not in ("event_id", "ts")]
@@ -1172,7 +1187,12 @@ def dedup_within_horizon(
             r["ts"] >= acc["lk"] + delay,
             F.struct(
                 r["ts"].alias("lk"),
-                F.concat(acc["ks"], F.array(r)).alias("ks"),
+                F.when(
+                    F.size(acc["kts"]) <= max_rounds,
+                    F.concat(acc["kts"], F.array(r["ts"])),
+                )
+                .otherwise(acc["kts"])
+                .alias("kts"),
             ),
         ).otherwise(acc)
 
@@ -1180,25 +1200,25 @@ def dedup_within_horizon(
     # row), so the fold seeds with the first (minimal) copy kept and
     # scans the rest — no nullable-timestamp accumulator needed
     first = F.element_at(F.col("_rows"), 1)
-    kept = F.aggregate(
+    kept_ts = F.aggregate(
         F.slice(F.col("_rows"), 2, F.size(F.col("_rows")) - 1),
         F.struct(
             first.getField("ts").alias("lk"),
-            F.slice(F.col("_rows"), 1, 1).alias("ks"),
+            F.array(first.getField("ts")).alias("kts"),
         ),
         chain,
-    )["ks"]
+    )["kts"]
     g = materialize(
         events.groupBy("event_id")
         .agg(rows.alias("_rows"))
-        .select("event_id", kept.alias("_ks")),
+        .select("event_id", "_rows", kept_ts.alias("_kts")),
         checkpoint_dir,
     )
-    deepest = g.agg(F.max(F.size("_ks"))).first()[0]
+    deepest = g.agg(F.max(F.size("_kts"))).first()[0]
     if deepest is not None and deepest > max_rounds:
         raise RuntimeError(
-            f"dedup_within_horizon: horizon chain depth {deepest} "
-            f"exceeds max_rounds={max_rounds} (adversarial redelivery "
+            f"dedup_within_horizon: horizon chain depth exceeds "
+            f"max_rounds={max_rounds} (adversarial redelivery "
             f"chain deeper than max_rounds x {delay_minutes} min). Use "
             f"the streaming form (tf_dedup_within_watermark — state "
             f"bounded by the watermark horizon) for inputs with "
@@ -1209,7 +1229,12 @@ def dedup_within_horizon(
         else (F.col("event_id") if c == "event_id" else F.col(f"_r.{c}").alias(c))
         for c in events.columns
     ]
-    return g.select("event_id", F.explode("_ks").alias("_r")).select(*out_cols)
+    kept_rows = F.filter(
+        "_rows", lambda r: F.array_contains(F.col("_kts"), r["ts"])
+    )
+    return g.select("event_id", F.explode(kept_rows).alias("_r")).select(
+        *out_cols
+    )
 
 
 def e14_redelivered_input(ev: DataFrame) -> DataFrame:

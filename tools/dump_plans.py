@@ -2,11 +2,14 @@
 """Dump .explain("formatted") output for registered keys to files.
 
 Usage:
-    python tools/dump_plans.py before [key ...]   # -> plans/r14/<key>_before.txt
-    python tools/dump_plans.py after  [key ...]   # -> plans/r14/<key>_after.txt
+    python tools/dump_plans.py before [key ...]   # -> plans/$ROUND/<key>_before.txt
+    python tools/dump_plans.py after  [key ...]   # -> plans/$ROUND/<key>_after.txt
+
+The output round directory defaults to r15; override with the
+SPARK_GRAFT_PLANS_ROUND env var (e.g. SPARK_GRAFT_PLANS_ROUND=r14).
 
 Default key set: every key named in bench.py (FLAGSHIPS + EXTENSION).
-The formatted plan is the round-14 optimization evidence: Exchange
+The formatted plan is the per-round optimization evidence: Exchange
 count, join strategy, PushedFilters/ReadSchema, WholeStageCodegen
 spans, BatchEvalPython/ArrowEvalPython nodes.
 
@@ -30,13 +33,18 @@ from hive_to_es_spark.session import get_spark
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
 )
 
 
 def main() -> int:
+    # ADVICE r14: no args must print usage, not crash with IndexError
+    if len(sys.argv) < 2 or sys.argv[1] not in ("before", "after"):
+        print(__doc__)
+        return 2
     suffix = sys.argv[1]
-    assert suffix in ("before", "after"), "first arg must be before|after"
     keys = sys.argv[2:]
     if not keys:
         import bench
