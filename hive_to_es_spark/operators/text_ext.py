@@ -247,18 +247,28 @@ def langid_predictions(d: DataFrame) -> DataFrame:
     langid-filter shape: production never has the true label) and
     p26's lang gate.
 
-    Round 14 kept the r13 topology (profile census + distinct doc
-    bigrams + broadcast score join + per-doc rank window — every
-    heavy stage post-exchange and parallel) but made two changes:
-    (a) bigram GENERATION is O(len) per document via the pre-split
-    char array (_bigrams_from_chars — substr-by-index was O(len²),
-    ~55% of the whole operator's time; measured 3.08 s -> 1.60 s at
-    sf0.1); (b) the exploded bigram stream is shared between its two
+    Round 14 made bigram GENERATION O(len) per document via the
+    pre-split char array (_bigrams_from_chars — substr-by-index was
+    O(len²), ~55% of the whole operator's time; measured 3.08 s ->
+    1.60 s at sf0.1) and shared the bigram stream between its two
     consumers through a LAZY localCheckpoint (eager=False — no job at
     build, materialized under the first job that touches it), so the
-    corpus explode runs ONCE instead of once per consumer — one full
-    corpus pass deleted at any scale, wall-neutral locally where the
-    two 1-task explodes overlapped anyway. A zero-corpus-exchange
+    corpus bigram pass runs ONCE instead of once per consumer.
+
+    Round 15 (guide §2.3/§2.4): the shared checkpoint now holds the
+    per-doc bigram ARRAY (one row per document) instead of the
+    exploded (doc, lang, bg) stream — ~len x fewer checkpointed rows
+    — and the doc-side DISTINCT is computed IN-ROW with
+    array_distinct after the checkpoint barrier instead of a
+    corpus-sized relational .distinct(), deleting that exchange (the
+    exploded stream was ~1.6M rows at sf0.1; the distinct exchange
+    alone cost ~0.9 s). The barrier is load-bearing twice over: the
+    explode consumers re-read the tiny array table rather than the
+    corpus, and array_distinct must see a materialized COLUMN —
+    applied to the transform expression directly, CollapseProject
+    inlines the char split into the lambda and the row goes O(len²)
+    (measured: 48 s for the naive in-row form). Measured noop-timed
+    at sf0.1: 2.5-3.2 s -> 1.9-2.1 s. A zero-corpus-exchange
     scan-side alternative (collect the bounded profile, compile a
     literal contains()-argmax column) was measured end-to-end SLOWER
     locally (p26 6.6 -> 9.0 s) because the eager census collect
@@ -267,11 +277,12 @@ def langid_predictions(d: DataFrame) -> DataFrame:
     with multi-split inputs."""
     from hive_to_es_spark.functions.lifecycle import materialize
 
-    bigrams = materialize(
+    bgs = materialize(
         d.select("doc_id", "lang", F.split("text", "").alias("_ch"))
-        .select("doc_id", "lang", F.explode(_bigrams_from_chars()).alias("bg")),
+        .select("doc_id", "lang", _bigrams_from_chars().alias("_bgs")),
         eager=False,
     )
+    bigrams = bgs.select("doc_id", "lang", F.explode("_bgs").alias("bg"))
     w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bg").asc())
     profile = (
         bigrams.groupBy("lang", "bg")
@@ -280,7 +291,9 @@ def langid_predictions(d: DataFrame) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select(F.col("lang").alias("profile_lang"), "bg")
     )
-    doc_bigrams = bigrams.select("doc_id", "lang", "bg").distinct()
+    doc_bigrams = bgs.select(
+        "doc_id", "lang", F.explode(F.array_distinct("_bgs")).alias("bg")
+    )
     scores = (
         doc_bigrams.join(F.broadcast(profile), "bg")
         .groupBy("doc_id", "lang", "profile_lang")
