@@ -20,6 +20,8 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
+import subprocess
 import sys
 import time
 
@@ -328,6 +330,64 @@ N_RUNS_OVERRIDE = {"w1_order_rank": 9}
 SINK_NOOP = {"w4_range_frame", "w8_range_frame_scalable"}
 
 
+# Round-15 measurement fix (VERDICT r14 "What's wrong" #1, declared):
+# the single-session flagship numbers drifted upward three rounds
+# running (0.55 -> 0.59 -> 0.68 -> 0.70 s) with zero flagship code or
+# plan changes — sub-100 ms entries are dominated by JVM warmth and
+# scheduling jitter (the documented ~2.5x cross-layout band), so the
+# per-round flagship delta kept flagging phantom regressions while
+# real wins only showed up via interleaved fresh-subprocess A/Bs. The
+# flagship line is now the per-query MEDIAN over
+# $SPARK_GRAFT_BENCH_SUBPROC_REPS (default 3) FRESH subprocesses,
+# each of which replays the historical layout exactly (cold JVM,
+# flagships first, same _bench_one warm-up + best-of-3 collect()
+# method), so each rep is directly comparable to BASELINE.md and to
+# every prior round's number — the median just strips the day-band
+# jitter between cold JVMs. Set the env var to 0 to get the old
+# single-session numbers (also the automatic fallback if a subprocess
+# fails); the parent's single-session flagship values are always kept
+# in BENCH_latest_full.json under "flagship_singlesession". The
+# stdout one-line JSON contract and $SPARK_GRAFT_SF_DIR /
+# $SPARK_GRAFT_CPUS are unchanged.
+SUBPROC_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_SUBPROC_REPS", "3"))
+
+_SUBPROC_MARK = "@@FLAGSHIP_REP@@"
+
+_SUBPROC_CHILD = """
+import json, sys
+sys.path.insert(0, {repo!r})
+import bench
+from hive_to_es_spark.registry import queries
+from hive_to_es_spark.session import get_spark
+spark = get_spark("bench-flagship-rep")
+spark.sparkContext.setLogLevel("ERROR")
+qs = queries()
+out = {{n: bench._bench_one(spark, qs, n) for n in bench.FLAGSHIPS}}
+print({mark!r} + json.dumps(out))
+"""
+
+
+def _flagship_subprocess_reps(n_reps: int) -> list[dict[str, float]]:
+    """Run the 7 flagships in n_reps fresh subprocesses (cold JVM each,
+    flagships-first layout) and return the per-rep {name: best_sec}
+    dicts. Reps that fail to produce the marker line are dropped."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = _SUBPROC_CHILD.format(repo=repo, mark=_SUBPROC_MARK)
+    reps: list[dict[str, float]] = []
+    for _ in range(n_reps):
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith(_SUBPROC_MARK):
+                reps.append(json.loads(line[len(_SUBPROC_MARK):]))
+                break
+    return reps
+
+
 def _run_action(df, name: str) -> None:
     if name in SINK_NOOP:
         df.write.format("noop").mode("overwrite").save()
@@ -364,6 +424,15 @@ def main() -> int:
     per_query: dict[str, float] = {}
     for name in FLAGSHIPS + EXTENSION:
         per_query[name] = _bench_one(spark, qs, name)
+    flagship_singlesession = {n: per_query[n] for n in FLAGSHIPS}
+    flagship_reps: list[dict[str, float]] = []
+    if SUBPROC_REPS > 0:
+        flagship_reps = _flagship_subprocess_reps(SUBPROC_REPS)
+        if flagship_reps:  # fallback: keep single-session numbers
+            for n in FLAGSHIPS:
+                per_query[n] = round(
+                    statistics.median(r[n] for r in flagship_reps), 4
+                )
     flagship_total = round(sum(per_query[n] for n in FLAGSHIPS), 4)
     # The driver records only the TAIL of stdout, so the per-round
     # artifact must stay compact enough that the gate-relevant numbers
@@ -380,6 +449,8 @@ def main() -> int:
         "queries": per_query,
         "extended_total_sec": round(sum(per_query[n] for n in EXTENSION), 4),
         "sf": sf,
+        "flagship_singlesession": flagship_singlesession,
+        "flagship_subproc_reps": flagship_reps,
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_latest_full.json"),
@@ -399,6 +470,11 @@ def main() -> int:
                 ),
                 "full_detail": "BENCH_latest_full.json",
                 "sf": sf,
+                "flagship_method": (
+                    f"median-of-{len(flagship_reps)}-fresh-subprocess"
+                    if flagship_reps
+                    else "single-session best-of-3"
+                ),
                 # Round-4 VERDICT asked for the r3->r4 extended-set
                 # drift (s2 1.8x, d1 1.74x, d6 1.55x, w4 1.61x, e1
                 # 1.29x) to be attributed. tools/bench_drift.py A/B
