@@ -263,9 +263,11 @@ EAGER_BUILD = {
     # a23 materializes its cell census (the corpus-sized aggregate) at
     # build — rebuild prices the census scan, not just the tiny tail
     "a23_grid_hotspots",
-    # t22/d19/d20 have no checkpoint, but their heavy stages (feature
-    # explodes, fingerprint distinct, para window) are shuffles a
-    # repeated collect() would reuse (the d10 pitfall) — rebuild
+    # d19/d20 have no checkpoint, but their heavy stages (fingerprint
+    # distinct, para window) are shuffles a repeated collect() would
+    # reuse (the d10 pitfall) — rebuild; t22 (round 15) shares its
+    # one feature explode through a lazy checkpoint — rebuild prices
+    # the explode, not just the census/scoring tail
     "t22_dsir_importance",
     "d19_source_overlap",
     "d20_paragraph_dedup",

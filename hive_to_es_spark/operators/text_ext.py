@@ -2281,16 +2281,26 @@ def t22_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets), with `selected` = per-feature mean ratio above the
     corpus per-occurrence mean (self-calibrating at any SF).
 
-    Plan shape (pinned): two Generates (census explode + scoring
-    explode) and nothing else corpus-sized. The model totals (tr/tt)
-    and the corpus mean (mu) are UNPARTITIONED WINDOW sums over the
-    census — bounded by the CONSTANT B=4096 bucket domain at any
-    corpus size, the t20 exemption class — so the census subtree is
-    instantiated exactly once and (b, lrat, mu) broadcasts as one
-    table (a naive scalar-aggregate formulation re-derives the census
-    4x, 5 corpus scans instead of 2). One BroadcastHashJoin probe,
-    final partial-aggregated groupBy(doc_id). No cartesian, no
-    corpus-keyed window, no sort."""
+    Plan shape (pinned): the corpus is exploded ONCE — round 15
+    (guide §2.4; VERDICT r14 task 5): the r14 form ran the feature
+    explode twice (census pass + scoring pass, two full corpus
+    scans); both passes actually consume the same information, the
+    per-(doc, bucket) occurrence counts, so that relation is now
+    computed once (explode -> partial-aggregated groupBy(doc_id, b))
+    and shared through a LAZY localCheckpoint: the census aggregates
+    it by bucket (cr = sum(k), ct = sum(k) filter is_target) and the
+    scoring side probes it against the broadcast log-ratio table with
+    per-doc sums weighted by k (sum(k*lrat) == the occurrence sum
+    exactly at 4 dp — verified value-identical against the oracle at
+    both SFs). One corpus scan instead of two; measured 2.2-2.5 s ->
+    1.5-1.9 s at sf0.1. The model totals (tr/tt) and the corpus mean
+    (mu) stay UNPARTITIONED WINDOW sums over the census — bounded by
+    the CONSTANT B=4096 bucket domain at any corpus size, the t20
+    exemption class — so the census subtree is instantiated exactly
+    once and (b, lrat, mu) broadcasts as one table. One
+    BroadcastHashJoin probe, final partial-aggregated
+    groupBy(doc_id). No cartesian, no corpus-keyed window, no sort."""
+    from hive_to_es_spark.functions.lifecycle import materialize
     from hive_to_es_spark.operators.sort_set import hash_bucket
 
     d = (
@@ -2306,9 +2316,17 @@ def t22_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "is_target", hash_bucket("f", _T22_B).alias("b"))
     )
-    census = d.groupBy("b").agg(
-        F.count("*").cast("bigint").alias("cr"),
-        F.count_if(F.col("is_target")).cast("bigint").alias("ct"),
+    db = materialize(
+        d.groupBy("doc_id", "is_target", "b").agg(
+            F.count("*").cast("bigint").alias("k")
+        ),
+        eager=False,
+    )
+    census = db.groupBy("b").agg(
+        F.sum("k").cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("is_target"), F.col("k")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("ct"),
     )
     everything = Window.partitionBy()  # <=B census rows by construction
     lr = census.select(
@@ -2332,15 +2350,19 @@ def t22_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cr").over(everything)
         ).alias("mu"),
     )
-    rel = F.round(F.sum("lrat") / F.count("*") - F.any_value("mu"), 4)
+    rel = F.round(
+        F.sum(F.col("k") * F.col("lrat")) / F.sum("k") - F.any_value("mu"), 4
+    )
     return (
-        d.join(F.broadcast(lr), "b")
+        db.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_features"),
+            F.sum("k").cast("bigint").alias("n_features"),
             # + 0.0 normalizes IEEE -0.0 (both engines; see the oracle
             # note — a ~-1e-13 sum rounds to signed zero at 16x)
-            (F.round(F.sum("lrat"), 4) + 0.0).alias("dsir_logratio"),
+            (F.round(F.sum(F.col("k") * F.col("lrat")), 4) + 0.0).alias(
+                "dsir_logratio"
+            ),
             (rel + 0.0).alias("dsir_rel"),
             (rel > 0).alias("selected"),
         )

@@ -1097,15 +1097,21 @@ def test_w21_single_sessionize_and_census_only_windows(spark, sf_dir):
 
 
 def test_t22_two_scans_bounded_windows_broadcast_probe(spark, sf_dir):
-    """t22's corpus work is exactly two Generates (census explode +
-    scoring explode); the model totals and corpus mean are the two
-    unpartitioned windows over the <=B=4096-row census (bounded by the
-    constant bucket domain), and the log-ratio table reaches the
-    scoring side as a BroadcastHashJoin — a scalar-aggregate
-    formulation would re-derive the census subtree 4x (5 corpus scans)
-    and plan BroadcastNestedLoopJoins instead."""
+    """t22's corpus work happens ONCE (round 15): the feature explode
+    + per-(doc, bucket) occurrence counts are computed into one shared
+    lazy checkpoint, so the FINAL plan reads only that relation
+    (ExistingRDD — no parquet scan, no Generate: the one corpus
+    explode runs inside the checkpoint's materialization); the model
+    totals and corpus mean are the two unpartitioned windows over the
+    <=B=4096-row census (bounded by the constant bucket domain), and
+    the log-ratio table reaches the scoring side as a
+    BroadcastHashJoin — a scalar-aggregate formulation would
+    re-derive the census subtree 4x and plan BroadcastNestedLoopJoins
+    instead."""
     plan = _simple_plan(spark, sf_dir, "t22_dsir_importance")
-    assert plan.count("Generate") == 2, plan
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("Generate") == 0, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
