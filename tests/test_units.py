@@ -3506,3 +3506,71 @@ def test_d20_skew_arm_equals_window_arm(spark, sf_dir):
         for r in paragraph_dedup(d, max_para_df=10**9).collect()
     )
     assert base == skew
+
+
+def test_langid_plan_gate_and_scan_join_parity(spark, sf_dir):
+    """VERDICT r14 task 6: langid_predictions' split-count gate and
+    the scan-side literal-compile arm. (a) choose_langid_plan: 1-split
+    inputs keep the join topology (local fixtures — an eager profile
+    collect serializes against 1-task scans), multi-split inputs get
+    the zero-corpus-exchange scan plan. (b) Parity: both arms must be
+    row-identical on the fixtures (substring containment of a 2-char
+    gram == bigram membership, same overlap counts, same tie-break,
+    same zero-overlap exclusions). (c) The auto gate actually routes a
+    multi-split input to the scan arm, whose scoring pass plans ZERO
+    Exchange / Join / Window."""
+    from hive_to_es_spark.io import load_tables
+    from hive_to_es_spark.operators.text_ext import (
+        choose_langid_plan,
+        langid_predictions,
+    )
+
+    assert choose_langid_plan(1) == "join"
+    assert choose_langid_plan(2) == "scan"
+    assert choose_langid_plan(32) == "scan"
+
+    d = load_tables(spark, sf_dir).documents
+    join_rows = sorted(
+        (r.doc_id, r.lang, r.predicted)
+        for r in langid_predictions(d, plan="join").collect()
+    )
+    scan_df = langid_predictions(d, plan="scan")
+    scan_rows = sorted(
+        (r.doc_id, r.lang, r.predicted) for r in scan_df.collect()
+    )
+    assert join_rows == scan_rows
+    assert len(join_rows) > 0
+    plan_txt = scan_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_txt, plan_txt
+    assert "Join" not in plan_txt, plan_txt
+    assert "Window" not in plan_txt, plan_txt
+    # the auto gate routes a multi-split frame to the scan arm: its
+    # plan has no shuffle join (the join arm's score join would)
+    auto_multi = langid_predictions(d.repartition(4), plan="auto")
+    auto_txt = auto_multi._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in auto_txt, auto_txt
+
+
+def test_split_empty_separator_pin():
+    """ADVICE r14: _bigrams_from_chars silently depends on
+    F.split(text, '') emitting one element per character with NO
+    trailing empty string (Java's Pattern.split with limit -1 has
+    historically kept trailing empties). Pin the exact cases the
+    docstring guard reasons about — 'ab', 'a', '' and NULL — so a
+    Spark upgrade that shifts the behavior fails loudly here instead
+    of silently adding a spurious last-char 'bigram' to every doc."""
+    from pyspark.sql import functions as F
+    from hive_to_es_spark.session import get_spark
+
+    spark = get_spark("split-pin")
+    rows = (
+        spark.createDataFrame(
+            [("ab",), ("a",), ("",), (None,)], "t string"
+        )
+        .select(F.split("t", "").alias("ch"))
+        .collect()
+    )
+    assert rows[0].ch == ["a", "b"], rows[0].ch
+    assert rows[1].ch == ["a"], rows[1].ch
+    assert rows[2].ch == [""], rows[2].ch
+    assert rows[3].ch is None, rows[3].ch
