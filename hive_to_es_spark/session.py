@@ -52,6 +52,14 @@ def get_spark(app_name: str = "hive_to_es_spark", cpus: int | None = None) -> Sp
         .config("spark.ui.enabled", "false")
         # Arrow for every pandas interchange (UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Index/export parquet writes (d16/e11/s16-s18 lifecycles, p27
+        # shards) use zstd: measured round 15 on the two heaviest
+        # index-writing keys — wall-NEUTRAL locally (d16/e11 A/B,
+        # 2 reps x 3 runs each codec, within noise) at 39% fewer
+        # bytes than snappy (guide §6) — the at-scale read/write IO
+        # and storage win with no semantic surface (readers
+        # autodetect the codec per column chunk).
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in REQUIRED_RUNTIME_CONFS.items():
         builder = builder.config(k, v)
