@@ -398,14 +398,25 @@ def _run_action(df, name: str) -> None:
 
 
 def _bench_one(spark, qs, name: str) -> float:
+    from hive_to_es_spark.functions.lifecycle import release_all_persistent
+
     n_runs = N_RUNS_OVERRIDE.get(name, N_RUNS)
     if name in EAGER_BUILD:
         _run_action(qs[name](spark, SF_DIR), name)  # warm-up: full build + read
         best = float("inf")
         for _ in range(n_runs):
+            # ADVICE r14: each eager rebuild strands the previous
+            # build's localCheckpoints in the block manager (p26 alone
+            # left ~10 corpus-scale RDDs per bench session). Every
+            # earlier key is finished at this point in the sequential
+            # bench and this key rebuilds from scratch inside the
+            # timer, so sweeping between runs (OUTSIDE the timed
+            # region) is safe and keeps the session's memory flat.
+            release_all_persistent(spark)
             t0 = time.perf_counter()
             _run_action(qs[name](spark, SF_DIR), name)
             best = min(best, time.perf_counter() - t0)
+        release_all_persistent(spark)
         return round(best, 4)
     df = qs[name](spark, SF_DIR)  # build once (BASELINE.md method)
     _run_action(df, name)  # warm-up: analysis + codegen, cached on the object
